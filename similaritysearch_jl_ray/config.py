@@ -1,0 +1,50 @@
+"""Engine-wide constants and tunables.
+
+The BM25 parameters and the tokenizer are part of the engine's
+*correctness contract*: the DuckDB oracle SQL in ``__ray_entry__.py``
+re-states exactly the same formula and token regex, so any change here
+must be mirrored there.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+# Tokenizer: lowercase + ASCII word runs. Chosen to be expressible
+# identically in DuckDB as regexp_extract_all(lower(text), '[a-z0-9]+').
+TOKEN_PATTERN = r"[a-z0-9]+"
+
+
+@dataclasses.dataclass(frozen=True)
+class Bm25Params:
+    """Okapi BM25 with the Lucene-style idf.
+
+    score(q, d) = sum over unique query terms t of
+        idf(t) * tf * (k1 + 1) / (tf + k1 * (1 - b + b * dl / avgdl))
+    idf(t) = ln(1 + (N - df + 0.5) / (df + 0.5))
+
+    All arithmetic in float64; term partials are summed in ascending
+    term order (fixed accumulation order → reproducible across runs,
+    SURVEY.md §7 "rank-identity" watch item).
+    """
+
+    k1: float = 1.2
+    b: float = 0.75
+
+
+DEFAULT_BM25 = Bm25Params()
+
+# Posting-list layout (state/segment.py). Blocks are independent: each
+# block's first docID is stored absolutely in the block header arrays,
+# so sub-runs produced under different shuffle salts concatenate
+# without re-encoding (SURVEY.md §7 step 4).
+POSTING_BLOCK_SIZE = 128
+
+# Index shuffle / layout knobs.
+DEFAULT_NUM_PARTS = 8          # term-hash output partitions (postings/part=*/)
+DEFAULT_SALT_FACTOR = 4        # sub-runs per head term in the groupby shuffle
+HEAD_TERM_DF_FRACTION = 0.01   # df/N above this → term is salted ("head")
+
+# Number of decimal digits both the engine's oracle-facing outputs and
+# the DuckDB oracle round scores to before ranking/compare.
+SCORE_ROUND_DECIMALS = 6

@@ -1,0 +1,88 @@
+"""HTML synthesis / extraction and tokenization kernels.
+
+The north rule's per-row invariant: ``extract_text(html)`` must be
+byte-identical to the page's reference ``text`` for every url — the
+pages fixture is *synthesized* (deterministically, from the driver's
+``documents`` table) by :mod:`similaritysearch_jl_ray.sources.pages`
+wrapping ``text`` into HTML, and this module is its exact inverse.
+Enforced by tests/test_text.py over every row of the fixture.
+
+Tokenization is the correctness contract shared with the DuckDB oracle:
+``re.findall('[a-z0-9]+', text.lower())`` ==
+``regexp_extract_all(lower(text), '[a-z0-9]+')``.
+"""
+
+from __future__ import annotations
+
+import html as _html
+import re
+
+import numpy as np
+
+from ..config import TOKEN_PATTERN
+
+__all__ = ["wrap_html", "extract_text", "tokenize", "TOKEN_RE", "batch_token_counts"]
+
+TOKEN_RE = re.compile(TOKEN_PATTERN)
+
+_BODY_RE = re.compile(rb"<article data-ss=\"text\">(.*?)</article>", re.S)
+
+
+def wrap_html(text: str, url: str, title: str = "") -> bytes:
+    """Deterministic page synthesis: wrap extracted text into HTML.
+
+    The payload lives in one ``<article data-ss="text">`` element,
+    HTML-escaped; extract_text() inverts this exactly (byte-identical).
+    """
+    body = _html.escape(text, quote=False)
+    doc = (
+        "<!doctype html><html><head><meta charset=\"utf-8\">"
+        f"<title>{_html.escape(title, quote=False)}</title>"
+        f"<link rel=\"canonical\" href=\"{url}\"></head><body>"
+        f"<nav>home | about | contact</nav>"
+        f"<article data-ss=\"text\">{body}</article>"
+        "<footer>&copy; example</footer></body></html>"
+    )
+    return doc.encode("utf-8")
+
+
+def extract_text(html_bytes: bytes) -> str:
+    """Inverse of :func:`wrap_html` — byte-identical text per url."""
+    m = _BODY_RE.search(html_bytes)
+    if m is None:
+        return ""
+    return _html.unescape(m.group(1).decode("utf-8"))
+
+
+def tokenize(text: str) -> list[str]:
+    """Lowercase ASCII word tokens (the oracle-shared contract)."""
+    return TOKEN_RE.findall(text.lower())
+
+
+def batch_token_counts(texts: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+    """Per-document term frequencies for a batch of texts, vectorized
+    after the (unavoidable) per-doc regex scan.
+
+    Returns ``(doc_idx, terms, tfs, doclens)`` where ``doc_idx`` maps
+    each (term, tf) row to its position in ``texts``, ``doclens`` has
+    one entry per text. The per-(doc, term) aggregation runs as one
+    ``np.unique`` over codes — no Python loop over tokens.
+    """
+    toks_per_doc = [TOKEN_RE.findall(t.lower()) for t in texts]
+    doclens = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64, count=len(texts))
+    total = int(doclens.sum())
+    if total == 0:
+        return (np.empty(0, np.int64), np.empty(0, object), np.empty(0, np.int64), doclens)
+    flat = np.empty(total, dtype=object)
+    pos = 0
+    for toks in toks_per_doc:
+        flat[pos : pos + len(toks)] = toks
+        pos += len(toks)
+    doc_of_token = np.repeat(np.arange(len(texts), dtype=np.int64), doclens)
+    # factorize terms, then count (doc, term) pairs in one unique pass
+    uniq_terms, codes = np.unique(flat.astype("U"), return_inverse=True)
+    pair = doc_of_token * len(uniq_terms) + codes
+    pair_u, tfs = np.unique(pair, return_counts=True)
+    doc_idx = pair_u // len(uniq_terms)
+    term_idx = pair_u % len(uniq_terms)
+    return doc_idx, uniq_terms[term_idx], tfs.astype(np.int64), doclens

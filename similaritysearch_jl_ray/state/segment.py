@@ -1,0 +1,214 @@
+"""On-disk posting-list segments: delta+varint blocks with block-max.
+
+This is the engine's ``StaticAdjList`` (the reference's CSR freeze of a
+dynamic adjacency, ``/root/reference/src/adj/adjstatic.jl:25-46``): a
+term's variable-length posting list becomes a flat compressed byte
+payload plus offset/skip arrays. Differences driven by Ray-Data-first
+design (SURVEY.md §2.5, §7):
+
+* **Blocks are independent.** Each ≤``POSTING_BLOCK_SIZE``-posting
+  block stores its first docID absolutely in the header arrays and
+  doc-gaps varint-encoded inside the payload. Sub-runs built under
+  different shuffle salts (doc_id *range* salting → disjoint, ordered
+  ranges) therefore merge by pure concatenation — no re-encode in the
+  second-stage head-term merge.
+* **Block-max is stored on the tf-norm scale** (``max tf*(k1+1)/(tf +
+  k1(1-b+b·dl/avgdl))`` over the block, float64 exact max), because the
+  global df — hence idf — of a salted term is only known at final
+  merge. Serving multiplies by idf(df) to get the WAND upper bound.
+* Postings carry ``(doc_gap, tf, dl)`` so query scoring needs no
+  doc-side join: only the global stats (N, avgdl) and per-term df.
+
+A segment part is one parquet file of term rows::
+
+    term:str, df:int64, cf:int64, payload:binary,
+    block_first:list<int64>, block_last:list<int64>,
+    block_count:list<int32>, block_offset:list<int64>,
+    block_vstart:list<int64>, block_max_tfnorm:list<double>
+
+``block_vstart`` is the cumulative varint count before each block so a
+whole payload decodes in ONE vectorized pass and slices per block.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..config import POSTING_BLOCK_SIZE, Bm25Params, DEFAULT_BM25
+from ..functions.varint import decode_varints, encode_varints
+from ..functions.bm25 import tf_norm
+
+__all__ = ["EncodedPostings", "encode_postings", "concat_runs", "decode_all", "decode_blocks"]
+
+
+@dataclasses.dataclass
+class EncodedPostings:
+    """One term's (or sub-run's) compressed posting list."""
+
+    df: int
+    cf: int
+    payload: bytes
+    block_first: np.ndarray     # int64, absolute first docID per block
+    block_last: np.ndarray      # int64, absolute last docID per block
+    block_count: np.ndarray     # int32
+    block_offset: np.ndarray    # int64, byte offset into payload
+    block_vstart: np.ndarray    # int64, varint count before block
+    block_max_tfnorm: np.ndarray  # float64
+
+    def to_row(self, term: str) -> dict:
+        return {
+            "term": term,
+            "df": self.df,
+            "cf": self.cf,
+            "payload": self.payload,
+            "block_first": self.block_first.tolist(),
+            "block_last": self.block_last.tolist(),
+            "block_count": self.block_count.tolist(),
+            "block_offset": self.block_offset.tolist(),
+            "block_vstart": self.block_vstart.tolist(),
+            "block_max_tfnorm": self.block_max_tfnorm.tolist(),
+        }
+
+    @classmethod
+    def from_row(cls, row: dict) -> "EncodedPostings":
+        return cls(
+            df=int(row["df"]),
+            cf=int(row["cf"]),
+            payload=bytes(row["payload"]),
+            block_first=np.asarray(row["block_first"], dtype=np.int64),
+            block_last=np.asarray(row["block_last"], dtype=np.int64),
+            block_count=np.asarray(row["block_count"], dtype=np.int32),
+            block_offset=np.asarray(row["block_offset"], dtype=np.int64),
+            block_vstart=np.asarray(row["block_vstart"], dtype=np.int64),
+            block_max_tfnorm=np.asarray(row["block_max_tfnorm"], dtype=np.float64),
+        )
+
+
+def encode_postings(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    avgdl: float,
+    params: Bm25Params = DEFAULT_BM25,
+    block_size: int = POSTING_BLOCK_SIZE,
+) -> EncodedPostings:
+    """Encode one term's postings (must be sorted by doc_id, unique)."""
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    dls = np.asarray(dls, dtype=np.int64)
+    n = len(doc_ids)
+    if n == 0:
+        z64 = np.empty(0, np.int64)
+        return EncodedPostings(0, 0, b"", z64, z64, np.empty(0, np.int32), z64, z64, np.empty(0, np.float64))
+    if n > 1 and not (np.diff(doc_ids) > 0).all():
+        raise ValueError("postings must be strictly increasing by doc_id")
+
+    starts = np.arange(0, n, block_size, dtype=np.int64)
+    ends = np.minimum(starts + block_size, n)
+    counts = (ends - starts).astype(np.int32)
+    nblocks = len(starts)
+
+    # per-block varint stream: gaps (count-1) ++ tfs (count) ++ dls (count)
+    payload_parts: list[bytes] = []
+    offsets = np.zeros(nblocks, dtype=np.int64)
+    vstarts = np.zeros(nblocks, dtype=np.int64)
+    maxes = np.zeros(nblocks, dtype=np.float64)
+    tfn = tf_norm(tfs, dls, avgdl, params)
+    off = 0
+    vcnt = 0
+    for i in range(nblocks):
+        s, e = int(starts[i]), int(ends[i])
+        gaps = np.diff(doc_ids[s:e]).astype(np.uint64)
+        stream = np.concatenate([gaps, tfs[s:e].astype(np.uint64), dls[s:e].astype(np.uint64)])
+        blob = encode_varints(stream)
+        offsets[i] = off
+        vstarts[i] = vcnt
+        maxes[i] = tfn[s:e].max()
+        payload_parts.append(blob)
+        off += len(blob)
+        vcnt += len(stream)
+    return EncodedPostings(
+        df=n,
+        cf=int(tfs.sum()),
+        payload=b"".join(payload_parts),
+        block_first=doc_ids[starts],
+        block_last=doc_ids[ends - 1],
+        block_count=counts,
+        block_offset=offsets,
+        block_vstart=vstarts,
+        block_max_tfnorm=maxes,
+    )
+
+
+def concat_runs(runs: list[EncodedPostings]) -> EncodedPostings:
+    """Merge doc-range-disjoint, ascending sub-runs by concatenation.
+
+    Valid because range-salting partitions docIDs into ordered disjoint
+    ranges and blocks are self-contained (absolute ``block_first``).
+    """
+    runs = [r for r in runs if r.df > 0]
+    if not runs:
+        return encode_postings(np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64), 1.0)
+    if len(runs) == 1:
+        return runs[0]
+    lasts = [r.block_last[-1] for r in runs]
+    firsts = [r.block_first[0] for r in runs]
+    if any(firsts[i + 1] <= lasts[i] for i in range(len(runs) - 1)):
+        raise ValueError("sub-runs overlap in doc_id space; range salting broken")
+    byte_shift = np.cumsum([0] + [len(r.payload) for r in runs[:-1]])
+    v_shift = np.cumsum([0] + [int(r.block_vstart[-1] + 3 * r.block_count[-1] - 1) for r in runs[:-1]])
+    return EncodedPostings(
+        df=sum(r.df for r in runs),
+        cf=sum(r.cf for r in runs),
+        payload=b"".join(r.payload for r in runs),
+        block_first=np.concatenate([r.block_first for r in runs]),
+        block_last=np.concatenate([r.block_last for r in runs]),
+        block_count=np.concatenate([r.block_count for r in runs]),
+        block_offset=np.concatenate([r.block_offset + int(s) for r, s in zip(runs, byte_shift)]),
+        block_vstart=np.concatenate([r.block_vstart + int(s) for r, s in zip(runs, v_shift)]),
+        block_max_tfnorm=np.concatenate([r.block_max_tfnorm for r in runs]),
+    )
+
+
+def decode_blocks(enc: EncodedPostings, bidx: np.ndarray) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode only the selected blocks (ascending indices) in one pass.
+
+    Returns (doc_ids, tfs, dls) concatenated across the blocks.
+    """
+    if len(bidx) == 0:
+        e = np.empty(0, np.int64)
+        return e, e, e
+    bidx = np.asarray(bidx, dtype=np.int64)
+    # contiguous byte ranges per selected block → decode each range; to
+    # keep it one vectorized decode, gather the byte slices first.
+    counts = enc.block_count[bidx].astype(np.int64)
+    nvars = 3 * counts - 1
+    payload = np.frombuffer(enc.payload, dtype=np.uint8)
+    ends = np.append(enc.block_offset[1:], len(payload))
+    pieces = [payload[int(enc.block_offset[i]) : int(ends[i])] for i in bidx]
+    stream = np.concatenate(pieces) if len(pieces) > 1 else pieces[0]
+    vals = decode_varints(stream, count=int(nvars.sum()))
+    ids_l, tfs_l, dls_l = [], [], []
+    v = 0
+    for j, i in enumerate(bidx):
+        c = int(counts[j])
+        gaps = vals[v : v + c - 1].astype(np.int64)
+        tf = vals[v + c - 1 : v + 2 * c - 1].astype(np.int64)
+        dl = vals[v + 2 * c - 1 : v + 3 * c - 1].astype(np.int64)
+        ids = np.empty(c, dtype=np.int64)
+        ids[0] = enc.block_first[i]
+        if c > 1:
+            np.cumsum(gaps, out=ids[1:])
+            ids[1:] += ids[0]
+        ids_l.append(ids)
+        tfs_l.append(tf)
+        dls_l.append(dl)
+        v += 3 * c - 1
+    return np.concatenate(ids_l), np.concatenate(tfs_l), np.concatenate(dls_l)
+
+
+def decode_all(enc: EncodedPostings) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Decode the full posting list: (doc_ids, tfs, dls)."""
+    return decode_blocks(enc, np.arange(len(enc.block_count), dtype=np.int64))

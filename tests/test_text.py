@@ -1,0 +1,59 @@
+from __future__ import annotations
+
+import duckdb
+import numpy as np
+import pyarrow.parquet as pq
+
+from similaritysearch_jl_ray.functions.text import (
+    batch_token_counts,
+    extract_text,
+    tokenize,
+    wrap_html,
+)
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_wrap_extract_byte_identical_fixture():
+    """North-rule invariant: byte-identical extracted text per url,
+    over every row of the documents fixture."""
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    for row in t.to_pylist():
+        url = f"https://{row['source']}.example.com/{row['lang']}/{row['doc_id']:08d}"
+        html = wrap_html(row["text"], url, title=f"doc {row['doc_id']}")
+        assert extract_text(html) == row["text"]
+
+
+def test_wrap_extract_special_chars():
+    for text in ["a & b < c > d", "x &amp; literal", "", "tag <article data-ss=\"text\"> inside? no",
+                 "unicode: café 中文", "line\nbreaks\t\ttabs"]:
+        assert extract_text(wrap_html(text, "https://u")) == text
+
+
+def test_tokenize_matches_duckdb():
+    texts = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])["text"].to_pylist()
+    con = duckdb.connect()
+    for text in texts[:50] + ["MiXeD CaSe 42x, punct!  ", ""]:
+        sql = con.execute("select regexp_extract_all(lower(?), '[a-z0-9]+')", [text]).fetchone()[0]
+        assert tokenize(text) == sql
+
+
+def test_batch_token_counts():
+    texts = ["a b a c", "", "b b b"]
+    doc_idx, terms, tfs, doclens = batch_token_counts(texts)
+    assert doclens.tolist() == [4, 0, 3]
+    got = sorted(zip(doc_idx.tolist(), terms.tolist(), tfs.tolist()))
+    assert got == [(0, "a", 2), (0, "b", 1), (0, "c", 1), (2, "b", 3)]
+
+
+def test_batch_token_counts_matches_tokenize():
+    texts = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])["text"].to_pylist()[:100]
+    doc_idx, terms, tfs, doclens = batch_token_counts(texts)
+    from collections import Counter
+
+    for j, text in enumerate(texts):
+        want = Counter(tokenize(text))
+        mask = doc_idx == j
+        got = dict(zip(terms[mask].tolist(), tfs[mask].tolist()))
+        assert got == dict(want)
+        assert doclens[j] == sum(want.values())

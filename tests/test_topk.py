@@ -1,0 +1,123 @@
+"""Contract tests for the KnnResult-semantics bounded queue.
+
+Port of the reference's randomized differential test against a naive
+sorted-model (``/root/reference/test/testresults.jl:20-84``): drive the
+queue with random pushes, mirror every step in a plain sorted list,
+assert exact equality of contents and min/max/argmin/argmax.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+
+from similaritysearch_jl_ray.functions.topk import TopK, merge_topk, topk_indices
+
+
+def model_topk(pairs, k):
+    """Naive model: k smallest under (dist, arrival); pairs in arrival order."""
+    ranked = sorted(enumerate(pairs), key=lambda t: (t[1][0], t[0]))[:k]
+    return sorted((d, i) for _, (d, i) in ranked)
+
+
+def test_random_pushes_match_sorted_model():
+    rng = random.Random(42)
+    for trial in range(20):
+        k = rng.choice([1, 3, 10, 32])
+        q = TopK(k)
+        pairs = []
+        for doc_id in range(1000):
+            d = rng.choice([rng.uniform(-5, 5), float(rng.randint(-3, 3))])
+            pairs.append((d, doc_id))
+            q.push(d, doc_id)
+            m = model_topk(pairs, k)
+            assert q.items() == m, f"trial {trial} step {doc_id}"
+            assert q.maximum() == m[-1][0]
+            assert q.minimum() == m[0][0]
+            assert q.argmax() == m[-1][1]
+            assert q.argmin() == m[0][1]
+
+
+def test_reject_rule_ties_lose_in_order():
+    # knnheap.jl:63 — once full, item.dist >= maximum(res) is rejected.
+    # With pushes in ascending doc_id order (the reference's exhaustive
+    # scan order) a dist-tie with the frontier always loses.
+    q = TopK(2)
+    assert q.push(1.0, 5)
+    assert q.push(2.0, 7)
+    assert not q.push(2.0, 11)     # tie with frontier, later doc_id → lose
+    assert not q.push(3.0, 12)
+    assert q.push(1.5, 13)
+    assert q.result() == [(5, -1.0), (13, -1.5)]
+
+
+def test_out_of_order_ties_resolve_by_doc_id():
+    # Deviation (documented): out-of-order pushes keep the set minimal
+    # under (dist, doc_id) — equal dist admits a *smaller* doc_id. This
+    # coincides with the reference whenever arrival order == id order,
+    # and makes partial-merge results order-independent.
+    q = TopK(2)
+    q.push(1.0, 10)
+    q.push(2.0, 11)
+    assert q.push(2.0, 5)          # smaller doc_id than frontier at same dist
+    assert q.result() == [(10, -1.0), (5, -2.0)]
+    assert not q.push(2.0, 8)      # 8 > 5 → frontier keeps 5
+
+
+def test_covradius_semantics():
+    q = TopK(3)
+    assert q.covradius() == float("inf")
+    q.push(5.0, 1)
+    q.push(1.0, 2)
+    assert q.covradius() == float("inf")   # not full yet (pqueue.jl:35)
+    q.push(3.0, 3)
+    assert q.covradius() == 5.0
+    assert q.theta() == -5.0
+
+
+def test_pop_max_and_reuse():
+    q = TopK(3)
+    for d, i in [(3.0, 1), (1.0, 2), (2.0, 3)]:
+        q.push(d, i)
+    assert q.pop_max() == (3.0, 1)
+    assert len(q) == 2
+    q.reuse()
+    assert len(q) == 0 and q.covradius() == float("inf")
+
+
+def test_topk_indices_matches_heap():
+    rng = np.random.default_rng(7)
+    for _ in range(30):
+        n = int(rng.integers(1, 400))
+        k = int(rng.integers(1, 40))
+        scores = rng.choice([0.5, 1.5, 2.5, rng.uniform()], size=n).astype(np.float64)
+        doc_ids = np.arange(100, 100 + n, dtype=np.int64)
+        q = TopK(k)
+        for s, i in zip(scores, doc_ids):
+            q.push_score(float(s), int(i))
+        idx = topk_indices(scores, doc_ids, k)
+        got = [(int(doc_ids[j]), float(scores[j])) for j in idx]
+        assert got == q.result()
+
+
+def test_merge_topk_equals_global():
+    rng = np.random.default_rng(11)
+    scores = rng.choice([1.0, 2.0, rng.uniform()], size=500)
+    doc_ids = np.arange(500, dtype=np.int64)
+    k = 17
+    parts = []
+    for lo in range(0, 500, 100):
+        sl = slice(lo, lo + 100)
+        idx = topk_indices(scores[sl], doc_ids[sl], k)
+        parts.append([(int(doc_ids[sl][j]), float(scores[sl][j])) for j in idx])
+    merged = merge_topk(parts, k)
+    gold_idx = topk_indices(scores, doc_ids, k)
+    gold = [(int(doc_ids[j]), float(scores[j])) for j in gold_idx]
+    assert merged == gold
+
+
+def test_k_must_be_positive():
+    with pytest.raises(ValueError):
+        TopK(0)
