@@ -1,0 +1,37 @@
+"""Helpers shared by ``__ray_entry__.py`` — index caching and the
+oracle-facing result shaping.
+
+The driver compares engine output to DuckDB by sorted-column value
+hash, so oracle-facing results round scores to
+``SCORE_ROUND_DECIMALS`` *after* ranking at full precision (both sides
+rank by (score desc, doc_id asc) at full precision; both sides emit
+the same rounded values).
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from ..config import SCORE_ROUND_DECIMALS
+
+__all__ = ["cached_index_dir", "ensure_index", "SCORE_ROUND_DECIMALS"]
+
+_CACHE_ROOT = "/tmp/ssjr_cache"
+
+
+def cached_index_dir(sf_dir: str) -> str:
+    tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
+    return os.path.join(_CACHE_ROOT, f"index_{tag}")
+
+
+def ensure_index(sf_dir: str, **build_kwargs) -> str:
+    """Build (or resume) the index for a scale-factor dir, cached in
+    /tmp across ``queries()`` callables so the driver's per-query calls
+    share one build."""
+    from ..sources.pages import pages_dataset
+    from .build_index import build_index
+
+    d = cached_index_dir(sf_dir)
+    build_index(pages_dataset(sf_dir), d, **build_kwargs)
+    return d

@@ -1,0 +1,83 @@
+"""Deterministic Common-Crawl-style ``pages`` fixture.
+
+``BASELINE.json.input_hint`` fixes the engine's input shape::
+
+    url:string, warc_ts:timestamp[us], html:binary, text:string, lang:string
+
+No external data is allowed, so the fixture is synthesized
+deterministically from the driver's ``documents`` parquet (doc_id,
+text, lang, source): url/warc_ts derive from doc_id, html is
+``functions.text.wrap_html(text)`` whose extraction is byte-identical
+to ``text`` (the north-rule invariant). ``doc_id`` rides along as the
+stable join key to the DuckDB oracle's ``documents`` view.
+
+``replicate > 1`` scales the corpus for benchmarks: copy r of doc d
+gets ``doc_id + r * stride`` and a distinct url; text is unchanged
+(identical copies also exercise exact-dedup paths).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+from ..functions.text import wrap_html
+
+__all__ = ["pages_from_documents", "pages_dataset", "WARC_EPOCH_US", "page_url"]
+
+# 2025-01-01T00:00:00Z in microseconds; warc_ts = epoch + doc_id seconds
+WARC_EPOCH_US = 1735689600000000
+
+
+def page_url(source: str, lang: str, doc_id: int) -> str:
+    return f"https://{source}.example.com/{lang}/{doc_id:08d}"
+
+
+def pages_from_documents(batch: pa.Table, replicate: int = 1, stride: int = 0) -> pa.Table:
+    """documents batch → pages batch (vectorized except the html wrap)."""
+    out_tables = []
+    doc_ids = batch["doc_id"].to_numpy()
+    texts = batch["text"].to_pylist()
+    langs = batch["lang"].to_pylist()
+    sources = batch["source"].to_pylist()
+    for r in range(replicate):
+        ids = doc_ids + r * stride
+        urls = [page_url(s, l, int(i)) for s, l, i in zip(sources, langs, ids)]
+        htmls = [wrap_html(t, u, title=f"doc {i}") for t, u, i in zip(texts, urls, ids)]
+        out_tables.append(
+            pa.table(
+                {
+                    "doc_id": pa.array(ids, type=pa.int64()),
+                    "url": pa.array(urls, type=pa.string()),
+                    "warc_ts": pa.array(
+                        (WARC_EPOCH_US + ids * 1_000_000).astype("int64"), type=pa.int64()
+                    ).cast(pa.timestamp("us")),
+                    "html": pa.array(htmls, type=pa.binary()),
+                    "text": pa.array(texts, type=pa.string()),
+                    "lang": pa.array(langs, type=pa.string()),
+                }
+            )
+        )
+    return pa.concat_tables(out_tables)
+
+
+def pages_dataset(sf_dir: str, replicate: int = 1):
+    """Lazy Ray Dataset of synthesized pages for one scale factor."""
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text", "lang", "source"]
+    )
+    if replicate > 1:
+        import pyarrow.parquet as pq
+
+        n_rows = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
+        stride = int(n_rows)
+    else:
+        stride = 0
+    return docs.map_batches(
+        lambda b: pages_from_documents(b, replicate=replicate, stride=stride),
+        batch_format="pyarrow",
+        batch_size=2048,
+    )

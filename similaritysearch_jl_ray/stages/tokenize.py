@@ -1,0 +1,51 @@
+"""Stateless map_batches stages: html → text → (term, doc_id, tf, dl).
+
+This is the engine's analog of the reference's "objects arrive parsed"
+ingest (SURVEY.md §2.2 "text→object parse" row — new functionality).
+The html column is dropped inside the batch function (project early:
+wide binary rows must not travel past extraction, SURVEY.md §7).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.text import batch_token_counts, extract_text
+
+__all__ = ["extract_batch", "tokenize_batch"]
+
+
+def extract_batch(batch: pa.Table) -> pa.Table:
+    """pages batch → (doc_id, url, lang, text) with text re-extracted
+    from html (the byte-identical invariant path — we never trust the
+    ride-along text column)."""
+    texts = [extract_text(h) for h in batch["html"].to_pylist()]
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "url": batch["url"],
+            "lang": batch["lang"],
+            "text": pa.array(texts, type=pa.string()),
+        }
+    )
+
+
+def tokenize_batch(batch: pa.Table) -> pa.Table:
+    """extracted batch → posting triples (term, doc_id, tf, dl).
+
+    Per-(doc, term) tf aggregation happens here (SPIMI's in-mapper
+    combine) so the downstream shuffle moves one row per (doc, term),
+    never one per token occurrence.
+    """
+    texts = batch["text"].to_pylist()
+    doc_idx, terms, tfs, doclens = batch_token_counts(texts)
+    doc_ids = batch["doc_id"].to_numpy()
+    return pa.table(
+        {
+            "term": pa.array(terms.tolist(), type=pa.string()),
+            "doc_id": pa.array(doc_ids[doc_idx], type=pa.int64()),
+            "tf": pa.array(tfs, type=pa.int64()),
+            "dl": pa.array(doclens[doc_idx], type=pa.int64()),
+        }
+    )
