@@ -75,8 +75,7 @@ ORDER BY query_id, rank
 
 
 def _bm25_query(sf_dir: str, mode: str):
-    import numpy as np
-
+    from similaritysearch_jl_ray.functions.rounding import round6
     from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index
     from similaritysearch_jl_ray.pipelines.query import search
     from similaritysearch_jl_ray.pipelines.queryset import queries_dataset
@@ -86,7 +85,7 @@ def _bm25_query(sf_dir: str, mode: str):
     res = res[["query_id", "rank", "doc_id", "score"]].astype(
         {"query_id": "int64", "rank": "int64", "doc_id": "int64", "score": "float64"}
     )
-    res["score"] = np.round(res["score"], _ROUND)
+    res["score"] = round6(res["score"].to_numpy())
     return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
@@ -143,9 +142,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         )
 
     def corpus_stats(sf_dir: str):
-        import numpy as np
         import pandas as pd
 
+        from similaritysearch_jl_ray.functions.rounding import round6
         from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index
         from similaritysearch_jl_ray.state.reader import IndexReader
 
@@ -154,18 +153,84 @@ def queries() -> dict[str, Callable[[str], Any]]:
             {
                 "n_docs": pd.array([rdr.stats["n_docs"]], dtype="int64"),
                 "total_tokens": pd.array([rdr.stats["total_tokens"]], dtype="int64"),
-                "avgdl": [float(np.round(rdr.stats["avgdl"], _ROUND))],
+                "avgdl": [round6(rdr.stats["avgdl"])],
             }
         )
 
+    from similaritysearch_jl_ray.pipelines import ann, dedup, events, textstats
+
     return {
+        # -- inverted index / BM25 (SURVEY §2.2-2.6, the flagship) -------
         "extract_text_identity": extract_text_identity,
         "doc_lengths": doc_lengths,
         "term_df": term_df,
         "corpus_stats": corpus_stats,
         "bm25_topk": lambda sf: _bm25_query(sf, "wand"),
         "bm25_topk_exhaustive": lambda sf: _bm25_query(sf, "exhaustive"),
+        # -- dedup suite (SURVEY §2.6 neardup + task brief) ---------------
+        "exact_dedup": dedup.exact_dedup,
+        "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(sf, tau=0.5, n=3),
+        "minhash_lsh_pairs": lambda sf: dedup.minhash_lsh_pairs(sf, tau=0.5, n=3),
+        "simhash_pairs": lambda sf: dedup.simhash_pairs(sf, max_hamming=3),
+        "embedding_neardup_pairs": lambda sf: dedup.embedding_neardup_pairs(sf, tau=0.3),
+        # -- knn suite over embeddings (SURVEY §2.6 reference ops) --------
+        "knn_search": lambda sf: ann.knn_search(sf, k=8, n_queries=20),
+        "allknn": lambda sf: ann.allknn(sf, k=4),
+        "closestpair": ann.closestpair,
+        "fft": lambda sf: ann.fft(sf, k=5),
+        "distsample": ann.distsample,
+        "rerank": lambda sf: ann.rerank(sf, k_candidates=20, k=8, n_queries=10),
+        "hsp_filter": lambda sf: ann.hsp_filter(sf, k=16, n_queries=10),
+        "neardup_embeddings": lambda sf: ann.neardup_embeddings(sf, eps=1.2),
+        # -- text analysis (task brief) -----------------------------------
+        "lang_dist": textstats.lang_dist,
+        "token_totals_by_lang": textstats.token_totals_by_lang,
+        "quality_scores": textstats.quality_scores,
+        "lang_id": textstats.lang_id,
+        "doc_fingerprint": textstats.doc_fingerprint,
+        # -- stream-shaped (events) ---------------------------------------
+        "windowed_event_counts": lambda sf: events.windowed_event_counts(sf, window_s=3600),
+        "sessionize": lambda sf: events.sessionize(sf, gap_s=1800),
     }
+
+
+def _fft_sql(k: int = 5) -> str:
+    ctes = [
+        "e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)",
+        "c0 AS (SELECT min(vec_id) AS id FROM e)",
+        "d0 AS (SELECT e.vec_id, list_distance(e.v,"
+        " (SELECT v FROM e WHERE vec_id = (SELECT id FROM c0))) AS nnd FROM e)",
+    ]
+    selects = ["SELECT 0::BIGINT AS step, (SELECT id FROM c0)::BIGINT AS center_id, 0.0::DOUBLE AS dmax"]
+    for i in range(1, k):
+        ctes.append(f"m{i} AS (SELECT max(nnd) AS dmax FROM d{i-1})")
+        ctes.append(
+            f"c{i} AS (SELECT min(vec_id) AS id FROM d{i-1} WHERE nnd = (SELECT dmax FROM m{i}))"
+        )
+        ctes.append(
+            f"d{i} AS (SELECT d{i-1}.vec_id, least(d{i-1}.nnd, list_distance(e.v,"
+            f" (SELECT v FROM e WHERE vec_id = (SELECT id FROM c{i})))) AS nnd"
+            f" FROM d{i-1} JOIN e ON e.vec_id = d{i-1}.vec_id)"
+        )
+        selects.append(
+            f"SELECT {i}::BIGINT, (SELECT id FROM c{i})::BIGINT, round((SELECT dmax FROM m{i}), 6)"
+        )
+    return "WITH " + ",\n".join(ctes) + "\n" + "\nUNION ALL ".join(selects) + "\nORDER BY step"
+
+
+_TOKS_SQL = "regexp_extract_all(lower(text), '[a-z0-9]+')"
+
+_GRAMS_CTE = f"""
+toklists AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+pos AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+        FROM toklists WHERE len(toks) >= 3),
+grams AS (
+  SELECT DISTINCT doc_id, array_to_string(list_slice(toks, i, i + 2), ' ') AS gram FROM pos
+  UNION
+  SELECT DISTINCT doc_id, array_to_string(toks, ' ') AS gram
+  FROM toklists WHERE len(toks) BETWEEN 1 AND 2
+)
+"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -184,4 +249,117 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
 """,
         "bm25_topk": _bm25_sql(),
         "bm25_topk_exhaustive": _bm25_sql(),
+        # -- dedup ---------------------------------------------------------
+        "exact_dedup": (
+            "SELECT min(doc_id)::BIGINT AS keeper_doc_id, count(*)::BIGINT AS group_size"
+            " FROM documents GROUP BY text"
+        ),
+        "ngram_jaccard_pairs": f"""
+WITH {_GRAMS_CTE},
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS inter
+  FROM grams a JOIN grams b ON a.gram = b.gram AND b.doc_id > a.doc_id
+  GROUP BY da, db
+),
+jac AS (
+  SELECT da AS doc_a, db AS doc_b,
+         inter::DOUBLE / (sa.sz + sb.sz - inter) AS j
+  FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+)
+SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM jac WHERE j >= 0.5
+""",
+        # minhash_lsh_pairs / simhash_pairs: probabilistic candidates →
+        # rows-only driver check (recall/precision proven in pytest).
+        "embedding_neardup_pairs": """
+WITH d AS (
+  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS cos
+  FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id
+)
+SELECT vec_a, vec_b, round(cos, 6) AS cosine FROM d WHERE cos >= 0.3
+""",
+        # -- knn suite -----------------------------------------------------
+        "knn_search": """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 20),
+d AS (SELECT q.qid, e.vec_id, list_distance(q.qe, e.embedding::DOUBLE[]) AS dist
+      FROM q, embeddings e),
+r AS (SELECT qid AS query_id, vec_id, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rank FROM d)
+SELECT query_id, rank, vec_id, round(dist, 6) AS dist FROM r WHERE rank <= 8
+""",
+        "allknn": """
+WITH d AS (SELECT a.vec_id, b.vec_id AS nn_id,
+                  list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS dist
+           FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id),
+r AS (SELECT vec_id, nn_id, dist,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, nn_id) AS rank FROM d)
+SELECT vec_id, rank, nn_id, round(dist, 6) AS dist FROM r WHERE rank <= 4
+""",
+        "closestpair": """
+WITH d AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                  list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS dist
+           FROM embeddings a JOIN embeddings b ON b.vec_id > a.vec_id)
+SELECT vec_a, vec_b, round(dist, 6) AS dist FROM d ORDER BY d.dist, vec_a, vec_b LIMIT 1
+""",
+        "fft": _fft_sql(5),
+        "distsample": """
+WITH n AS (SELECT count(*)::BIGINT AS c FROM embeddings),
+p AS (SELECT e.vec_id AS i, (e.vec_id * 31 + 7) % (SELECT c FROM n) AS j FROM embeddings e),
+pp AS (SELECT i, j FROM p WHERE i <> j),
+d AS (SELECT list_distance(a.embedding::DOUBLE[], b.embedding::DOUBLE[]) AS dist
+      FROM pp JOIN embeddings a ON a.vec_id = pp.i JOIN embeddings b ON b.vec_id = pp.j)
+SELECT 0.1::DOUBLE AS q, round(quantile_cont(dist, 0.1)::DOUBLE, 6) AS value FROM d
+UNION ALL SELECT 0.5::DOUBLE, round(quantile_cont(dist, 0.5)::DOUBLE, 6) FROM d
+UNION ALL SELECT 0.9::DOUBLE, round(quantile_cont(dist, 0.9)::DOUBLE, 6) FROM d
+ORDER BY q
+""",
+        "rerank": """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 10),
+c AS (SELECT q.qid, e.vec_id,
+             1.0 - list_cosine_similarity(q.qe, e.embedding::DOUBLE[]) AS cdist,
+             list_distance(q.qe, e.embedding::DOUBLE[]) AS ldist
+      FROM q, embeddings e),
+cand AS (SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cdist, vec_id) AS crank FROM c),
+rr AS (SELECT qid AS query_id, vec_id, ldist,
+              row_number() OVER (PARTITION BY qid ORDER BY ldist, vec_id) AS rank
+       FROM cand WHERE crank <= 20)
+SELECT query_id, rank, vec_id, round(ldist, 6) AS dist FROM rr WHERE rank <= 8
+""",
+        # hsp_filter / neardup_embeddings: order-dependent (reference
+        # contract ported, trajectory not SQL-expressible) → rows-only.
+        # -- text analysis -------------------------------------------------
+        "lang_dist": "SELECT lang, count(*)::BIGINT AS n_docs FROM documents GROUP BY lang",
+        "token_totals_by_lang": (
+            f"SELECT lang, sum(len({_TOKS_SQL}))::BIGINT AS total_tokens"
+            " FROM documents GROUP BY lang"
+        ),
+        "quality_scores": f"""
+SELECT doc_id, length(text)::BIGINT AS n_chars, len(toks)::BIGINT AS n_tokens,
+  CASE WHEN len(toks) = 0 THEN 0.0
+       ELSE round(len(list_distinct(toks))::DOUBLE / len(toks), 6) END AS uniq_ratio,
+  CASE WHEN len(toks) = 0 THEN 0.0
+       ELSE round(len(list_filter(toks, x -> x IN ('the', 'a')))::DOUBLE / len(toks), 6)
+       END AS stop_ratio
+FROM (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
+""",
+        # lang_id / doc_fingerprint: heuristic/hash internals → rows-only.
+        # -- events --------------------------------------------------------
+        "windowed_event_counts": """
+SELECT event_type, ((epoch_us(ts) // 1000000) // 3600 * 3600)::BIGINT AS window_start,
+       count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
+FROM events GROUP BY event_type, window_start
+""",
+        "sessionize": """
+WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS s FROM events),
+o AS (SELECT user_id, s, lag(s) OVER (PARTITION BY user_id ORDER BY s) AS prev FROM e),
+f AS (SELECT user_id, s,
+             CASE WHEN prev IS NULL OR s - prev > 1800 THEN 1 ELSE 0 END AS new_sess FROM o),
+g AS (SELECT user_id, s,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY s
+                                 ROWS UNBOUNDED PRECEDING) AS session_id FROM f)
+SELECT user_id, session_id::BIGINT AS session_id, count(*)::BIGINT AS n_events,
+       min(s)::BIGINT AS start_s, max(s)::BIGINT AS end_s
+FROM g GROUP BY user_id, session_id
+""",
     }

@@ -1,0 +1,357 @@
+"""Deduplication pipelines (SURVEY.md §2.6 ``neardup`` re-expressed +
+the training-data dedup suite the task brief requires).
+
+The reference's ``neardup`` (``/root/reference/src/neardup.jl:40-192``)
+is a sequential center-accretion ϵ-dedup whose exact trajectory is
+order-dependent; its documented *contract* (docstring
+``src/neardup.jl:9-17``) is the cover property — every dropped item
+lies within ϵ of a kept item. These pipelines port the contract:
+
+* :func:`exact_dedup` — identical-text groups, keep min doc_id
+  (hash-partitioned groupby; deterministic, fully SQL-oracled).
+* :func:`ngram_jaccard_pairs` — EXACT all pairs with token-shingle
+  Jaccard ≥ τ, via an inverted shingle index (pairs sharing ≥1 shingle
+  are a superset of pairs with J > 0, so no candidate is missed).
+  Fully SQL-oracled.
+* :func:`minhash_lsh_pairs` — MinHash(64)/LSH(8×8 bands) candidates,
+  exactly verified; precision 1.0 by construction, recall probabilistic
+  (rows-only driver check + recall property test).
+* :func:`simhash_pairs` — 64-bit SimHash, hamming ≤ h candidates via
+  (h+1)-band pigeonhole banding → EXACT w.r.t. the simhash distance.
+* :func:`embedding_neardup_pairs` — exact cosine ≥ τ pairs over the
+  embeddings table (broadcast matrix; the brute-force scale baseline).
+
+Scale notes (100 TB): every op here shuffles only (key, doc_id) rows
+after in-batch aggregation; frequent-shingle pruning (``max_df``)
+bounds the pair blowup of hot shingles the same way head-term salting
+bounds posting groups.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.hashing import (
+    MINHASH_BANDS,
+    MINHASH_PERMS,
+    minhash_signature,
+    popcount64,
+    shingle_hashes,
+    simhash64,
+)
+from ..functions.text import tokenize
+from ..functions.rounding import round6
+
+__all__ = [
+    "exact_dedup",
+    "ngram_jaccard_pairs",
+    "minhash_lsh_pairs",
+    "simhash_pairs",
+    "embedding_neardup_pairs",
+]
+
+
+def _documents(sf_dir: str):
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+# ---------------------------------------------------------------------------
+def exact_dedup(sf_dir: str):
+    """(keeper_doc_id, group_size) per distinct text; keeper = min id."""
+
+    def key_batch(batch: pa.Table) -> pa.Table:
+        keys = [hashlib.md5(t.encode()).hexdigest() for t in batch["text"].to_pylist()]
+        return pa.table({"text_key": pa.array(keys), "doc_id": batch["doc_id"]})
+
+    def keep_first(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy()
+        return pa.table(
+            {
+                "keeper_doc_id": pa.array([int(ids.min())], type=pa.int64()),
+                "group_size": pa.array([len(ids)], type=pa.int64()),
+            }
+        )
+
+    return (
+        _documents(sf_dir)
+        .map_batches(key_batch, batch_format="pyarrow")
+        .groupby("text_key")
+        .map_groups(keep_first, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+def _shingle_rows(batch: pa.Table, n: int) -> pa.Table:
+    ids_out, sh_out, size_out = [], [], []
+    for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+        sh = shingle_hashes(tokenize(text), n=n)
+        ids_out.append(np.full(len(sh), doc_id, dtype=np.int64))
+        sh_out.append(sh.astype(np.int64))  # parquet-friendly signed view
+        size_out.append(np.full(len(sh), len(sh), dtype=np.int64))
+    return pa.table(
+        {
+            "doc_id": pa.array(np.concatenate(ids_out) if ids_out else [], type=pa.int64()),
+            "shingle": pa.array(np.concatenate(sh_out) if sh_out else [], type=pa.int64()),
+            "set_size": pa.array(np.concatenate(size_out) if size_out else [], type=pa.int64()),
+        }
+    )
+
+
+def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.5, n: int = 3, max_df: int | None = None):
+    """EXACT pairs (doc_a < doc_b, jaccard ≥ τ) over token n-gram sets.
+
+    inverted shingle index → per-shingle pair emission → pair-count
+    groupby = |A∩B| → J = inter / (|A| + |B| − inter). ``max_df``
+    (None = exact) drops shingles shared by more than max_df docs —
+    the scale knob; leaving it None keeps the oracle exact.
+    """
+
+    def pairs_of_group(group: pa.Table) -> pa.Table:
+        ids = np.sort(group["doc_id"].to_numpy())
+        sizes = dict(zip(group["doc_id"].to_numpy().tolist(), group["set_size"].to_numpy().tolist()))
+        if max_df is not None and len(ids) > max_df:
+            return pa.table(
+                {"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64()),
+                 "size_a": pa.array([], type=pa.int64()), "size_b": pa.array([], type=pa.int64())}
+            )
+        a_idx, b_idx = np.triu_indices(len(ids), k=1)
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[a_idx], type=pa.int64()),
+                "doc_b": pa.array(ids[b_idx], type=pa.int64()),
+                "size_a": pa.array([sizes[int(i)] for i in ids[a_idx]], type=pa.int64()),
+                "size_b": pa.array([sizes[int(i)] for i in ids[b_idx]], type=pa.int64()),
+            }
+        )
+
+    def jaccard_of_group(group: pa.Table) -> pa.Table:
+        inter = group.num_rows
+        sa = int(group["size_a"][0].as_py())
+        sb = int(group["size_b"][0].as_py())
+        j = inter / (sa + sb - inter)
+        if j < tau:
+            return pa.table({"doc_a": pa.array([], type=pa.int64()),
+                             "doc_b": pa.array([], type=pa.int64()),
+                             "jaccard": pa.array([], type=pa.float64())})
+        return pa.table(
+            {
+                "doc_a": pa.array([int(group["doc_a"][0].as_py())], type=pa.int64()),
+                "doc_b": pa.array([int(group["doc_b"][0].as_py())], type=pa.int64()),
+                "jaccard": pa.array([round6(j)], type=pa.float64()),
+            }
+        )
+
+    def add_pair_key(batch: pa.Table) -> pa.Table:
+        key = [f"{a}_{b}" for a, b in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist())]
+        return batch.append_column("pair", pa.array(key))
+
+    ds = _documents(sf_dir).map_batches(
+        lambda b: _shingle_rows(b, n), batch_format="pyarrow"
+    )
+    return (
+        ds.groupby("shingle")
+        .map_groups(pairs_of_group, batch_format="pyarrow")
+        .map_batches(add_pair_key, batch_format="pyarrow")
+        .groupby("pair")
+        .map_groups(jaccard_of_group, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+def minhash_lsh_pairs(sf_dir: str, tau: float = 0.5, n: int = 3):
+    """MinHash/LSH near-dup: banded signature groupby → exact-Jaccard
+    verify. Precision 1.0 (every emitted pair is verified); recall is
+    the LSH S-curve at (64 perms, 8 bands)."""
+    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        out = {"band_key": [], "doc_id": []}
+        shingle_cache = {}
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            sh = shingle_hashes(tokenize(text), n=n)
+            shingle_cache[doc_id] = sh
+            sig = minhash_signature(sh)
+            for b in range(MINHASH_BANDS):
+                band = sig[b * rows_per_band : (b + 1) * rows_per_band]
+                key = f"{b}:" + hashlib.md5(band.tobytes()).hexdigest()[:16]
+                out["band_key"].append(key)
+                out["doc_id"].append(doc_id)
+        return pa.table(
+            {"band_key": pa.array(out["band_key"]), "doc_id": pa.array(out["doc_id"], type=pa.int64())}
+        )
+
+    def candidates(group: pa.Table) -> pa.Table:
+        ids = np.unique(group["doc_id"].to_numpy())
+        a, b = np.triu_indices(len(ids), k=1)
+        return pa.table(
+            {"doc_a": pa.array(ids[a], type=pa.int64()), "doc_b": pa.array(ids[b], type=pa.int64())}
+        )
+
+    cand = (
+        _documents(sf_dir)
+        .map_batches(sig_rows, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(candidates, batch_format="pyarrow")
+    )
+    # distinct candidate pairs, then exact verify against the shingle sets.
+    # The verify side re-derives shingles from the documents table via a
+    # broadcast dict — small at test scale; at 100 TB this becomes a
+    # co-partitioned join on doc_id (documented partitioning assumption).
+    import ray
+
+    docs_tbl = _documents(sf_dir).to_pandas()
+    sets = {
+        int(r.doc_id): shingle_hashes(tokenize(r.text), n=n) for r in docs_tbl.itertuples()
+    }
+    sets_ref = ray.put(sets)
+
+    def verify(batch: pa.Table) -> pa.Table:
+        s = ray.get(sets_ref)
+        doc_a = batch["doc_a"].to_numpy()
+        doc_b = batch["doc_b"].to_numpy()
+        keep_a, keep_b, js = [], [], []
+        seen = set()
+        for a, b in zip(doc_a.tolist(), doc_b.tolist()):
+            if (a, b) in seen:
+                continue
+            seen.add((a, b))
+            sa, sb = s[a], s[b]
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            union = len(sa) + len(sb) - inter
+            j = inter / union if union else 0.0
+            if j >= tau:
+                keep_a.append(a)
+                keep_b.append(b)
+                js.append(round6(j))
+        return pa.table(
+            {
+                "doc_a": pa.array(keep_a, type=pa.int64()),
+                "doc_b": pa.array(keep_b, type=pa.int64()),
+                "jaccard": pa.array(js, type=pa.float64()),
+            }
+        )
+
+    def dedup_pairs(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1)
+
+    def add_pair_key(batch: pa.Table) -> pa.Table:
+        key = [f"{a}_{b}" for a, b in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist())]
+        return batch.append_column("pair", pa.array(key))
+
+    return (
+        cand.map_batches(add_pair_key, batch_format="pyarrow")
+        .groupby("pair")
+        .map_groups(dedup_pairs, batch_format="pyarrow")
+        .select_columns(["doc_a", "doc_b"])
+        .map_batches(verify, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+def simhash_pairs(sf_dir: str, max_hamming: int = 3):
+    """SimHash near-dup, EXACT w.r.t. hamming(simhash) ≤ max_hamming:
+    (max_hamming+1) bands → pigeonhole guarantees every qualifying pair
+    shares at least one intact band; verification is exact popcount."""
+    nbands = max_hamming + 1
+    band_bits = 64 // nbands
+
+    def sig_rows(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        out = {"band_key": [], "doc_id": [], "sim": []}
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            c = Counter(tokenize(text))
+            terms = np.array(sorted(c), dtype=object)
+            weights = np.array([c[t] for t in terms], dtype=np.float64)
+            sim = simhash64(terms, weights)
+            for b in range(nbands):
+                band_val = (sim >> (b * band_bits)) & ((1 << band_bits) - 1)
+                out["band_key"].append(f"{b}:{band_val}")
+                out["doc_id"].append(doc_id)
+                out["sim"].append(sim)
+        return pa.table(
+            {
+                "band_key": pa.array(out["band_key"]),
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                "sim": pa.array(np.array(out["sim"], dtype=np.uint64).astype(np.int64)),
+            }
+        )
+
+    def candidates(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy()
+        sims = group["sim"].to_numpy()
+        order = np.argsort(ids)
+        ids, sims = ids[order], sims[order]
+        a, b = np.triu_indices(len(ids), k=1)
+        ham = popcount64((sims[a].astype(np.uint64)) ^ (sims[b].astype(np.uint64)))
+        keep = ham <= max_hamming
+        return pa.table(
+            {
+                "doc_a": pa.array(ids[a][keep], type=pa.int64()),
+                "doc_b": pa.array(ids[b][keep], type=pa.int64()),
+                "hamming": pa.array(ham[keep].astype(np.int64), type=pa.int64()),
+            }
+        )
+
+    def add_pair_key(batch: pa.Table) -> pa.Table:
+        key = [f"{a}_{b}" for a, b in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist())]
+        return batch.append_column("pair", pa.array(key))
+
+    def first(group: pa.Table) -> pa.Table:
+        return group.slice(0, 1).select(["doc_a", "doc_b", "hamming"])
+
+    return (
+        _documents(sf_dir)
+        .map_batches(sig_rows, batch_format="pyarrow")
+        .groupby("band_key")
+        .map_groups(candidates, batch_format="pyarrow")
+        .map_batches(add_pair_key, batch_format="pyarrow")
+        .groupby("pair")
+        .map_groups(first, batch_format="pyarrow")
+    )
+
+
+# ---------------------------------------------------------------------------
+def embedding_neardup_pairs(sf_dir: str, tau: float = 0.3):
+    """Exact cosine-similarity ≥ τ pairs over the embeddings table.
+
+    The embedding matrix is broadcast once (``ray.put``); each batch
+    does one float64 matmul against it — the brute-force baseline that
+    IVF/LSH variants are checked against (pipelines/ann.py)."""
+    import ray
+    import ray.data as rd
+
+    emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    pdf = emb.to_pandas()
+    ids = pdf["vec_id"].to_numpy()
+    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+    norms = np.linalg.norm(mat, axis=1)
+    ref = ray.put((ids, mat, norms))
+
+    def sims(batch: pa.Table) -> pa.Table:
+        all_ids, all_mat, all_norms = ray.get(ref)
+        bids = batch["vec_id"].to_numpy()
+        bmat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        bnorms = np.linalg.norm(bmat, axis=1)
+        cos = (bmat @ all_mat.T) / np.outer(bnorms, all_norms)
+        keep_a, keep_b, vals = [], [], []
+        for r in range(len(bids)):
+            mask = (cos[r] >= tau) & (all_ids > bids[r])
+            for c in np.flatnonzero(mask):
+                keep_a.append(int(bids[r]))
+                keep_b.append(int(all_ids[c]))
+                vals.append(round6(float(cos[r, c])))
+        return pa.table(
+            {
+                "vec_a": pa.array(keep_a, type=pa.int64()),
+                "vec_b": pa.array(keep_b, type=pa.int64()),
+                "cosine": pa.array(vals, type=pa.float64()),
+            }
+        )
+
+    return emb.map_batches(sims, batch_format="pyarrow", batch_size=256)

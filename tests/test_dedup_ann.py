@@ -1,0 +1,149 @@
+"""Property tests for the dedup + knn suites (the driver's rows-only
+entries get their real guarantees here), modeled on the reference's
+invariant tests (/root/reference/test/testneardup.jl:5-57,
+test/testclosestpair.jl:5-27, test/testfft.jl:5-14)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow.parquet as pq
+import pytest
+
+from similaritysearch_jl_ray.functions.hashing import popcount64, shingle_hashes, simhash64
+from similaritysearch_jl_ray.functions.text import tokenize
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _docs():
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    return dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+
+def _brute_jaccard_pairs(docs, tau, n=3):
+    sets = {d: shingle_hashes(tokenize(t), n=n) for d, t in docs.items()}
+    ids = sorted(sets)
+    out = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            sa, sb = sets[a], sets[b]
+            if len(sa) == 0 or len(sb) == 0:
+                continue
+            inter = len(np.intersect1d(sa, sb, assume_unique=True))
+            j = inter / (len(sa) + len(sb) - inter)
+            if j >= tau:
+                out[(a, b)] = j
+    return out
+
+
+def test_ngram_jaccard_exact(ray_session):
+    from similaritysearch_jl_ray.pipelines.dedup import ngram_jaccard_pairs
+
+    got = ngram_jaccard_pairs(SF_DIR, tau=0.5).to_pandas()
+    want = _brute_jaccard_pairs(_docs(), 0.5)
+    got_pairs = {(int(r.doc_a), int(r.doc_b)): r.jaccard for r in got.itertuples()}
+    assert set(got_pairs) == set(want)
+    for p, j in want.items():
+        assert abs(got_pairs[p] - j) < 1e-6
+
+
+def test_minhash_lsh_precision_and_recall(ray_session):
+    from similaritysearch_jl_ray.pipelines.dedup import minhash_lsh_pairs
+
+    got = minhash_lsh_pairs(SF_DIR, tau=0.5).to_pandas()
+    want = _brute_jaccard_pairs(_docs(), 0.5)
+    got_pairs = set(zip(got["doc_a"].astype(int), got["doc_b"].astype(int)))
+    # precision 1.0 by construction (exact verify step)
+    assert got_pairs <= set(want)
+    # recall at J>=0.7 should be essentially 1 for 8x8 bands
+    high = {p for p, j in want.items() if j >= 0.7}
+    assert high <= got_pairs
+
+
+def test_simhash_pairs_exact_wrt_hamming(ray_session):
+    from similaritysearch_jl_ray.pipelines.dedup import simhash_pairs
+    from collections import Counter
+
+    docs = _docs()
+    sims = {}
+    for d, t in docs.items():
+        c = Counter(tokenize(t))
+        terms = np.array(sorted(c), dtype=object)
+        w = np.array([c[x] for x in terms], dtype=np.float64)
+        sims[d] = simhash64(terms, w)
+    ids = sorted(sims)
+    want = set()
+    for i, a in enumerate(ids):
+        for b in ids[i + 1 :]:
+            h = int(popcount64(np.array([sims[a] ^ sims[b]], dtype=np.uint64))[0])
+            if h <= 3:
+                want.add((a, b))
+    got = simhash_pairs(SF_DIR, max_hamming=3).to_pandas()
+    got_pairs = set(zip(got["doc_a"].astype(int), got["doc_b"].astype(int)))
+    # pigeonhole banding => exact (no false negatives, verified no FPs)
+    assert got_pairs == want
+
+
+def test_neardup_embeddings_cover_property(ray_session):
+    """Reference neardup contract (src/neardup.jl:9-17): every vector's
+    assigned center is within eps; centers map to themselves at dist 0;
+    center set == unique assigned centers (testneardup.jl:34-36)."""
+    from similaritysearch_jl_ray.pipelines.ann import neardup_embeddings
+
+    eps = 1.3
+    out = neardup_embeddings(SF_DIR, eps=eps).to_pandas()
+    t = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    ids = t["vec_id"].to_numpy()
+    mat = np.stack(t["embedding"].to_numpy()).astype(np.float64)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    assert len(out) == len(ids)
+    centers = set()
+    for r in out.itertuples():
+        d = np.sqrt(((mat[pos[int(r.vec_id)]] - mat[pos[int(r.center_id)]]) ** 2).sum())
+        assert d <= eps + 1e-9
+        assert abs(d - r.dist) < 1e-6
+        if r.vec_id == r.center_id:
+            assert r.dist == 0.0
+        centers.add(int(r.center_id))
+    assert centers == set(out[out.vec_id == out.center_id]["vec_id"].astype(int))
+
+
+def test_fft_invariants(ray_session):
+    """k centers, dmax non-increasing (testfft.jl:5-14 analog)."""
+    from similaritysearch_jl_ray.pipelines.ann import fft
+
+    out = fft(SF_DIR, k=5)
+    assert len(out) == 5
+    assert out["center_id"].nunique() == 5
+    d = out["dmax"].to_numpy()[1:]
+    assert (np.diff(d) <= 1e-9).all()
+
+
+def test_hsp_filter_subset_and_nearest_kept(ray_session):
+    from similaritysearch_jl_ray.pipelines.ann import hsp_filter, knn_search
+
+    knn = knn_search(SF_DIR, k=16, n_queries=5).to_pandas()
+    kept = hsp_filter(SF_DIR, k=16, n_queries=5)
+    for qid, g in kept.groupby("query_id"):
+        full = knn[knn.query_id == qid].sort_values("rank")
+        assert set(g["vec_id"]) <= set(full["vec_id"])
+        # the nearest neighbor always survives occlusion
+        assert int(full.iloc[0]["vec_id"]) in set(g["vec_id"])
+
+
+def test_doc_fingerprint_deterministic(ray_session):
+    from similaritysearch_jl_ray.pipelines.textstats import doc_fingerprint
+
+    a = doc_fingerprint(SF_DIR).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = doc_fingerprint(SF_DIR).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert (a["fingerprint"] == b["fingerprint"]).all()
+    # near-dup docs intentionally share prints; most docs stay distinct
+    assert a["fingerprint"].nunique() >= 450
+
+
+def test_lang_id_deterministic_and_valid(ray_session):
+    from similaritysearch_jl_ray.pipelines.textstats import lang_id
+
+    out = lang_id(SF_DIR).to_pandas()
+    assert set(out["pred_lang"]) <= {"en", "es", "fr", "de", "zh"}
+    assert len(out) == 500
