@@ -1,0 +1,200 @@
+"""Headline benchmark: inverted-index build (docs/s) + BM25 WAND query
+serving (p50 latency, qps) over the synthesized pages corpus.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec",
+   "queries": {"build": ..., "query_wand": ..., "query_exhaustive": ...},
+   "sf": ..., "num_cpus": N, ...extras}
+
+Env:
+  GRAFT_SF_DIR      input scale dir   (default /root/testdata/sf0.1)
+  RAY_GRAFT_CPUS    ray num_cpus      (default 32)
+  GRAFT_REPLICATE   corpus replication factor (default 40 → 200k docs
+                    at sf0.1; copies get distinct doc_ids/urls)
+  GRAFT_QUERY_REPS  times the 20-query reference set is repeated
+                    through the serving pool (default 100 → 2000 queries)
+
+``--scaling``: run the bench twice in FRESH processes at num_cpus=8
+and num_cpus=32 on the same input and print throughput at both plus
+scaling efficiency (the sandbox protocol for the north rule's N vs 4N
+cluster criterion — see BASELINE.md §B).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    replicate = int(os.environ.get("GRAFT_REPLICATE", "40"))
+    query_reps = int(os.environ.get("GRAFT_QUERY_REPS", "100"))
+
+    import ray
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        logging_level="ERROR",
+    )
+    from ray.data import DataContext
+
+    ctx = DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    import numpy as np
+
+    from similaritysearch_jl_ray.pipelines.build_index import build_index
+    from similaritysearch_jl_ray.pipelines.query import search
+    from similaritysearch_jl_ray.pipelines.queryset import REFERENCE_QUERIES
+    from similaritysearch_jl_ray.sources.pages import pages_dataset
+
+    index_dir = f"/tmp/ssjr_bench/index_cpus{num_cpus}"
+    shutil.rmtree(index_dir, ignore_errors=True)
+
+    # warm-up: one untimed pass over the replicated corpus spawns the
+    # full worker pool and pages the input into cache, so the timed run
+    # measures compute + shuffle, not process spawn / first-touch I/O
+    # (same warm-up at both scaling levels → comparable steady state).
+    pages_dataset(sf_dir, replicate=replicate).map_batches(
+        lambda b: b.select(["doc_id"]), batch_format="pyarrow"
+    ).count()
+
+    # ---- build -----------------------------------------------------------
+    t0 = time.perf_counter()
+    stats = build_index(
+        pages_dataset(sf_dir, replicate=replicate),
+        index_dir,
+        num_parts=16,  # merge-task parallelism in stage D
+        salt_factor=8,  # fixed across scaling levels for comparability
+    )
+    build_sec = time.perf_counter() - t0
+    n_docs = stats["n_docs"]
+
+    # ---- query serving ---------------------------------------------------
+    import ray.data as rd
+
+    items = [
+        {"query_id": rep * len(REFERENCE_QUERIES) + qid, "text": text}
+        for rep in range(query_reps)
+        for qid, text in REFERENCE_QUERIES
+    ]
+    n_queries = len(items)
+    concurrency = max(2, num_cpus - 2)
+
+    timings = {}
+    lat_p50 = {}
+    for mode in ("wand", "exhaustive"):
+        qds = rd.from_items(items).repartition(concurrency)
+        t0 = time.perf_counter()
+        res = search(
+            qds, index_dir, k=10, mode=mode, concurrency=concurrency, batch_size=64
+        ).to_pandas()
+        timings[f"query_{mode}"] = time.perf_counter() - t0
+        per_q = res.groupby("query_id")["latency_us"].first()
+        lat_p50[mode] = float(np.median(per_q)) / 1e3 if len(per_q) else 0.0
+        # steady-state serving rate: total in-actor busy time spread
+        # over the pool — excludes the one-off actor-pool spin-up that
+        # dominates wall time at these (tiny) query counts
+        busy_sec = float(per_q.sum()) / 1e6 / concurrency
+        timings[f"steady_{mode}"] = max(busy_sec, 1e-9)
+
+    total = build_sec + timings["query_wand"] + timings["query_exhaustive"]
+    out = {
+        "metric": "bm25_index_build_plus_query",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {
+            "build": round(build_sec, 3),
+            "query_wand": round(timings["query_wand"], 3),
+            "query_exhaustive": round(timings["query_exhaustive"], 3),
+        },
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "n_docs": n_docs,
+        "n_queries": n_queries,
+        "build_docs_per_sec": round(n_docs / build_sec, 1),
+        "query_qps_wand": round(n_queries / timings["query_wand"], 1),
+        "query_qps_wand_steady": round(n_queries / timings["steady_wand"], 1),
+        "query_p50_ms_wand": round(lat_p50["wand"], 3),
+        "query_p50_ms_exhaustive": round(lat_p50["exhaustive"], 3),
+        "total_postings": stats["total_tokens"],
+    }
+    ray.shutdown()
+    return out
+
+
+def run_scaling() -> dict:
+    """Interleaved repeats, median per level: the sandbox VM shows
+    ±2-3× wall-clock noise from host-level interference, so a single
+    pair of runs is not meaningful evidence either way."""
+    lo, hi = 8, 32
+    repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
+    runs: dict[int, list[dict]] = {lo: [], hi: []}
+    for rep in range(repeats):
+        for n in (lo, hi):
+            if rep or n != lo:
+                time.sleep(15)  # let the previous Ray session's workers exit
+            env = dict(os.environ, RAY_GRAFT_CPUS=str(n))
+            proc = subprocess.run(
+                [sys.executable, os.path.abspath(__file__)],
+                env=env,
+                capture_output=True,
+                text=True,
+                check=True,
+            )
+            runs[n].append(json.loads(proc.stdout.strip().splitlines()[-1]))
+
+    def med(vals):
+        vals = sorted(vals)
+        return vals[len(vals) // 2]
+
+    results = {
+        n: med_run
+        for n, med_run in (
+            (n, min(rs, key=lambda r: abs(r["value"] - med([x["value"] for x in rs]))))
+            for n, rs in runs.items()
+        )
+    }
+    thr_lo = med([r["n_docs"] / r["queries"]["build"] for r in runs[lo]])
+    thr_hi = med([r["n_docs"] / r["queries"]["build"] for r in runs[hi]])
+    t_lo = med([r["value"] for r in runs[lo]])
+    t_hi = med([r["value"] for r in runs[hi]])
+    eff_total = (t_lo / t_hi) / (hi / lo)
+    eff_build = (thr_hi / thr_lo) / (hi / lo)
+    q_lo = med([r["query_qps_wand_steady"] for r in runs[lo]])
+    q_hi = med([r["query_qps_wand_steady"] for r in runs[hi]])
+    return {
+        "repeats": repeats,
+        "all_sec": {str(n): [r["value"] for r in rs] for n, rs in runs.items()},
+        "all_build_docs_per_sec": {
+            str(n): [round(r["n_docs"] / r["queries"]["build"], 1) for r in rs]
+            for n, rs in runs.items()
+        },
+        "metric": "scaling_efficiency",
+        "cpus": [lo, hi],
+        "sec": {str(lo): t_lo, str(hi): t_hi},
+        "build_docs_per_sec": {
+            str(lo): round(thr_lo, 1),
+            str(hi): round(thr_hi, 1),
+        },
+        "query_qps_wand_steady": {str(lo): q_lo, str(hi): q_hi},
+        "scaling_efficiency_total": round(eff_total, 3),
+        "scaling_efficiency_build": round(eff_build, 3),
+        "scaling_efficiency_query_steady": round((q_hi / q_lo) / (hi / lo), 3),
+    }
+
+
+if __name__ == "__main__":
+    if "--scaling" in sys.argv:
+        print(json.dumps(run_scaling()))
+    else:
+        print(json.dumps(run_bench()))

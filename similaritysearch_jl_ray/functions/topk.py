@@ -142,13 +142,15 @@ def topk_indices(scores: np.ndarray, doc_ids: np.ndarray, k: int) -> np.ndarray:
     if n == 0:
         return np.empty(0, dtype=np.int64)
     if k < n:
-        # argpartition on -score gets a superset candidate cut cheaply;
-        # ties around the cut need doc_id resolution, so take a stable
-        # lexsort over the partitioned candidates. To stay exact under
-        # score ties spanning the partition boundary, partition on the
-        # lexicographic rank instead: order = lexsort then slice.
-        order = np.lexsort((doc_ids, -scores))
-        return order[:k]
+        # O(n) argpartition cut, then exact (score desc, doc_id asc)
+        # resolution over the candidates. Any true top-k item has
+        # score >= v (the k-th largest value), so including all ties at
+        # v keeps the selection exact under the §2.4 tie rule.
+        part = np.argpartition(-scores, k - 1)[:k]
+        v = scores[part].min()
+        cand = np.flatnonzero(scores >= v)
+        order = np.lexsort((doc_ids[cand], -scores[cand]))[:k]
+        return cand[order]
     return np.lexsort((doc_ids, -scores))
 
 

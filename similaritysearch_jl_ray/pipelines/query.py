@@ -52,42 +52,124 @@ RESULT_SCHEMA = pa.schema(
         ("score", pa.float64()),
         ("postings_scored", pa.int64()),
         ("blocks_decoded", pa.int64()),
+        ("latency_us", pa.int64()),
     ]
 )
 
 
 def _accumulate(ids_list, partial_list):
-    """Sum per-doc partials; deterministic order (term-major input)."""
+    """Sum per-doc partials; deterministic order (term-major input).
+
+    Dense doc-id spaces take the O(n) bincount path; both paths add a
+    doc's partials in array order (term-major), so the resulting floats
+    are bit-identical — rank-identity is preserved across paths.
+    """
     ids = np.concatenate(ids_list)
     partials = np.concatenate(partial_list)
+    if len(ids) == 0:
+        return ids, partials
+    lo = ids.min()
+    span = int(ids.max() - lo) + 1
+    if span <= 4 * len(ids):
+        acc = np.bincount(ids - lo, weights=partials, minlength=span)
+        nz = np.flatnonzero(acc)
+        return nz + lo, acc[nz]
     uniq, inv = np.unique(ids, return_inverse=True)
     scores = np.zeros(len(uniq), dtype=np.float64)
     np.add.at(scores, inv, partials)
     return uniq, scores
 
 
+def build_serving_pack(index_dir: str, params: Bm25Params | None = None) -> dict:
+    """Pre-decode the index into flat numpy arrays for broadcast.
+
+    ``{"stats": ..., "terms": {term: (doc_ids, partial_scores)},
+    "blocks": {term: (block_first, block_last, idf·block_max)}}``.
+
+    Broadcast once via ``ray.put``: every scorer actor on a node then
+    maps the arrays zero-copy out of the shared object store instead of
+    decoding its own copy — actor-pool warm-up cost stops scaling with
+    pool size. (At 100 TB this pack is per index *part*, built by a
+    task per part and read only by the actors serving that part.)
+    """
+    rdr = IndexReader(index_dir)
+    st = rdr.stats
+    p = params or Bm25Params(k1=st["k1"], b=st["b"])
+    terms, blocks = {}, {}
+    for term in rdr.terms:
+        ids, tfs, dls = rdr.postings(term)
+        partial = rdr.idf(term) * tf_norm(tfs, dls, rdr.avgdl, p)
+        terms[term] = (ids, partial)
+        w = rdr.idf(term)
+        runs = rdr.runs(term)
+        blocks[term] = (
+            np.concatenate([r.block_first for r in runs]),
+            np.concatenate([r.block_last for r in runs]),
+            np.concatenate(
+                [w * tf_norm(r.block_max_tf, r.block_min_dl, rdr.avgdl, p) for r in runs]
+            ),
+        )
+    return {"stats": st, "terms": terms, "blocks": blocks}
+
+
+_PACK_CACHE: dict[str, object] = {}
+
+
+def _pack_ref(index_dir: str):
+    """ray.put the serving pack once per driver process per index."""
+    import ray
+
+    ref = _PACK_CACHE.get(index_dir)
+    if ref is None:
+        ref = _PACK_CACHE[index_dir] = ray.put(build_serving_pack(index_dir))
+    return ref
+
+
 class Bm25Scorer:
-    """Stateful map_batches scorer. State loads once per actor."""
+    """Stateful map_batches scorer. State loads once per actor — from a
+    broadcast pack (zero-copy plasma arrays) when ``pack_ref`` is given,
+    else decoded locally from ``index_dir``."""
 
     def __init__(
         self,
-        index_dir: str,
+        index_dir: str | None = None,
         k: int = 10,
         mode: str = "wand",
         params: Bm25Params | None = None,
         n_ranges: int = 256,
+        pack_ref=None,
     ):
-        self.reader = IndexReader(index_dir)
+        if pack_ref is not None:
+            import ray
+
+            self.pack = ray.get(pack_ref)
+            st = self.pack["stats"]
+            self.reader = None
+        else:
+            self.reader = IndexReader(index_dir)
+            st = self.reader.stats
+            self.pack = None
+        self.stats = st
         self.k = k
         self.mode = mode
-        st = self.reader.stats
         self.params = params or Bm25Params(k1=st["k1"], b=st["b"])
         self.n_ranges = n_ranges
         self.heap = TopK(k)  # reused across queries (reference `reuse!`)
+        self._scores_cache: dict[str, tuple] = {}
+        # fixed range grid for WAND (see _score_wand)
+        max_doc = st["max_doc"]
+        self._range_width = max((max_doc + n_ranges) // n_ranges, 4096)
+        self._n_ranges_eff = (max_doc // self._range_width) + 1
+        self._ub_cache: dict[str, np.ndarray] = {}
+
+    def _has_term(self, term: str) -> bool:
+        if self.pack is not None:
+            return term in self.pack["terms"]
+        return term in self.reader
 
     # -- one query ----------------------------------------------------------
     def _query_terms(self, text: str) -> list[str]:
-        return sorted({t for t in tokenize(text) if t in self.reader})
+        return sorted({t for t in tokenize(text) if self._has_term(t)})
 
     def score_query(self, text: str) -> tuple[list[tuple[int, float]], int, int]:
         """Returns (result, postings_scored, blocks_decoded)."""
@@ -98,14 +180,42 @@ class Bm25Scorer:
             return self._score_exhaustive(terms)
         return self._score_wand(terms)
 
+    def _term_arrays(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """Actor-cached (doc_ids, idf·tf_norm partial scores) per term —
+        the pinned "impact" arrays; decoded + scored once per actor
+        (the reference's context-cache pattern, context.jl:41-53)."""
+        if self.pack is not None:
+            return self.pack["terms"][term]
+        hit = self._scores_cache.get(term)
+        if hit is None:
+            ids, tfs, dls = self.reader.postings_cached(term)
+            partial = self.reader.idf(term) * tf_norm(tfs, dls, self.reader.avgdl, self.params)
+            hit = self._scores_cache[term] = (ids, partial)
+        return hit
+
+    def _term_blocks(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(block_first, block_last, idf·block_max) across runs."""
+        if self.pack is not None:
+            return self.pack["blocks"][term]
+        rdr = self.reader
+        w = rdr.idf(term)
+        runs = [r for r in rdr.runs(term) if r.df > 0]
+        return (
+            np.concatenate([r.block_first for r in runs]),
+            np.concatenate([r.block_last for r in runs]),
+            np.concatenate(
+                [w * tf_norm(r.block_max_tf, r.block_min_dl, rdr.avgdl, self.params) for r in runs]
+            ),
+        )
+
     def _score_exhaustive(self, terms):
         ids_l, part_l = [], []
         nblocks = 0
         for t in terms:
-            ids, tfs, dls = self.reader.postings(t)
-            nblocks += sum(len(r.block_count) for r in self.reader.runs(t))
+            ids, partial = self._term_arrays(t)
+            nblocks += len(self._term_blocks(t)[0])
             ids_l.append(ids)
-            part_l.append(self.reader.idf(t) * tf_norm(tfs, dls, self.reader.avgdl, self.params))
+            part_l.append(partial)
         uniq, scores = _accumulate(ids_l, part_l)
         idx = topk_indices(scores, uniq, self.k)
         return (
@@ -114,75 +224,86 @@ class Bm25Scorer:
             int(nblocks),
         )
 
+    def _term_ub(self, term: str) -> np.ndarray:
+        """Query-independent per-range upper bound of one term's
+        contribution: per-range MAX over its blocks' (idf·block-max)
+        values. Cached per actor — the block-max skip metadata pinned
+        next to the postings, as in a BMW index."""
+        tub = self._ub_cache.get(term)
+        if tub is not None:
+            return tub
+        width, n_ranges = self._range_width, self._n_ranges_eff
+        firsts, lasts, b_ub = self._term_blocks(term)
+        tub = np.zeros(n_ranges, dtype=np.float64)
+        lo = firsts // width
+        hi = lasts // width
+        same = lo == hi  # vectorized fast path: block within one range
+        if same.any():
+            np.maximum.at(tub, lo[same], b_ub[same])
+        for j in np.flatnonzero(~same):
+            sl = slice(int(lo[j]), int(hi[j]) + 1)
+            np.maximum(tub[sl], b_ub[j], out=tub[sl])
+        self._ub_cache[term] = tub
+        return tub
+
     def _score_wand(self, terms):
-        rdr = self.reader
-        max_doc = rdr.stats["max_doc"]
-        width = max(1, (max_doc + self.n_ranges) // self.n_ranges)
-        n_ranges = (max_doc // width) + 1
+        width, n_ranges = self._range_width, self._n_ranges_eff
+        # range granularity: bounded below so tiny corpora degrade to a
+        # single exhaustive pass instead of paying per-range overhead;
+        # at scale n_ranges caps the bound array size. Summing the
+        # cached per-term per-range maxes gives a valid upper bound.
         ub = np.zeros(n_ranges, dtype=np.float64)
-        # per term: flattened block metadata across runs
-        blocks = []  # (term, run_idx, first, last, ub_block arrays)
         for t in terms:
-            w = rdr.idf(t)
-            for ri, run in enumerate(rdr.runs(t)):
-                if run.df == 0:
-                    continue
-                b_ub = w * run.block_max_tfnorm
-                blocks.append((t, ri, run.block_first, run.block_last, b_ub))
-                lo = run.block_first // width
-                hi = run.block_last // width
-                # a block contributes its max to every range it overlaps;
-                # per-term per-range max would be tighter, but per-run
-                # blocks never overlap so within a term the bound is the
-                # sum over its runs' overlapping blocks — still valid and
-                # cheap. Tighten: per (term) accumulate per-range MAX.
-                tub = np.zeros(n_ranges, dtype=np.float64)
-                for j in range(len(b_ub)):
-                    sl = slice(int(lo[j]), int(hi[j]) + 1)
-                    np.maximum(tub[sl], b_ub[j], out=tub[sl])
-                ub += tub
+            ub += self._term_ub(t)
         order = np.argsort(-ub, kind="stable")
         heap = self.heap
         heap.reuse(self.k)
         postings_scored = 0
-        blocks_decoded = 0
+        term_arrays = [self._term_arrays(t) for t in terms]
         for r in order:
             bound = ub[r]
             if bound <= 0.0:
                 break
             if len(heap) >= self.k and bound < heap.theta():
-                break  # best remaining range cannot beat the frontier
-            lo_id, hi_id = r * width, (r + 1) * width - 1
+                break  # best-first: no remaining range can beat the frontier
+            lo_id, hi_id = r * width, (r + 1) * width
             ids_l, part_l = [], []
-            for t, ri, firsts, lasts, _ in blocks:
-                sel = np.flatnonzero((lasts >= lo_id) & (firsts <= hi_id))
-                if len(sel) == 0:
+            for ids, partial in term_arrays:
+                a = np.searchsorted(ids, lo_id, side="left")
+                b = np.searchsorted(ids, hi_id, side="left")
+                if a == b:
                     continue
-                ids, tfs, dls = rdr.decode_run_blocks(t, ri, sel)
-                blocks_decoded += len(sel)
-                m = (ids >= lo_id) & (ids <= hi_id)
-                if not m.any():
-                    continue
-                ids_l.append(ids[m])
-                part_l.append(
-                    rdr.idf(t) * tf_norm(tfs[m], dls[m], rdr.avgdl, self.params)
-                )
+                ids_l.append(ids[a:b])
+                part_l.append(partial[a:b])
             if not ids_l:
                 continue
             uniq, scores = _accumulate(ids_l, part_l)
             postings_scored += int(sum(len(i) for i in ids_l))
             heap.costblk += 1
+            theta = heap.theta()
+            if len(heap) >= self.k:
+                # vectorized pre-filter: only candidates that can enter
+                # (score > θ, or == θ with a smaller doc_id) hit the heap
+                frontier_doc = heap.argmax()
+                m = (scores > theta) | ((scores == theta) & (uniq < frontier_doc))
+                uniq, scores = uniq[m], scores[m]
             for s, d in zip(scores, uniq):
                 heap.push_score(float(s), int(d))
-        return heap.result(), postings_scored, blocks_decoded
+        # cost accounting: costblk counted ranges actually scored (the
+        # reference's costblk = neighborhoods expanded, knnsorted.jl:10-13)
+        return heap.result(), postings_scored, int(heap.costblk)
 
     # -- batch entry --------------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
+        import time
+
         qids = batch["query_id"].to_pylist()
         texts = batch["text"].to_pylist()
-        out = {k: [] for k in ("query_id", "rank", "doc_id", "score", "postings_scored", "blocks_decoded")}
+        out = {name: [] for name in RESULT_SCHEMA.names}
         for qid, text in zip(qids, texts):
+            t0 = time.perf_counter()
             hits, npost, nblk = self.score_query(text)
+            lat_us = int((time.perf_counter() - t0) * 1e6)
             for rank, (doc_id, score) in enumerate(hits, start=1):
                 out["query_id"].append(qid)
                 out["rank"].append(rank)
@@ -190,6 +311,7 @@ class Bm25Scorer:
                 out["score"].append(score)
                 out["postings_scored"].append(npost)
                 out["blocks_decoded"].append(nblk)
+                out["latency_us"].append(lat_us)
         return pa.Table.from_pydict(out, schema=RESULT_SCHEMA)
 
 
@@ -201,11 +323,22 @@ def search(
     mode: str = "wand",
     concurrency: int | tuple = 4,
     batch_size: int = 256,
+    broadcast: bool = True,
 ):
-    """queries (query_id, text) → results Dataset (long format)."""
+    """queries (query_id, text) → results Dataset (long format).
+
+    ``broadcast=True`` pre-decodes the index once on the driver and
+    ships it through the object store (zero-copy per node); actors
+    start warm. ``False`` keeps the decode-in-actor path (the shape
+    used when each actor pins only its own index parts)."""
+    kwargs = {"k": k, "mode": mode}
+    if broadcast:
+        kwargs["pack_ref"] = _pack_ref(index_dir)
+    else:
+        kwargs["index_dir"] = index_dir
     return queries_ds.map_batches(
         Bm25Scorer,
-        fn_constructor_kwargs={"index_dir": index_dir, "k": k, "mode": mode},
+        fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,
         concurrency=concurrency,

@@ -62,8 +62,14 @@ def pages_from_documents(batch: pa.Table, replicate: int = 1, stride: int = 0) -
     return pa.concat_tables(out_tables)
 
 
-def pages_dataset(sf_dir: str, replicate: int = 1):
-    """Lazy Ray Dataset of synthesized pages for one scale factor."""
+def pages_dataset(sf_dir: str, replicate: int = 1, num_blocks: int | None = None):
+    """Lazy Ray Dataset of synthesized pages for one scale factor.
+
+    The documents file is a single parquet row group, which Ray would
+    read as ONE block — serializing every downstream map. ``num_blocks``
+    (default: 64 when replicating) repartitions the tiny source first
+    so the synthesis fans out across the CPU pool.
+    """
     import ray.data as rd
 
     docs = rd.read_parquet(
@@ -74,10 +80,16 @@ def pages_dataset(sf_dir: str, replicate: int = 1):
 
         n_rows = pq.ParquetFile(f"{sf_dir}/documents.parquet").metadata.num_rows
         stride = int(n_rows)
+        docs = docs.repartition(num_blocks or 64)
     else:
         stride = 0
+        if num_blocks:
+            docs = docs.repartition(num_blocks)
+    # batch_size=None → one batch per block. A row-count batch_size here
+    # would COALESCE the small source blocks into a handful of giant
+    # batches and serialize the ×replicate synthesis onto ~3 CPUs.
     return docs.map_batches(
         lambda b: pages_from_documents(b, replicate=replicate, stride=stride),
         batch_format="pyarrow",
-        batch_size=2048,
+        batch_size=None,
     )

@@ -50,6 +50,11 @@ class IndexReader:
                 runs.sort(key=lambda t: t[0])
                 self.terms[term] = [r for _, r in runs]
         self._df = {t: sum(r.df for r in runs) for t, runs in self.terms.items()}
+        # decoded-postings cache: the actor-resident analog of the
+        # reference's per-thread context caches (context.jl:41-53) —
+        # repeated query terms skip re-decoding. Unbounded here (vocab
+        # is pinned per actor); an LRU bound is the 100 TB policy.
+        self._decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
 
     def __contains__(self, term: str) -> bool:
         return term in self.terms
@@ -75,6 +80,12 @@ class IndexReader:
             np.concatenate([p[1] for p in parts]),
             np.concatenate([p[2] for p in parts]),
         )
+
+    def postings_cached(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        hit = self._decoded.get(term)
+        if hit is None:
+            hit = self._decoded[term] = self.postings(term)
+        return hit
 
     def decode_run_blocks(self, term: str, run_idx: int, bidx: np.ndarray):
         return decode_blocks(self.terms[term][run_idx], bidx)

@@ -12,10 +12,13 @@ design (SURVEY.md §2.5, §7):
   different shuffle salts (doc_id *range* salting → disjoint, ordered
   ranges) therefore merge by pure concatenation — no re-encode in the
   second-stage head-term merge.
-* **Block-max is stored on the tf-norm scale** (``max tf*(k1+1)/(tf +
-  k1(1-b+b·dl/avgdl))`` over the block, float64 exact max), because the
-  global df — hence idf — of a salted term is only known at final
-  merge. Serving multiplies by idf(df) to get the WAND upper bound.
+* **Block-max is stored as (max tf, min dl)** per block. The true
+  per-block score bound needs idf (known only after the salted merge
+  fixes global df) and avgdl (a global stat) — both applied at READ
+  time: ``ub = idf(df) · tf_norm(max_tf, min_dl, avgdl)``. tf_norm is
+  monotone ↑ in tf and ↓ in dl, so this bounds every member posting;
+  storing raw (tf, dl) extrema keeps the build free of any global
+  pre-pass (no avgdl needed before encoding).
 * Postings carry ``(doc_gap, tf, dl)`` so query scoring needs no
   doc-side join: only the global stats (N, avgdl) and per-term df.
 
@@ -24,7 +27,8 @@ A segment part is one parquet file of term rows::
     term:str, df:int64, cf:int64, payload:binary,
     block_first:list<int64>, block_last:list<int64>,
     block_count:list<int32>, block_offset:list<int64>,
-    block_vstart:list<int64>, block_max_tfnorm:list<double>
+    block_vstart:list<int64>, block_max_tf:list<int64>,
+    block_min_dl:list<int64>
 
 ``block_vstart`` is the cumulative varint count before each block so a
 whole payload decodes in ONE vectorized pass and slices per block.
@@ -36,9 +40,8 @@ import dataclasses
 
 import numpy as np
 
-from ..config import POSTING_BLOCK_SIZE, Bm25Params, DEFAULT_BM25
+from ..config import POSTING_BLOCK_SIZE
 from ..functions.varint import decode_varints, encode_varints
-from ..functions.bm25 import tf_norm
 
 __all__ = ["EncodedPostings", "encode_postings", "concat_runs", "decode_all", "decode_blocks"]
 
@@ -55,7 +58,8 @@ class EncodedPostings:
     block_count: np.ndarray     # int32
     block_offset: np.ndarray    # int64, byte offset into payload
     block_vstart: np.ndarray    # int64, varint count before block
-    block_max_tfnorm: np.ndarray  # float64
+    block_max_tf: np.ndarray    # int64, max tf in block
+    block_min_dl: np.ndarray    # int64, min dl in block
 
     def to_row(self, term: str) -> dict:
         return {
@@ -68,7 +72,8 @@ class EncodedPostings:
             "block_count": self.block_count.tolist(),
             "block_offset": self.block_offset.tolist(),
             "block_vstart": self.block_vstart.tolist(),
-            "block_max_tfnorm": self.block_max_tfnorm.tolist(),
+            "block_max_tf": self.block_max_tf.tolist(),
+            "block_min_dl": self.block_min_dl.tolist(),
         }
 
     @classmethod
@@ -82,7 +87,8 @@ class EncodedPostings:
             block_count=np.asarray(row["block_count"], dtype=np.int32),
             block_offset=np.asarray(row["block_offset"], dtype=np.int64),
             block_vstart=np.asarray(row["block_vstart"], dtype=np.int64),
-            block_max_tfnorm=np.asarray(row["block_max_tfnorm"], dtype=np.float64),
+            block_max_tf=np.asarray(row["block_max_tf"], dtype=np.int64),
+            block_min_dl=np.asarray(row["block_min_dl"], dtype=np.int64),
         )
 
 
@@ -90,8 +96,6 @@ def encode_postings(
     doc_ids: np.ndarray,
     tfs: np.ndarray,
     dls: np.ndarray,
-    avgdl: float,
-    params: Bm25Params = DEFAULT_BM25,
     block_size: int = POSTING_BLOCK_SIZE,
 ) -> EncodedPostings:
     """Encode one term's postings (must be sorted by doc_id, unique)."""
@@ -101,7 +105,7 @@ def encode_postings(
     n = len(doc_ids)
     if n == 0:
         z64 = np.empty(0, np.int64)
-        return EncodedPostings(0, 0, b"", z64, z64, np.empty(0, np.int32), z64, z64, np.empty(0, np.float64))
+        return EncodedPostings(0, 0, b"", z64, z64, np.empty(0, np.int32), z64, z64, z64, z64.copy())
     if n > 1 and not (np.diff(doc_ids) > 0).all():
         raise ValueError("postings must be strictly increasing by doc_id")
 
@@ -114,8 +118,8 @@ def encode_postings(
     payload_parts: list[bytes] = []
     offsets = np.zeros(nblocks, dtype=np.int64)
     vstarts = np.zeros(nblocks, dtype=np.int64)
-    maxes = np.zeros(nblocks, dtype=np.float64)
-    tfn = tf_norm(tfs, dls, avgdl, params)
+    max_tf = np.zeros(nblocks, dtype=np.int64)
+    min_dl = np.zeros(nblocks, dtype=np.int64)
     off = 0
     vcnt = 0
     for i in range(nblocks):
@@ -125,7 +129,8 @@ def encode_postings(
         blob = encode_varints(stream)
         offsets[i] = off
         vstarts[i] = vcnt
-        maxes[i] = tfn[s:e].max()
+        max_tf[i] = tfs[s:e].max()
+        min_dl[i] = dls[s:e].min()
         payload_parts.append(blob)
         off += len(blob)
         vcnt += len(stream)
@@ -138,7 +143,8 @@ def encode_postings(
         block_count=counts,
         block_offset=offsets,
         block_vstart=vstarts,
-        block_max_tfnorm=maxes,
+        block_max_tf=max_tf,
+        block_min_dl=min_dl,
     )
 
 
@@ -150,7 +156,7 @@ def concat_runs(runs: list[EncodedPostings]) -> EncodedPostings:
     """
     runs = [r for r in runs if r.df > 0]
     if not runs:
-        return encode_postings(np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64), 1.0)
+        return encode_postings(np.empty(0, np.int64), np.empty(0, np.int64), np.empty(0, np.int64))
     if len(runs) == 1:
         return runs[0]
     lasts = [r.block_last[-1] for r in runs]
@@ -168,7 +174,8 @@ def concat_runs(runs: list[EncodedPostings]) -> EncodedPostings:
         block_count=np.concatenate([r.block_count for r in runs]),
         block_offset=np.concatenate([r.block_offset + int(s) for r, s in zip(runs, byte_shift)]),
         block_vstart=np.concatenate([r.block_vstart + int(s) for r, s in zip(runs, v_shift)]),
-        block_max_tfnorm=np.concatenate([r.block_max_tfnorm for r in runs]),
+        block_max_tf=np.concatenate([r.block_max_tf for r in runs]),
+        block_min_dl=np.concatenate([r.block_min_dl for r in runs]),
     )
 
 

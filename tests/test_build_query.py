@@ -48,7 +48,9 @@ def _rows_from_scorer(scorer):
 
 def test_index_layout_and_meta(index_dir):
     stats = json.load(open(os.path.join(index_dir, "stats.json")))
-    assert stats["vocab"] == 31
+    from similaritysearch_jl_ray.state.reader import IndexReader
+
+    assert len(IndexReader(index_dir).terms) == 31
     # every term is a head term in this corpus (df ~0.8N >> 1% N)
     assert len(stats["head_terms"]) >= 30
     metas = sorted(os.listdir(os.path.join(index_dir, "meta")))

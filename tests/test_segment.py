@@ -24,7 +24,7 @@ def test_roundtrip():
     rng = np.random.default_rng(5)
     for n in [1, 2, 127, 128, 129, 1000, 5000]:
         ids, tfs, dls = _random_postings(rng, n)
-        enc = encode_postings(ids, tfs, dls, avgdl=100.0, block_size=128)
+        enc = encode_postings(ids, tfs, dls, block_size=128)
         assert enc.df == n and enc.cf == int(tfs.sum())
         out_ids, out_tfs, out_dls = decode_all(enc)
         assert (out_ids == ids).all()
@@ -35,15 +35,19 @@ def test_roundtrip():
 def test_block_metadata_and_partial_decode():
     rng = np.random.default_rng(6)
     ids, tfs, dls = _random_postings(rng, 1000)
-    enc = encode_postings(ids, tfs, dls, avgdl=100.0, block_size=128)
+    enc = encode_postings(ids, tfs, dls, block_size=128)
     nblocks = len(enc.block_count)
     assert nblocks == 8  # ceil(1000/128)
     assert enc.block_first[0] == ids[0] and enc.block_last[-1] == ids[-1]
-    # block_max is the exact max tf-norm in each block
+    # (max_tf, min_dl) are exact per-block extrema, and the derived
+    # tf_norm bound dominates every member posting for any avgdl
     tfn = tf_norm(tfs, dls, 100.0)
     for i in range(nblocks):
         s, e = i * 128, min((i + 1) * 128, 1000)
-        assert enc.block_max_tfnorm[i] == tfn[s:e].max()
+        assert enc.block_max_tf[i] == tfs[s:e].max()
+        assert enc.block_min_dl[i] == dls[s:e].min()
+        bound = tf_norm(enc.block_max_tf[i], enc.block_min_dl[i], 100.0)
+        assert bound >= tfn[s:e].max() - 1e-12
     # partial decode of an arbitrary ascending subset
     bidx = np.array([0, 3, 7])
     out_ids, out_tfs, out_dls = decode_blocks(enc, bidx)
@@ -59,38 +63,39 @@ def test_concat_runs_equals_whole():
     cuts = [0, 700, 701, 1990, 2000]  # uneven, incl. a 1-posting run
     runs = []
     for a, b in zip(cuts[:-1], cuts[1:]):
-        runs.append(encode_postings(ids[a:b], tfs[a:b], dls[a:b], avgdl=100.0, block_size=128))
+        runs.append(encode_postings(ids[a:b], tfs[a:b], dls[a:b], block_size=128))
     merged = concat_runs(runs)
     assert merged.df == 2000 and merged.cf == int(tfs.sum())
     out_ids, out_tfs, out_dls = decode_all(merged)
     assert (out_ids == ids).all()
     assert (out_tfs == tfs).all()
     assert (out_dls == dls).all()
-    # block maxes remain valid upper bounds on each block's tf-norm
+    # block extrema remain valid upper bounds on each block's tf-norm
     tfn_by_id = dict(zip(ids.tolist(), tf_norm(tfs, dls, 100.0).tolist()))
     for i in range(len(merged.block_count)):
         bi, _, _ = decode_blocks(merged, np.array([i]))
-        assert merged.block_max_tfnorm[i] >= max(tfn_by_id[d] for d in bi.tolist())
+        bound = tf_norm(merged.block_max_tf[i], merged.block_min_dl[i], 100.0)
+        assert bound >= max(tfn_by_id[d] for d in bi.tolist()) - 1e-12
 
 
 def test_concat_rejects_overlap():
     rng = np.random.default_rng(8)
     ids, tfs, dls = _random_postings(rng, 100)
-    a = encode_postings(ids[:60], tfs[:60], dls[:60], avgdl=100.0)
-    b = encode_postings(ids[50:], tfs[50:], dls[50:], avgdl=100.0)
+    a = encode_postings(ids[:60], tfs[:60], dls[:60])
+    b = encode_postings(ids[50:], tfs[50:], dls[50:])
     with pytest.raises(ValueError):
         concat_runs([a, b])
 
 
 def test_unsorted_rejected():
     with pytest.raises(ValueError):
-        encode_postings(np.array([5, 3]), np.array([1, 1]), np.array([10, 10]), avgdl=10.0)
+        encode_postings(np.array([5, 3]), np.array([1, 1]), np.array([10, 10]))
 
 
 def test_row_roundtrip():
     rng = np.random.default_rng(9)
     ids, tfs, dls = _random_postings(rng, 300)
-    enc = encode_postings(ids, tfs, dls, avgdl=100.0)
+    enc = encode_postings(ids, tfs, dls)
     row = enc.to_row("hello")
     back = EncodedPostings.from_row(row)
     out_ids, out_tfs, out_dls = decode_all(back)
