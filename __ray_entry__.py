@@ -89,6 +89,27 @@ def _bm25_query(sf_dir: str, mode: str):
     return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _random_projection_long(sf_dir: str):
+    """Long format (vec_id, dim_idx, value): list columns don't sort/
+    hash in the driver's value comparison."""
+    import numpy as np
+    import pandas as pd
+
+    from similaritysearch_jl_ray.functions.rounding import round6
+    from similaritysearch_jl_ray.pipelines.transform import random_projection
+
+    pdf = random_projection(sf_dir, out_dim=16).to_pandas().sort_values("vec_id")
+    mat = np.stack(pdf["projected"].to_numpy())
+    n, d = mat.shape
+    return pd.DataFrame(
+        {
+            "vec_id": pd.array(np.repeat(pdf["vec_id"].to_numpy(), d), dtype="int64"),
+            "dim_idx": pd.array(np.tile(np.arange(d), n), dtype="int64"),
+            "value": round6(mat.ravel()),
+        }
+    )
+
+
 def entry() -> Any:
     """Flagship: synthesize pages → build inverted index (salted
     shuffle, varint blocks) → block-max WAND BM25 top-10 over the
@@ -182,6 +203,22 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rerank": lambda sf: ann.rerank(sf, k_candidates=20, k=8, n_queries=10),
         "hsp_filter": lambda sf: ann.hsp_filter(sf, k=16, n_queries=10),
         "neardup_embeddings": lambda sf: ann.neardup_embeddings(sf, eps=1.2),
+        # -- ANN scale path + transforms ----------------------------------
+        # full probe == exact → shares the brute-force oracle
+        "knn_search_ivf_full": lambda sf: __import__(
+            "similaritysearch_jl_ray.pipelines.ivf", fromlist=["knn_search_ivf"]
+        ).knn_search_ivf(sf, k=8, n_queries=20, n_centroids=8, nprobe=8),
+        "knn_search_ivf": lambda sf: __import__(
+            "similaritysearch_jl_ray.pipelines.ivf", fromlist=["knn_search_ivf"]
+        ).knn_search_ivf(sf, k=8, n_queries=20, n_centroids=16, nprobe=4),
+        "random_projection": _random_projection_long,
+        "quantize_embeddings": lambda sf: __import__(
+            "similaritysearch_jl_ray.pipelines.transform", fromlist=["quantize_embeddings"]
+        ).quantize_embeddings(sf, bits=8),
+        # -- multimodal plumbing (decode stubbed per brief) ---------------
+        "media_features": lambda sf: __import__(
+            "similaritysearch_jl_ray.pipelines.media", fromlist=["decode_features"]
+        ).decode_features(sf),
         # -- text analysis (task brief) -----------------------------------
         "lang_dist": textstats.lang_dist,
         "token_totals_by_lang": textstats.token_totals_by_lang,
@@ -303,6 +340,14 @@ WITH d AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
 SELECT vec_a, vec_b, round(dist, 6) AS dist FROM d ORDER BY d.dist, vec_a, vec_b LIMIT 1
 """,
         "fft": _fft_sql(5),
+        "knn_search_ivf_full": """
+WITH q AS (SELECT vec_id AS qid, embedding::DOUBLE[] AS qe FROM embeddings WHERE vec_id < 20),
+d AS (SELECT q.qid, e.vec_id, list_distance(q.qe, e.embedding::DOUBLE[]) AS dist
+      FROM q, embeddings e),
+r AS (SELECT qid AS query_id, vec_id, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rank FROM d)
+SELECT query_id, rank, vec_id, round(dist, 6) AS dist FROM r WHERE rank <= 8
+""",
         "distsample": """
 WITH n AS (SELECT count(*)::BIGINT AS c FROM embeddings),
 p AS (SELECT e.vec_id AS i, (e.vec_id * 31 + 7) % (SELECT c FROM n) AS j FROM embeddings e),

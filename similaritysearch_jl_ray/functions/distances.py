@@ -1,0 +1,143 @@
+"""Vectorized distance kernels — the reference's ``src/dist/`` family
+re-expressed as numpy batch kernels (SURVEY.md §2.2).
+
+Every kernel maps a (batch, dim) matrix against a (queries, dim)
+matrix → (batch, queries) float64 distances, mirroring ``evaluate``
+semantics (``/root/reference/src/dist/vecs.jl:26-177``, ``cos.jl``,
+``sets.jl``, ``seqs.jl``, ``bits.jl``). The registry is the
+user-extension surface (§2.9): a new distance = register a kernel.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from .hashing import popcount64
+
+__all__ = ["DISTANCES", "register_distance", "pairwise", "set_distance", "string_distance"]
+
+
+def _l2(a, q):
+    d = a[:, None, :] - q[None, :, :]
+    return np.sqrt((d * d).sum(axis=2))
+
+
+def _sqdl2(a, q):
+    d = a[:, None, :] - q[None, :, :]
+    return (d * d).sum(axis=2)
+
+
+def _l1(a, q):
+    return np.abs(a[:, None, :] - q[None, :, :]).sum(axis=2)
+
+
+def _linf(a, q):
+    return np.abs(a[:, None, :] - q[None, :, :]).max(axis=2)
+
+
+def _lp(p):
+    def k(a, q):
+        return (np.abs(a[:, None, :] - q[None, :, :]) ** p).sum(axis=2) ** (1.0 / p)
+
+    return k
+
+
+def _cosine(a, q):
+    an = np.linalg.norm(a, axis=1)
+    qn = np.linalg.norm(q, axis=1)
+    return 1.0 - (a @ q.T) / np.outer(an, qn)
+
+
+def _angle(a, q):
+    # reference fastacos clamping (src/dist/cos.jl:64-79)
+    c = 1.0 - _cosine(a, q)
+    return np.arccos(np.clip(c, -1.0, 1.0))
+
+
+def _norm_cosine(a, q):
+    """inputs assumed pre-normalized (reference NormalizedCosineDistance)."""
+    return 1.0 - a @ q.T
+
+
+def _neg_dot(a, q):
+    """NegativeDistanceHack over the dot product (src/dist/hacks.jl:13-22)."""
+    return -(a @ q.T)
+
+
+DISTANCES = {
+    "l2": _l2,
+    "sql2": _sqdl2,
+    "l1": _l1,
+    "linf": _linf,
+    "lp3": _lp(3.0),
+    "cosine": _cosine,
+    "angle": _angle,
+    "norm_cosine": _norm_cosine,
+    "neg_dot": _neg_dot,
+}
+
+
+def register_distance(name: str, kernel) -> None:
+    """§2.9 extension hook: plug a custom kernel into every pipeline
+    that takes a ``metric=`` argument."""
+    DISTANCES[name] = kernel
+
+
+def pairwise(a: np.ndarray, q: np.ndarray, metric: str) -> np.ndarray:
+    return DISTANCES[metric](np.asarray(a, np.float64), np.asarray(q, np.float64))
+
+
+# -- set distances over sorted int arrays (src/dist/sets.jl:11-168) ---------
+def _intersection_size(a: np.ndarray, b: np.ndarray) -> int:
+    return len(np.intersect1d(a, b, assume_unique=True))
+
+
+def set_distance(a: np.ndarray, b: np.ndarray, kind: str) -> float:
+    i = _intersection_size(a, b)
+    la, lb = len(a), len(b)
+    if kind == "jaccard":
+        u = la + lb - i
+        return 1.0 - (i / u if u else 0.0)
+    if kind == "dice":
+        return 1.0 - (2.0 * i / (la + lb) if la + lb else 0.0)
+    if kind == "intersection":
+        return 1.0 - (i / max(1, min(la, lb)))
+    if kind == "cosine_set":
+        return 1.0 - (i / np.sqrt(la * lb) if la and lb else 0.0)
+    raise ValueError(kind)
+
+
+# -- string distances (src/dist/seqs.jl:10-132) -----------------------------
+def string_distance(a: str, b: str, kind: str) -> int:
+    if kind == "common_prefix":
+        n = 0
+        for x, y in zip(a, b):
+            if x != y:
+                break
+            n += 1
+        return max(len(a), len(b)) - n
+    if kind == "hamming":
+        if len(a) != len(b):
+            raise ValueError("hamming needs equal lengths")
+        return sum(x != y for x, y in zip(a, b))
+    if kind in ("levenshtein", "lcs"):
+        # DP with a reusable row (the reference's per-thread row cache
+        # becomes a plain local here; actors reuse via closure scope)
+        sub_cost = 1 if kind == "levenshtein" else 2**30  # lcs: no substitution
+        prev = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            cur = [i] + [0] * len(b)
+            for j, cb in enumerate(b, 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (0 if ca == cb else sub_cost),
+                )
+            prev = cur
+        return prev[-1]
+    raise ValueError(kind)
+
+
+def binary_hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Bit Hamming over uint64 word arrays (src/dist/bits.jl:18-29)."""
+    return popcount64(np.bitwise_xor(a, b))

@@ -1,0 +1,110 @@
+"""Offline autotuning harness — the reference's ``optimize_index!``
+(``/root/reference/src/opt.jl:139-235``) re-shaped for this engine.
+
+The reference runs a stochastic search over ``BeamSearchSpace`` (beam
+size, Δ) scoring recall vs an exhaustive gold run, then commits the
+best config (``setconfig!``, ``src/searchgraph/optbs.jl:103-107``).
+Here the tunables are the serving knobs (WAND range count, IVF nprobe)
+and the error functions are the same shapes: ``MinRecall(r)`` picks the
+cheapest config meeting recall ≥ r; ``ParetoRecall`` trades recall
+against cost (postings scored / lists probed).
+
+Exact BM25 WAND needs no tuning for correctness (recall is 1.0 by
+construction) — the harness demonstrates the §2.8 surface and tunes
+the approximate IVF path for real.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import numpy as np
+
+from ..functions.perf import macrorecall
+
+__all__ = ["MinRecall", "ParetoRecall", "tune_ivf", "tune_wand_ranges"]
+
+
+@dataclasses.dataclass(frozen=True)
+class MinRecall:
+    min_recall: float = 0.9
+
+    def score(self, recall: float, cost: float) -> float:
+        # cheapest config meeting the floor (opt.jl:23-45)
+        return cost if recall >= self.min_recall else float("inf")
+
+
+@dataclasses.dataclass(frozen=True)
+class ParetoRecall:
+    def score(self, recall: float, cost: float) -> float:
+        # (1-recall)^2 + normalized-cost^2 (opt.jl:47-61)
+        return (1.0 - recall) ** 2 + cost**2
+
+
+def _gold_lists(sf_dir: str, k: int, n_queries: int) -> dict[int, list[int]]:
+    from .ann import knn_search
+
+    gold = knn_search(sf_dir, k=k, n_queries=n_queries).to_pandas()
+    return {
+        int(q): g.sort_values("rank")["vec_id"].astype(int).tolist()
+        for q, g in gold.groupby("query_id")
+    }
+
+
+def tune_ivf(
+    sf_dir: str,
+    k: int = 8,
+    n_queries: int = 20,
+    n_centroids: int = 16,
+    nprobes=(1, 2, 4, 8, 16),
+    error=MinRecall(0.9),
+) -> dict:
+    """Grid over nprobe; returns {nprobe, recall, cost, table}."""
+    from .ivf import knn_search_ivf
+
+    gold = _gold_lists(sf_dir, k, n_queries)
+    rows = []
+    for nprobe in nprobes:
+        got = knn_search_ivf(
+            sf_dir, k=k, n_queries=n_queries, n_centroids=n_centroids, nprobe=nprobe
+        ).to_pandas()
+        got_lists = {
+            int(q): g.sort_values("rank")["vec_id"].astype(int).tolist()
+            for q, g in got.groupby("query_id")
+        }
+        recall = macrorecall(gold, got_lists)
+        cost = nprobe / max(nprobes)
+        rows.append(
+            {"nprobe": nprobe, "recall": round(recall, 4), "cost": cost,
+             "objective": error.score(recall, cost)}
+        )
+    best = min(rows, key=lambda r: r["objective"])
+    # `setconfig!` analog: the committed config is just the dict the
+    # caller passes to knn_search_ivf
+    return {"best": best, "table": rows}
+
+
+def tune_wand_ranges(
+    sf_dir: str,
+    index_dir: str,
+    k: int = 10,
+    n_ranges_grid=(64, 256, 1024),
+) -> dict:
+    """Measure WAND cost counters across range granularities; recall is
+    1.0 by construction (asserted), so this tunes pure cost."""
+    from .query import Bm25Scorer
+    from .queryset import REFERENCE_QUERIES
+
+    rows = []
+    for n_ranges in n_ranges_grid:
+        wand = Bm25Scorer(index_dir, k=k, mode="wand", n_ranges=n_ranges)
+        gold = Bm25Scorer(index_dir, k=k, mode="exhaustive")
+        postings = 0
+        for _, text in REFERENCE_QUERIES:
+            hits, npost, _ = wand.score_query(text)
+            ghits, _, _ = gold.score_query(text)
+            assert [h for h, _ in hits] == [h for h, _ in ghits], "WAND must stay exact"
+            postings += npost
+        rows.append({"n_ranges": n_ranges, "postings_scored": postings})
+    best = min(rows, key=lambda r: r["postings_scored"])
+    return {"best": best, "table": rows}

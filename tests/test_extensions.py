@@ -1,0 +1,162 @@
+"""Tests for distances, quantization, projections, IVF, tuning, media."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from similaritysearch_jl_ray.functions.distances import (
+    binary_hamming,
+    pairwise,
+    set_distance,
+    string_distance,
+)
+from similaritysearch_jl_ray.functions.perf import macrorecall, recallscore
+from similaritysearch_jl_ray.functions.quantize import sq_decode, sq_encode, sq_global_u8_params
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+# -- distance kernels (reference testseq.jl patterns) -----------------------
+def test_distance_kernels_basic():
+    a = np.array([[0.0, 0.0], [1.0, 1.0]])
+    q = np.array([[3.0, 4.0]])
+    assert pairwise(a, q, "l2")[0, 0] == 5.0
+    assert pairwise(a, q, "sql2")[0, 0] == 25.0
+    assert pairwise(a, q, "l1")[0, 0] == 7.0
+    assert pairwise(a, q, "linf")[0, 0] == 4.0
+    # cosine of parallel vectors is 0 distance
+    assert abs(pairwise(np.array([[2.0, 0.0]]), np.array([[5.0, 0.0]]), "cosine")[0, 0]) < 1e-12
+    # self-distance ~0 for all metrics (testseq.jl:7-20 pattern)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((5, 8))
+    for m in ("l2", "sql2", "l1", "linf", "lp3", "cosine", "angle"):
+        d = pairwise(x, x, m)
+        assert np.abs(np.diag(d)).max() < 1e-7, m
+
+
+def test_set_distances():
+    a = np.array([1, 2, 3, 4])
+    b = np.array([3, 4, 5, 6])
+    assert set_distance(a, b, "jaccard") == 1 - 2 / 6
+    assert set_distance(a, b, "dice") == 1 - 4 / 8
+    assert set_distance(a, b, "intersection") == 1 - 2 / 4
+    assert abs(set_distance(a, b, "cosine_set") - (1 - 2 / 4)) < 1e-12
+
+
+def test_string_distances():
+    assert string_distance("kitten", "sitting", "levenshtein") == 3
+    assert string_distance("abc", "abc", "levenshtein") == 0
+    assert string_distance("abc", "axc", "hamming") == 1
+    assert string_distance("abcd", "abzz", "common_prefix") == 2
+    # lcs distance: insert/delete only; "abc"->"bcd" = 2
+    assert string_distance("abc", "bcd", "lcs") == 2
+
+
+def test_binary_hamming():
+    a = np.array([0b1011], dtype=np.uint64)
+    b = np.array([0b0010], dtype=np.uint64)
+    assert binary_hamming(a, b)[0] == 2
+
+
+def test_recall_utils():
+    assert recallscore([1, 2, 3], [3, 2, 9]) == 2 / 3
+    assert macrorecall({0: [1, 2]}, {0: [1, 2]}) == 1.0
+    assert macrorecall({0: [1, 2], 1: [3]}, {0: [1, 2]}) == 0.5
+
+
+# -- scalar quantization (reference sq/ tests pattern) ----------------------
+@pytest.mark.parametrize("bits", [8, 4, 2])
+def test_sq_roundtrip_error_bound(bits):
+    rng = np.random.default_rng(bits)
+    x = rng.standard_normal((50, 64)) * 3
+    packed, mins, cs = sq_encode(x, bits=bits)
+    back = sq_decode(packed, mins, cs, bits, 64)
+    err = np.abs(back - x)
+    # affine quantizer contract: error ≤ half a step per coordinate
+    assert (err <= cs[:, None] / 2 + 1e-9).all()
+
+
+def test_sq_global_params_deterministic():
+    rng = np.random.default_rng(0)
+    x = rng.standard_normal((100, 16))
+    assert sq_global_u8_params(x) == sq_global_u8_params(x)
+
+
+# -- Ray-side transforms ----------------------------------------------------
+def test_random_projection(ray_session):
+    from similaritysearch_jl_ray.pipelines.transform import random_projection
+
+    a = random_projection(SF_DIR, out_dim=16).to_pandas().sort_values("vec_id")
+    b = random_projection(SF_DIR, out_dim=16).to_pandas().sort_values("vec_id")
+    assert len(a) == 500 and len(a["projected"].iloc[0]) == 16
+    np.testing.assert_array_equal(
+        np.stack(a["projected"].to_numpy()), np.stack(b["projected"].to_numpy())
+    )
+
+
+def test_quantize_embeddings_pipeline(ray_session):
+    from similaritysearch_jl_ray.pipelines.transform import quantize_embeddings
+
+    out = quantize_embeddings(SF_DIR, bits=8).to_pandas()
+    assert len(out) == 500
+    assert (out["max_abs_err"] <= out["c"] / 2 + 1e-9).all()
+
+
+# -- IVF --------------------------------------------------------------------
+def test_ivf_full_probe_is_exact(ray_session):
+    from similaritysearch_jl_ray.pipelines.ann import knn_search
+    from similaritysearch_jl_ray.pipelines.ivf import knn_search_ivf
+
+    gold = knn_search(SF_DIR, k=8, n_queries=10).to_pandas()
+    got = knn_search_ivf(SF_DIR, k=8, n_queries=10, n_centroids=8, nprobe=8).to_pandas()
+    g = gold.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    o = got.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert (g["vec_id"].to_numpy() == o["vec_id"].to_numpy()).all()
+
+
+def test_ivf_partial_probe_recall(ray_session):
+    from similaritysearch_jl_ray.functions.perf import macrorecall
+    from similaritysearch_jl_ray.pipelines.ann import knn_search
+    from similaritysearch_jl_ray.pipelines.ivf import knn_search_ivf
+
+    gold = knn_search(SF_DIR, k=8, n_queries=10).to_pandas()
+    got = knn_search_ivf(SF_DIR, k=8, n_queries=10, n_centroids=16, nprobe=4).to_pandas()
+    gl = {int(q): g.sort_values("rank")["vec_id"].tolist() for q, g in gold.groupby("query_id")}
+    ol = {int(q): g.sort_values("rank")["vec_id"].tolist() for q, g in got.groupby("query_id")}
+    assert macrorecall(gl, ol) >= 0.5  # 4/16 lists probed
+
+
+def test_tune_ivf(ray_session):
+    from similaritysearch_jl_ray.pipelines.tune import MinRecall, tune_ivf
+
+    res = tune_ivf(SF_DIR, k=8, n_queries=5, n_centroids=8, nprobes=(2, 8), error=MinRecall(0.99))
+    assert res["best"]["nprobe"] == 8  # full probe always meets the floor
+    assert res["best"]["recall"] >= 0.99
+
+
+# -- media plumbing ---------------------------------------------------------
+def test_media_decode_features(ray_session):
+    from similaritysearch_jl_ray.pipelines.media import decode_features
+
+    a = decode_features(SF_DIR).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    b = decode_features(SF_DIR).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    assert len(a) == 500
+    assert (a["width"] == 16 + a["doc_id"] % 16).all()
+    assert (a["mean_byte"] == b["mean_byte"]).all()
+
+
+def test_media_strict_raises_without_decoder():
+    from similaritysearch_jl_ray.pipelines.media import MediaDecoder
+
+    with pytest.raises(NotImplementedError):
+        MediaDecoder(strict=True)
+
+
+def test_frame_sampling(ray_session):
+    from similaritysearch_jl_ray.pipelines.media import sample_frames
+
+    out = sample_frames(SF_DIR, every=2, frame_bytes=64).to_pandas()
+    assert (out["frame_idx"] % 2 == 0).all()
+    assert out.groupby("doc_id").size().min() >= 1
+    assert out["frame"].map(len).eq(64).all()
