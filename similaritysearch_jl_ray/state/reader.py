@@ -26,35 +26,61 @@ __all__ = ["IndexReader"]
 
 class IndexReader:
     def __init__(self, index_dir: str, parts: list[int] | None = None):
-        import pyarrow.dataset as pads
-
-        with open(os.path.join(index_dir, "stats.json")) as f:
-            self.stats = json.load(f)
-        self.n_docs = self.stats["n_docs"]
-        self.avgdl = self.stats["avgdl"]
-        want = range(self.stats["num_parts"]) if parts is None else parts
+        # base index first, then delta segments in append order — each
+        # delta's doc ids are strictly above the previous segment's
+        # (lifecycle.append_pages contract), so per-term run lists stay
+        # range-ordered and logical concatenation serves both.
+        dirs = [index_dir]
+        for name in sorted(os.listdir(index_dir)):
+            if name.startswith("delta="):
+                dirs.append(os.path.join(index_dir, name))
         self.terms: dict[str, list[EncodedPostings]] = {}
-        postings_dir = os.path.join(index_dir, "postings")
-        for p in want:
-            part_dir = os.path.join(postings_dir, f"part={p}")
-            meta_path = os.path.join(index_dir, "meta", f"part={p}.json")
-            if not os.path.exists(meta_path):
-                raise FileNotFoundError(f"index part {p} incomplete (no meta): {meta_path}")
-            ds = pads.dataset(part_dir, format="parquet")
-            tbl = ds.to_table()
-            rows = tbl.to_pylist()
-            bysalt: dict[str, list[tuple[int, EncodedPostings]]] = {}
-            for row in rows:
-                bysalt.setdefault(row["term"], []).append((row["salt"], EncodedPostings.from_row(row)))
-            for term, runs in bysalt.items():
-                runs.sort(key=lambda t: t[0])
-                self.terms[term] = [r for _, r in runs]
+        n_docs = total_tokens = 0
+        max_doc = -1
+        self.stats: dict = {}
+        for d in dirs:
+            st = self._load_segment(d, parts)
+            n_docs += st["n_docs"]
+            total_tokens += st["total_tokens"]
+            max_doc = max(max_doc, st["max_doc"])
+            if not self.stats:
+                self.stats = dict(st)
+        # combined global stats (idf/avgdl see base+delta corpus)
+        self.stats.update(
+            {"n_docs": n_docs, "total_tokens": total_tokens, "max_doc": max_doc,
+             "avgdl": total_tokens / max(1, n_docs)}
+        )
+        self.n_docs = n_docs
+        self.avgdl = self.stats["avgdl"]
         self._df = {t: sum(r.df for r in runs) for t, runs in self.terms.items()}
         # decoded-postings cache: the actor-resident analog of the
         # reference's per-thread context caches (context.jl:41-53) —
         # repeated query terms skip re-decoding. Unbounded here (vocab
         # is pinned per actor); an LRU bound is the 100 TB policy.
         self._decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+
+    def _load_segment(self, seg_dir: str, parts) -> dict:
+        import pyarrow.dataset as pads
+
+        with open(os.path.join(seg_dir, "stats.json")) as f:
+            st = json.load(f)
+        want = range(st["num_parts"]) if parts is None else parts
+        postings_dir = os.path.join(seg_dir, "postings")
+        for p in want:
+            part_dir = os.path.join(postings_dir, f"part={p}")
+            meta_path = os.path.join(seg_dir, "meta", f"part={p}.json")
+            if not os.path.exists(meta_path):
+                raise FileNotFoundError(f"index part {p} incomplete (no meta): {meta_path}")
+            rows = pads.dataset(part_dir, format="parquet").to_table().to_pylist()
+            bysalt: dict[str, list[tuple[int, EncodedPostings]]] = {}
+            for row in rows:
+                bysalt.setdefault(row["term"], []).append(
+                    (row["salt"], EncodedPostings.from_row(row))
+                )
+            for term, runs in bysalt.items():
+                runs.sort(key=lambda t: t[0])
+                self.terms.setdefault(term, []).extend(r for _, r in runs)
+        return st
 
     def __contains__(self, term: str) -> bool:
         return term in self.terms

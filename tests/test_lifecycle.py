@@ -1,0 +1,75 @@
+"""rebuild + incremental append: the appended index must serve
+identically to a from-scratch build over the union corpus (the
+reference's rebuild-keeps-recall test tightened to rank identity,
+/root/reference/test/testsearchgraph.jl:73-86)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from similaritysearch_jl_ray.pipelines.build_index import build_index
+from similaritysearch_jl_ray.pipelines.lifecycle import append_pages, delta_dirs, rebuild
+from similaritysearch_jl_ray.pipelines.query import Bm25Scorer
+from similaritysearch_jl_ray.pipelines.queryset import REFERENCE_QUERIES
+from similaritysearch_jl_ray.sources.pages import pages_dataset, pages_from_documents
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def _pages_slice(ray_session, lo, hi, id_offset=0):
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet").slice(lo, hi - lo)
+    if id_offset:
+        docs = docs.set_column(
+            docs.schema.get_field_index("doc_id"),
+            "doc_id",
+            pa.array(np.asarray(docs["doc_id"]) + id_offset, type=pa.int64()),
+        )
+    return rd.from_arrow(docs).map_batches(
+        lambda b: pages_from_documents(b), batch_format="pyarrow"
+    )
+
+
+def test_append_serves_like_full_build(ray_session, tmp_path):
+    base = str(tmp_path / "base")
+    build_index(_pages_slice(ray_session, 0, 300), base, num_parts=2, salt_factor=2)
+    append_pages(_pages_slice(ray_session, 300, 500), base, head_df_fraction=0.01)
+    assert len(delta_dirs(base)) == 1
+
+    full = str(tmp_path / "full")
+    build_index(pages_dataset(SF_DIR), full, num_parts=2, salt_factor=2)
+
+    a = Bm25Scorer(base, k=10, mode="exhaustive")
+    b = Bm25Scorer(full, k=10, mode="exhaustive")
+    assert a.stats["n_docs"] == b.stats["n_docs"] == 500
+    assert abs(a.stats["avgdl"] - b.stats["avgdl"]) < 1e-9
+    for _, text in REFERENCE_QUERIES:
+        ra, rb = a.score_query(text)[0], b.score_query(text)[0]
+        assert [d for d, _ in ra] == [d for d, _ in rb]
+        np.testing.assert_allclose([s for _, s in ra], [s for _, s in rb], rtol=1e-12)
+    # wand over the delta-extended index stays rank-identical too
+    w = Bm25Scorer(base, k=10, mode="wand")
+    for _, text in REFERENCE_QUERIES:
+        assert [d for d, _ in w.score_query(text)[0]] == [d for d, _ in b.score_query(text)[0]]
+
+
+def test_append_rejects_overlapping_ids(ray_session, tmp_path):
+    base = str(tmp_path / "base2")
+    build_index(_pages_slice(ray_session, 0, 300), base, num_parts=2, salt_factor=2)
+    with pytest.raises(ValueError, match="id ordering"):
+        append_pages(_pages_slice(ray_session, 100, 200), base)
+
+
+def test_rebuild_resets_and_matches(ray_session, tmp_path):
+    d = str(tmp_path / "rb")
+    build_index(_pages_slice(ray_session, 0, 300), d, num_parts=2, salt_factor=2)
+    append_pages(_pages_slice(ray_session, 300, 500), d, head_df_fraction=0.01)
+    stats = rebuild(pages_dataset(SF_DIR), d, num_parts=2, salt_factor=2)
+    assert stats["n_docs"] == 500
+    assert delta_dirs(d) == []
+    full = Bm25Scorer(d, k=10, mode="exhaustive")
+    assert full.stats["n_docs"] == 500
