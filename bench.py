@@ -73,6 +73,7 @@ def run_bench() -> dict:
     stats = build_index(
         pages_dataset(sf_dir, replicate=replicate),
         index_dir,
+        docmap_ds=pages_dataset(sf_dir, replicate=replicate, with_html=False),
         num_parts=16,  # merge-task parallelism in stage D
         salt_factor=8,  # fixed across scaling levels for comparability
     )

@@ -11,8 +11,10 @@ skip-if-complete; stage D additionally resumes per output partition —
 the north rule's "resumable from per-partition checkpoints with
 lineage + metrics")::
 
-    docs/               doc_id, url, lang, text   (extracted, html dropped)
-    tokens/             term, doc_id, tf, dl      (SPIMI triples)
+    docmap/             doc_id, url, lang         (the doc-side map)
+    tokens/             term, doc_id, tf, dl      (SPIMI triples;
+                        extract+tokenize run fused — no full-text
+                        intermediate is ever written)
     stats.json          N, avgdl, vocab df sketch → head-term set, knobs
     postings/part=*/    term, salt, df, cf, payload, block_* arrays
     meta/part=*.json    docs, postings, bytes, terms  (lineage + metrics)
@@ -94,6 +96,7 @@ def build_index(
     pages_ds,
     index_dir: str,
     *,
+    docmap_ds=None,
     num_parts: int = DEFAULT_NUM_PARTS,
     salt_factor: int = DEFAULT_SALT_FACTOR,
     head_df_fraction: float = HEAD_TERM_DF_FRACTION,
@@ -110,28 +113,32 @@ def build_index(
     import ray.data as rd
 
     os.makedirs(index_dir, exist_ok=True)
-    docs_dir = os.path.join(index_dir, "docs")
+    docmap_dir = os.path.join(index_dir, "docmap")
     tokens_dir = os.path.join(index_dir, "tokens")
     stats_path = os.path.join(index_dir, "stats.json")
     postings_dir = os.path.join(index_dir, "postings")
     meta_dir = os.path.join(index_dir, "meta")
 
-    # ---- stage A: extract (html → text), project early ------------------
-    if not _done(docs_dir):
-        shutil.rmtree(docs_dir, ignore_errors=True)
-        pages_ds.map_batches(extract_batch, batch_format="pyarrow").write_parquet(
-            docs_dir, compression="zstd"
+    # ---- stage A: doc map (doc_id, url, lang) — projected, no html ------
+    if not _done(docmap_dir):
+        shutil.rmtree(docmap_dir, ignore_errors=True)
+        dm = docmap_ds if docmap_ds is not None else pages_ds
+        dm.select_columns(["doc_id", "url", "lang"]).write_parquet(
+            docmap_dir, compression="zstd"
         )
-        _mark_done(docs_dir)
+        _mark_done(docmap_dir)
 
-    # ---- stage B: tokenize → SPIMI triples ------------------------------
+    # ---- stage B: extract + tokenize FUSED → SPIMI triples --------------
+    # One streaming pass: html → text → (term, doc_id, tf, dl). The
+    # clean-text corpus is never persisted (project early; zstd
+    # everywhere — the build is I/O-bound before it is CPU-bound).
     if not _done(tokens_dir):
         shutil.rmtree(tokens_dir, ignore_errors=True)
-        # zstd everywhere: the build is I/O-bound before it is CPU-bound
-        # (text compresses ~5×; the token stream ~8×)
-        rd.read_parquet(docs_dir, columns=["doc_id", "text"]).map_batches(
-            tokenize_batch, batch_format="pyarrow", batch_size=tokenize_batch_size
-        ).write_parquet(tokens_dir, compression="zstd")
+        (
+            pages_ds.map_batches(extract_batch, batch_format="pyarrow")
+            .map_batches(tokenize_batch, batch_format="pyarrow", batch_size=tokenize_batch_size)
+            .write_parquet(tokens_dir, compression="zstd")
+        )
         _mark_done(tokens_dir)
 
     # ---- stage C: df SKETCH → head-term set (sampled, cheap) ------------
@@ -143,7 +150,7 @@ def build_index(
     if not os.path.exists(sketch_path):
         import pyarrow.parquet as pqf
 
-        n_docs = rd.read_parquet(docs_dir, columns=["doc_id"]).count()
+        n_docs = rd.read_parquet(docmap_dir, columns=["doc_id"]).count()
         token_files = sorted(
             f for f in os.listdir(tokens_dir) if f.endswith(".parquet")
         )

@@ -28,7 +28,7 @@ from .build_index import build_index
 
 def rebuild(pages_ds, index_dir: str, **build_kwargs) -> dict:
     """Full rebuild: clear every checkpoint, re-run the DAG."""
-    for sub in ("docs", "tokens", "postings", "meta", "runs_tmp"):
+    for sub in ("docmap", "tokens", "postings", "meta", "runs_tmp"):
         shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
     for f in ("stats.json", "head_sketch.json"):
         try:

@@ -34,7 +34,7 @@ def page_url(source: str, lang: str, doc_id: int) -> str:
     return f"https://{source}.example.com/{lang}/{doc_id:08d}"
 
 
-def pages_from_documents(batch: pa.Table, replicate: int = 1, stride: int = 0) -> pa.Table:
+def pages_from_documents(batch: pa.Table, replicate: int = 1, stride: int = 0, with_html: bool = True) -> pa.Table:
     """documents batch → pages batch (vectorized except the html wrap)."""
     out_tables = []
     doc_ids = batch["doc_id"].to_numpy()
@@ -44,25 +44,23 @@ def pages_from_documents(batch: pa.Table, replicate: int = 1, stride: int = 0) -
     for r in range(replicate):
         ids = doc_ids + r * stride
         urls = [page_url(s, l, int(i)) for s, l, i in zip(sources, langs, ids)]
-        htmls = [wrap_html(t, u, title=f"doc {i}") for t, u, i in zip(texts, urls, ids)]
-        out_tables.append(
-            pa.table(
-                {
-                    "doc_id": pa.array(ids, type=pa.int64()),
-                    "url": pa.array(urls, type=pa.string()),
-                    "warc_ts": pa.array(
-                        (WARC_EPOCH_US + ids * 1_000_000).astype("int64"), type=pa.int64()
-                    ).cast(pa.timestamp("us")),
-                    "html": pa.array(htmls, type=pa.binary()),
-                    "text": pa.array(texts, type=pa.string()),
-                    "lang": pa.array(langs, type=pa.string()),
-                }
-            )
-        )
+        cols = {
+            "doc_id": pa.array(ids, type=pa.int64()),
+            "url": pa.array(urls, type=pa.string()),
+            "warc_ts": pa.array(
+                (WARC_EPOCH_US + ids * 1_000_000).astype("int64"), type=pa.int64()
+            ).cast(pa.timestamp("us")),
+            "lang": pa.array(langs, type=pa.string()),
+        }
+        if with_html:
+            htmls = [wrap_html(t, u, title=f"doc {i}") for t, u, i in zip(texts, urls, ids)]
+            cols["html"] = pa.array(htmls, type=pa.binary())
+            cols["text"] = pa.array(texts, type=pa.string())
+        out_tables.append(pa.table(cols))
     return pa.concat_tables(out_tables)
 
 
-def pages_dataset(sf_dir: str, replicate: int = 1, num_blocks: int | None = None):
+def pages_dataset(sf_dir: str, replicate: int = 1, num_blocks: int | None = None, with_html: bool = True):
     """Lazy Ray Dataset of synthesized pages for one scale factor.
 
     The documents file is a single parquet row group, which Ray would
@@ -88,8 +86,10 @@ def pages_dataset(sf_dir: str, replicate: int = 1, num_blocks: int | None = None
     # batch_size=None → one batch per block. A row-count batch_size here
     # would COALESCE the small source blocks into a handful of giant
     # batches and serialize the ×replicate synthesis onto ~3 CPUs.
+    # with_html=False models a columnar crawl read that projects html
+    # away (the doc-map pass needs only ids/urls/langs).
     return docs.map_batches(
-        lambda b: pages_from_documents(b, replicate=replicate, stride=stride),
+        lambda b: pages_from_documents(b, replicate=replicate, stride=stride, with_html=with_html),
         batch_format="pyarrow",
         batch_size=None,
     )
