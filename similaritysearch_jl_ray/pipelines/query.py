@@ -345,6 +345,41 @@ def search(
     )
 
 
+def search_to_parquet(
+    queries_ds,
+    index_dir: str,
+    out_dir: str,
+    **search_kwargs,
+) -> str:
+    """Results sink (SURVEY.md §2.1 "results out"): stream search
+    results to a partitioned parquet directory — never one giant file,
+    never a driver materialization."""
+    search(queries_ds, index_dir, **search_kwargs).write_parquet(out_dir, compression="zstd")
+    return out_dir
+
+
+def to_padded(result_rows, k: int):
+    """Reshape long-format results into the reference's output shape:
+    one row per query with a fixed-size hits list, zero-struct padding
+    for queries with fewer than k hits (``zeros(IdDist, k, m)`` with
+    id=0 sentinel, ``/root/reference/src/SimilaritySearch.jl:142-147``;
+    our sentinel is doc_id=-1 since 0 is a valid doc)."""
+    import pandas as pd
+
+    df = result_rows if isinstance(result_rows, pd.DataFrame) else result_rows.to_pandas()
+    out = {"query_id": [], "hits": []}
+    for qid, g in df.groupby("query_id"):
+        g = g.sort_values("rank")
+        hits = [
+            {"doc_id": int(d), "score": float(s)}
+            for d, s in zip(g["doc_id"], g["score"])
+        ][:k]
+        hits += [{"doc_id": -1, "score": 0.0}] * (k - len(hits))
+        out["query_id"].append(int(qid))
+        out["hits"].append(hits)
+    return pd.DataFrame(out)
+
+
 def brute_force_topk(
     texts_by_doc: dict[int, str],
     queries: list[tuple[int, str]],
