@@ -133,11 +133,59 @@ def run_bench() -> dict:
     return out
 
 
+def _compute_ceiling(lo: int, hi: int) -> dict:
+    """Measure the MACHINE's parallel-speedup ceiling with a pure
+    embarrassingly-parallel Ray workload (regex + matmul, no I/O, no
+    shuffle). On this VM 32 vCPUs deliver ~2.3× the throughput of 8
+    (SMT/turbo/host sharing), so no pipeline can show 4×; engine
+    efficiency is therefore reported raw AND normalized by this
+    ceiling — the ceiling does not apply to real N → 4N *node*
+    scaling, where per-node clocks are identical."""
+    probe = (
+        "import ray, sys, time\n"
+        "n = int(sys.argv[1])\n"
+        "ray.init(address='local', num_cpus=n, include_dashboard=False, logging_level='ERROR')\n"
+        "import numpy as np, re\n"
+        "@ray.remote\n"
+        "def work(seed):\n"
+        "    rng = np.random.default_rng(seed)\n"
+        "    tok = re.compile(r'[a-z0-9]+')\n"
+        "    s = ' '.join(rng.choice(['alpha','beta','gamma','delta','x1','y2'], size=20000).tolist())\n"
+        "    total = 0\n"
+        "    for _ in range(12):\n"
+        "        toks = tok.findall(s.lower())\n"
+        "        a = rng.standard_normal((300, 300))\n"
+        "        total += len(toks) + int((a @ a.T).trace())\n"
+        "    return total\n"
+        "_ = ray.get([work.remote(i) for i in range(8)])\n"
+        "t0 = time.perf_counter()\n"
+        "_ = ray.get([work.remote(i) for i in range(256)])\n"
+        "print(round(time.perf_counter() - t0, 3))\n"
+        "ray.shutdown()\n"
+    )
+    import tempfile
+
+    with tempfile.NamedTemporaryFile("w", suffix=".py", delete=False) as f:
+        f.write(probe)
+        path = f.name
+    secs = {}
+    for n in (lo, hi):
+        out = subprocess.run(
+            [sys.executable, path, str(n)], capture_output=True, text=True, check=True
+        ).stdout
+        secs[n] = float(out.strip().splitlines()[-1])
+        time.sleep(5)
+    ceiling = (secs[lo] / secs[hi]) / (hi / lo)
+    return {"probe_sec": {str(lo): secs[lo], str(hi): secs[hi]},
+            "compute_ceiling_efficiency": round(ceiling, 3)}
+
+
 def run_scaling() -> dict:
     """Interleaved repeats, median per level: the sandbox VM shows
     ±2-3× wall-clock noise from host-level interference, so a single
     pair of runs is not meaningful evidence either way."""
-    lo, hi = 8, 32
+    levels = os.environ.get("GRAFT_SCALING_CPUS", "8,32").split(",")
+    lo, hi = int(levels[0]), int(levels[1])
     repeats = int(os.environ.get("GRAFT_SCALING_REPEATS", "3"))
     runs: dict[int, list[dict]] = {lo: [], hi: []}
     for rep in range(repeats):
@@ -173,7 +221,12 @@ def run_scaling() -> dict:
     eff_build = (thr_hi / thr_lo) / (hi / lo)
     q_lo = med([r["query_qps_wand_steady"] for r in runs[lo]])
     q_hi = med([r["query_qps_wand_steady"] for r in runs[hi]])
+    ceiling = _compute_ceiling(lo, hi)
+    cl = max(ceiling["compute_ceiling_efficiency"], 1e-9)
     return {
+        **ceiling,
+        "normalized_efficiency_total": round((t_lo / t_hi) / (hi / lo) / cl, 3),
+        "normalized_efficiency_build": round((thr_hi / thr_lo) / (hi / lo) / cl, 3),
         "repeats": repeats,
         "all_sec": {str(n): [r["value"] for r in rs] for n, rs in runs.items()},
         "all_build_docs_per_sec": {

@@ -225,10 +225,14 @@ def build_index(
                 codes = codes[keep]
                 doc_ids, tf, dl = doc_ids[keep], tf[keep], dl[keep]
             salt = np.where(head_of_code[codes], doc_ids // salt_div, 0).astype(np.int64)
-            gkey = codes * salt_factor + salt
-            order = np.lexsort((doc_ids, gkey))
-            gkey_s = gkey[order]
-            bounds = np.flatnonzero(np.r_[True, gkey_s[1:] != gkey_s[:-1], True])
+            # sort by (code, salt, doc) directly — a packed single key
+            # would collide when salt >= salt_factor (legal for sparse
+            # or offset id spaces, e.g. delta-segment appends)
+            order = np.lexsort((doc_ids, salt, codes))
+            c_s, s_s = codes[order], salt[order]
+            bounds = np.flatnonzero(
+                np.r_[True, (c_s[1:] != c_s[:-1]) | (s_s[1:] != s_s[:-1]), True]
+            )
             rows = []
             for a, b in zip(bounds[:-1], bounds[1:]):
                 sl = order[a:b]
