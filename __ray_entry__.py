@@ -202,6 +202,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distsample": ann.distsample,
         "rerank": lambda sf: ann.rerank(sf, k_candidates=20, k=8, n_queries=10),
         "hsp_filter": lambda sf: ann.hsp_filter(sf, k=16, n_queries=10),
+        "permuted_knn_search": lambda sf: ann.permuted_knn_search(sf, k=8, n_queries=10),
         "neardup_embeddings": lambda sf: ann.neardup_embeddings(sf, eps=1.2),
         # -- ANN scale path + transforms ----------------------------------
         # full probe == exact → shares the brute-force oracle

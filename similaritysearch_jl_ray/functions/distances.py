@@ -141,3 +141,20 @@ def string_distance(a: str, b: str, kind: str) -> int:
 def binary_hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """Bit Hamming over uint64 word arrays (src/dist/bits.jl:18-29)."""
     return popcount64(np.bitwise_xor(a, b))
+
+
+# -- cloud (set-of-vectors) distances (src/dist/cloud.jl:15-120) ------------
+def _nn_dists(A: np.ndarray, B: np.ndarray) -> np.ndarray:
+    """min_b ||a-b|| for each a (inner NN loop, vectorized)."""
+    d = np.sqrt(((A[:, None, :] - B[None, :, :]) ** 2).sum(axis=2))
+    return d.min(axis=1)
+
+
+def hausdorff(A: np.ndarray, B: np.ndarray) -> float:
+    """max(max_a min_b, max_b min_a) (cloud.jl HausdorffDistance)."""
+    return float(max(_nn_dists(A, B).max(), _nn_dists(B, A).max()))
+
+
+def chamfer(A: np.ndarray, B: np.ndarray) -> float:
+    """Symmetric mean-of-NN distances (cloud.jl ChamferDistance)."""
+    return float(_nn_dists(A, B).mean() + _nn_dists(B, A).mean())

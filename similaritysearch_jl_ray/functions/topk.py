@@ -113,6 +113,16 @@ class TopK:
         d, negid = heapq.heappop(self._heap)
         return -d, -negid
 
+    def pop_min(self) -> tuple[float, int]:
+        """Remove and return the best item (KnnSorted deque end,
+        knnsorted.jl:123-129); O(n) here — used by beam-style
+        traversals and the reference's allknn self-skip."""
+        h = self._heap
+        best = min(range(len(h)), key=lambda i: (-h[i][0], -h[i][1]))
+        d, negid = h.pop(best)
+        heapq.heapify(h)
+        return -d, -negid
+
     # -- final ordering (knnheap.jl:37-41) ----------------------------------
     def items(self) -> list[tuple[float, int]]:
         """(dist, doc_id) ascending by (dist, doc_id) — the sorted result."""

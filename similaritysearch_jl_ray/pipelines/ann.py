@@ -27,7 +27,6 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.topk import TopK
-from ..functions.hashing import stable_u64
 from ..functions.rounding import round6
 
 __all__ = [
@@ -39,6 +38,7 @@ __all__ = [
     "distsample",
     "rerank",
     "hsp_filter",
+    "permuted_knn_search",
     "neardup_embeddings",
 ]
 
@@ -314,6 +314,46 @@ def hsp_filter(sf_dir: str, k: int = 16, n_queries: int = 10):
             "vec_id": pd.array([v for _, v in rows], dtype="int64"),
         }
     )
+
+
+def permuted_knn_search(sf_dir: str, k: int = 8, n_queries: int = 20, seed: int = 0x5EED):
+    """``PermutedSearchIndex`` analog (``/root/reference/src/permindex.jl:10-32``):
+    the database is stored under a fixed id permutation; search runs
+    entirely in permuted-id space (including its tie-breaks, exactly
+    as the reference's wrapper does) and the emit path maps hits back
+    through ``π⁻¹``. Same geometry ⇒ same hit sets and distances as
+    the direct search (rank order may differ only on exact dist ties).
+    """
+    import ray
+    import pandas as pd
+
+    ids, mat = _matrix(sf_dir)
+    n = len(ids)
+    rng = np.random.default_rng(seed)
+    perm = rng.permutation(n).astype(np.int64)   # internal id of external e = perm[e]
+    inv = np.empty_like(perm)
+    inv[perm] = np.arange(n)
+    qsel = ids < n_queries
+    qids, qmat = ids[qsel], mat[qsel]
+    ref = ray.put((qids, qmat, perm))
+
+    def partial(batch: pa.Table) -> pa.Table:
+        q_ids, q_mat, p = ray.get(ref)
+        bids = batch["vec_id"].to_numpy().astype(np.int64)
+        internal = pa.table(
+            {"vec_id": pa.array(p[bids], type=pa.int64()), "embedding": batch["embedding"]}
+        )
+        return _topk_rows_batch(internal, q_ids, q_mat, "l2", k, exclude_self=False)
+
+    res = (
+        load_embeddings(sf_dir)
+        .map_batches(partial, batch_format="pyarrow", batch_size=128)
+        .groupby("query_id")
+        .map_groups(lambda g: _merge_partials(g, k), batch_format="pyarrow")
+        .to_pandas()
+    )
+    res["vec_id"] = pd.array(inv[res["vec_id"].to_numpy()], dtype="int64")
+    return res
 
 
 def neardup_embeddings(sf_dir: str, eps: float = 1.2, n_projections: int = 8):

@@ -36,7 +36,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..config import DEFAULT_BM25, SCORE_ROUND_DECIMALS, Bm25Params
+from ..config import DEFAULT_BM25, Bm25Params
 from ..functions.bm25 import tf_norm
 from ..functions.text import tokenize
 from ..functions.topk import TopK, topk_indices

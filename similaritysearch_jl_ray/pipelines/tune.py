@@ -18,8 +18,6 @@ from __future__ import annotations
 
 import dataclasses
 
-import numpy as np
-
 from ..functions.perf import macrorecall
 
 __all__ = ["MinRecall", "ParetoRecall", "tune_ivf", "tune_wand_ranges"]

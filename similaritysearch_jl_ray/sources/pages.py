@@ -18,9 +18,7 @@ gets ``doc_id + r * stride`` and a distinct url; text is unchanged
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
-import pyarrow.compute as pc
 
 from ..functions.text import wrap_html
 

@@ -8,7 +8,6 @@ wide binary rows must not travel past extraction, SURVEY.md §7).
 
 from __future__ import annotations
 
-import numpy as np
 import pyarrow as pa
 
 from ..functions.text import batch_token_counts, extract_text

@@ -160,3 +160,39 @@ def test_frame_sampling(ray_session):
     assert (out["frame_idx"] % 2 == 0).all()
     assert out.groupby("doc_id").size().min() >= 1
     assert out["frame"].map(len).eq(64).all()
+
+
+def test_cloud_distances():
+    from similaritysearch_jl_ray.functions.distances import chamfer, hausdorff
+
+    A = np.array([[0.0, 0.0], [1.0, 0.0]])
+    B = np.array([[0.0, 1.0]])
+    # hausdorff: max(max_a min_b, max_b min_a) = max(sqrt2, 1) = sqrt2
+    assert abs(hausdorff(A, B) - np.sqrt(2.0)) < 1e-12
+    assert hausdorff(A, A) == 0.0
+    assert chamfer(A, A) == 0.0
+    assert chamfer(A, B) > 0
+
+
+def test_topk_pop_min():
+    from similaritysearch_jl_ray.functions.topk import TopK
+
+    q = TopK(4)
+    for d, i in [(3.0, 1), (1.0, 2), (2.0, 3), (1.0, 0)]:
+        q.push(d, i)
+    assert q.pop_min() == (1.0, 0)   # best dist, smallest id among ties
+    assert q.pop_min() == (1.0, 2)
+    assert q.pop_max() == (3.0, 1)
+    assert len(q) == 1
+
+
+def test_permuted_search_same_geometry(ray_session):
+    from similaritysearch_jl_ray.pipelines.ann import knn_search, permuted_knn_search
+
+    direct = knn_search(SF_DIR, k=8, n_queries=5).to_pandas()
+    perm = permuted_knn_search(SF_DIR, k=8, n_queries=5)
+    for qid in range(5):
+        d = direct[direct.query_id == qid]
+        p = perm[perm.query_id == qid]
+        assert set(d["vec_id"]) == set(p["vec_id"])
+        assert sorted(d["dist"]) == pytest.approx(sorted(p["dist"]), abs=1e-9)
