@@ -1,0 +1,77 @@
+"""WAND must actually SKIP work on skewed corpora.
+
+The driver fixture is the worst case for block-max pruning (31 terms,
+df ≈ 0.8N — every range looks promising), so this test plants a
+Zipf-style skew: a rare high-idf term confined to one doc-id
+neighborhood. Best-first range scoring must fill the heap from that
+neighborhood and stop before touching most stopword-only ranges —
+strictly fewer postings scored than the exhaustive path, with
+rank-identical results (the safety property that makes the pruning
+admissible)."""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pytest
+
+from similaritysearch_jl_ray.pipelines.build_index import build_index
+from similaritysearch_jl_ray.pipelines.query import Bm25Scorer
+from similaritysearch_jl_ray.sources.pages import pages_from_documents
+
+N_DOCS = 20_000  # > WAND min range width (4096) → multiple ranges
+
+
+def _skewed_documents() -> pa.Table:
+    rng = np.random.default_rng(13)
+    common = ["the", "data", "join", "scan", "merge", "table", "row", "batch"]
+    texts = []
+    for i in range(N_DOCS):
+        toks = rng.choice(common, size=30).tolist()
+        # rare term lives only in docs 8200..8209 (inside one range)
+        if 8200 <= i < 8210:
+            toks += ["zyzzyva"] * 5
+        texts.append(" ".join(toks))
+    return pa.table(
+        {
+            "doc_id": pa.array(np.arange(N_DOCS), type=pa.int64()),
+            "text": pa.array(texts),
+            "lang": pa.array(["en"] * N_DOCS),
+            "source": pa.array(["srcX"] * N_DOCS),
+        }
+    )
+
+
+@pytest.fixture(scope="module")
+def skew_index(ray_session, tmp_path_factory):
+    import ray.data as rd
+
+    d = str(tmp_path_factory.mktemp("skew"))
+    pages = rd.from_arrow(_skewed_documents()).map_batches(
+        lambda b: pages_from_documents(b), batch_format="pyarrow", batch_size=None
+    )
+    build_index(pages, d, num_parts=2, salt_factor=4)
+    return d
+
+
+def test_wand_skips_ranges_on_skewed_query(skew_index):
+    wand = Bm25Scorer(skew_index, k=10, mode="wand")
+    exh = Bm25Scorer(skew_index, k=10, mode="exhaustive")
+    q = "zyzzyva the"
+    w_hits, w_postings, w_ranges = wand.score_query(q)
+    e_hits, e_postings, _ = exh.score_query(q)
+    # rank identity first (pruning must be admissible)
+    assert [d for d, _ in w_hits] == [d for d, _ in e_hits]
+    np.testing.assert_allclose([s for _, s in w_hits], [s for _, s in e_hits], rtol=1e-12)
+    # the actual point: strictly less scoring work than exhaustive
+    assert w_postings < e_postings * 0.6, (w_postings, e_postings)
+    # and the top docs are the planted rare-term neighborhood
+    assert all(8200 <= d < 8210 for d, _ in w_hits)
+
+
+def test_wand_equals_exhaustive_on_pure_stopword_query(skew_index):
+    wand = Bm25Scorer(skew_index, k=10, mode="wand")
+    exh = Bm25Scorer(skew_index, k=10, mode="exhaustive")
+    w_hits, _, _ = wand.score_query("the data")
+    e_hits, _, _ = exh.score_query("the data")
+    assert [d for d, _ in w_hits] == [d for d, _ in e_hits]
