@@ -53,6 +53,7 @@ RESULT_SCHEMA = pa.schema(
         ("postings_scored", pa.int64()),
         ("blocks_decoded", pa.int64()),
         ("latency_us", pa.int64()),
+        ("actor_seq", pa.int64()),  # per-actor query ordinal (warm-up id)
     ]
 )
 
@@ -161,6 +162,7 @@ class Bm25Scorer:
         self._range_width = max((max_doc + n_ranges) // n_ranges, 4096)
         self._n_ranges_eff = (max_doc // self._range_width) + 1
         self._ub_cache: dict[str, np.ndarray] = {}
+        self._n_served = 0
 
     def _has_term(self, term: str) -> bool:
         if self.pack is not None:
@@ -304,6 +306,8 @@ class Bm25Scorer:
             t0 = time.perf_counter()
             hits, npost, nblk = self.score_query(text)
             lat_us = int((time.perf_counter() - t0) * 1e6)
+            seq = self._n_served
+            self._n_served += 1
             for rank, (doc_id, score) in enumerate(hits, start=1):
                 out["query_id"].append(qid)
                 out["rank"].append(rank)
@@ -312,6 +316,7 @@ class Bm25Scorer:
                 out["postings_scored"].append(npost)
                 out["blocks_decoded"].append(nblk)
                 out["latency_us"].append(lat_us)
+                out["actor_seq"].append(seq)
         return pa.Table.from_pydict(out, schema=RESULT_SCHEMA)
 
 
