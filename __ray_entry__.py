@@ -89,6 +89,22 @@ def _bm25_query(sf_dir: str, mode: str):
     return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _bm25_sharded(sf_dir: str):
+    """Doc-sharded serving path — exact, shares the BM25 oracle."""
+    from similaritysearch_jl_ray.functions.rounding import round6
+    from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index
+    from similaritysearch_jl_ray.pipelines.query import sharded_search
+    from similaritysearch_jl_ray.pipelines.queryset import queries_dataset
+
+    index_dir = ensure_index(sf_dir)
+    res = sharded_search(queries_dataset(), index_dir, k=K, n_shards=3, concurrency=2).to_pandas()
+    res = res[["query_id", "rank", "doc_id", "score"]].astype(
+        {"query_id": "int64", "rank": "int64", "doc_id": "int64", "score": "float64"}
+    )
+    res["score"] = round6(res["score"].to_numpy())
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def _random_projection_long(sf_dir: str):
     """Long format (vec_id, dim_idx, value): list columns don't sort/
     hash in the driver's value comparison."""
@@ -188,6 +204,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "corpus_stats": corpus_stats,
         "bm25_topk": lambda sf: _bm25_query(sf, "wand"),
         "bm25_topk_exhaustive": lambda sf: _bm25_query(sf, "exhaustive"),
+        "bm25_topk_sharded": _bm25_sharded,
         # -- dedup suite (SURVEY §2.6 neardup + task brief) ---------------
         "exact_dedup": dedup.exact_dedup,
         "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(sf, tau=0.5, n=3),
@@ -287,6 +304,7 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
 """,
         "bm25_topk": _bm25_sql(),
         "bm25_topk_exhaustive": _bm25_sql(),
+        "bm25_topk_sharded": _bm25_sql(),
         # -- dedup ---------------------------------------------------------
         "exact_dedup": (
             "SELECT min(doc_id)::BIGINT AS keeper_doc_id, count(*)::BIGINT AS group_size"

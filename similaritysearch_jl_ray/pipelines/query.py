@@ -350,6 +350,115 @@ def search(
     )
 
 
+def sharded_search(
+    queries_ds,
+    index_dir: str,
+    *,
+    k: int = 10,
+    n_shards: int = 4,
+    concurrency: int | tuple = 4,
+    batch_size: int = 64,
+):
+    """Doc-sharded serving (SURVEY.md §7): when the index is too large
+    for one actor, each shard scores only its doc-id range and emits a
+    partial top-k; a ``groupby(query_id)`` heap-merge under the same
+    (score desc, doc_id asc) tie rule reassembles the global top-k —
+    the ``ParallelExhaustiveSearch`` shape
+    (``/root/reference/src/parallel-exhaustive.jl:44-62``) with the
+    spinlock-guarded shared queue replaced by the shuffle merge.
+
+    Proven rank-identical to the unsharded search in tests (the
+    order-independence of the queue's tie rule is what makes the merge
+    exact — functions/topk.py).
+    """
+    import ray
+
+    pack_ref = _pack_ref(index_dir)
+    pack = ray.get(pack_ref)
+    max_doc = pack["stats"]["max_doc"]
+    width = max_doc // n_shards + 1
+    shards = [(s * width, min((s + 1) * width, max_doc + 1)) for s in range(n_shards)]
+
+    def fan_out(batch: pa.Table) -> pa.Table:
+        n = batch.num_rows
+        qid = batch["query_id"].to_numpy()
+        texts = batch["text"].to_pylist()
+        return pa.table(
+            {
+                "query_id": pa.array(np.repeat(qid, n_shards), type=pa.int64()),
+                "text": pa.array([t for t in texts for _ in range(n_shards)]),
+                "shard": pa.array(list(range(n_shards)) * n, type=pa.int64()),
+            }
+        )
+
+    class ShardScorer(Bm25Scorer):
+        """Scores each (query, shard) row against that shard's doc
+        range only — a stand-in for an actor that has loaded just its
+        shard's runs (range-salted head terms make that slicing a
+        file-level operation at scale)."""
+
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = {"query_id": [], "doc_id": [], "score": []}
+            for qid, text, shard in zip(
+                batch["query_id"].to_pylist(),
+                batch["text"].to_pylist(),
+                batch["shard"].to_pylist(),
+            ):
+                lo, hi = shards[int(shard)]
+                terms = self._query_terms(text)
+                ids_l, part_l = [], []
+                for t in terms:
+                    ids, partial = self._term_arrays(t)
+                    a = np.searchsorted(ids, lo, side="left")
+                    b = np.searchsorted(ids, hi, side="left")
+                    if a == b:
+                        continue
+                    ids_l.append(ids[a:b])
+                    part_l.append(partial[a:b])
+                if not ids_l:
+                    continue
+                uniq, scores = _accumulate(ids_l, part_l)
+                for j in topk_indices(scores, uniq, self.k):
+                    out["query_id"].append(qid)
+                    out["doc_id"].append(int(uniq[j]))
+                    out["score"].append(float(scores[j]))
+            return pa.table(
+                {
+                    "query_id": pa.array(out["query_id"], type=pa.int64()),
+                    "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                    "score": pa.array(out["score"], type=pa.float64()),
+                }
+            )
+
+    def merge(group: pa.Table) -> pa.Table:
+        qid = int(group["query_id"][0].as_py())
+        heap = TopK(k)
+        for d, s in zip(group["doc_id"].to_numpy(), group["score"].to_numpy()):
+            heap.push_score(float(s), int(d))
+        rows = heap.result()
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(rows), type=pa.int64()),
+                "rank": pa.array(np.arange(1, len(rows) + 1, dtype=np.int32), type=pa.int32()),
+                "doc_id": pa.array([d for d, _ in rows], type=pa.int64()),
+                "score": pa.array([s for _, s in rows], type=pa.float64()),
+            }
+        )
+
+    return (
+        queries_ds.map_batches(fan_out, batch_format="pyarrow")
+        .map_batches(
+            ShardScorer,
+            fn_constructor_kwargs={"pack_ref": pack_ref, "k": k},
+            batch_format="pyarrow",
+            batch_size=batch_size,
+            concurrency=concurrency,
+        )
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pyarrow")
+    )
+
+
 def search_to_parquet(
     queries_ds,
     index_dir: str,

@@ -124,3 +124,27 @@ def test_salting_produced_multiple_runs(index_dir):
     for runs in rdr.terms.values():
         for a, b in zip(runs[:-1], runs[1:]):
             assert a.block_last[-1] < b.block_first[0]
+
+
+def test_sharded_search_rank_identical(ray_session, index_dir):
+    """Doc-sharded partial top-k + heap merge == direct search
+    (SURVEY §7: 'partials merge ... same tie rule')."""
+    from similaritysearch_jl_ray.pipelines.query import sharded_search
+
+    direct = (
+        search(queries_dataset(), index_dir, k=K, mode="exhaustive", concurrency=2)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    sharded = (
+        sharded_search(queries_dataset(), index_dir, k=K, n_shards=3, concurrency=2)
+        .to_pandas()
+        .sort_values(["query_id", "rank"])
+        .reset_index(drop=True)
+    )
+    assert (direct["query_id"].to_numpy() == sharded["query_id"].to_numpy()).all()
+    assert (direct["doc_id"].to_numpy() == sharded["doc_id"].to_numpy()).all()
+    np.testing.assert_allclose(
+        direct["score"].to_numpy(), sharded["score"].to_numpy(), rtol=1e-12
+    )
