@@ -148,3 +148,25 @@ def test_sharded_search_rank_identical(ray_session, index_dir):
     np.testing.assert_allclose(
         direct["score"].to_numpy(), sharded["score"].to_numpy(), rtol=1e-12
     )
+
+
+def test_crashed_stage_d_debris_is_cleaned(ray_session, index_dir, tmp_path):
+    """Simulate a crash between the runs_tmp write and meta commit:
+    stale postings/part files + a leftover runs_tmp must not leak into
+    the rebuilt partition (stage D clears debris for missing parts)."""
+    d = str(tmp_path / "crash")
+    shutil.copytree(index_dir, d)
+    os.remove(os.path.join(d, "meta", "part=1.json"))
+    # plant debris: a bogus parquet in the un-committed part + runs_tmp
+    os.makedirs(os.path.join(d, "runs_tmp"), exist_ok=True)
+    with open(os.path.join(d, "runs_tmp", "garbage.bin"), "wb") as f:
+        f.write(b"\x00" * 128)
+    with open(os.path.join(d, "postings", "part=1", "stale.parquet"), "wb") as f:
+        f.write(b"not parquet")
+    build_index(pages_dataset(SF_DIR), d, num_parts=4, salt_factor=3)
+    assert not os.path.exists(os.path.join(d, "runs_tmp"))
+    assert not os.path.exists(os.path.join(d, "postings", "part=1", "stale.parquet"))
+    a = Bm25Scorer(index_dir, k=K, mode="exhaustive")
+    b = Bm25Scorer(d, k=K, mode="exhaustive")
+    for _, text in REFERENCE_QUERIES:
+        assert a.score_query(text)[0] == b.score_query(text)[0]
