@@ -48,3 +48,8 @@ HEAD_TERM_DF_FRACTION = 0.01   # df/N above this → term is salted ("head")
 # Number of decimal digits both the engine's oracle-facing outputs and
 # the DuckDB oracle round scores to before ranking/compare.
 SCORE_ROUND_DECIMALS = 6
+
+# On-disk segment layout version: bump on any change to RUN_SCHEMA /
+# stats.json shape so cached indexes from older code are rebuilt, not
+# misread (entry_helpers keys its /tmp cache by this).
+INDEX_LAYOUT_VERSION = 2

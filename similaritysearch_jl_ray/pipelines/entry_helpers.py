@@ -13,7 +13,7 @@ from __future__ import annotations
 import hashlib
 import os
 
-from ..config import SCORE_ROUND_DECIMALS
+from ..config import INDEX_LAYOUT_VERSION, SCORE_ROUND_DECIMALS
 
 __all__ = ["cached_index_dir", "ensure_index", "SCORE_ROUND_DECIMALS"]
 
@@ -22,7 +22,7 @@ _CACHE_ROOT = "/tmp/ssjr_cache"
 
 def cached_index_dir(sf_dir: str) -> str:
     tag = hashlib.sha1(os.path.abspath(sf_dir).encode()).hexdigest()[:12]
-    return os.path.join(_CACHE_ROOT, f"index_{tag}")
+    return os.path.join(_CACHE_ROOT, f"index_v{INDEX_LAYOUT_VERSION}_{tag}")
 
 
 def ensure_index(sf_dir: str, **build_kwargs) -> str:
