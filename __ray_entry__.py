@@ -173,7 +173,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         from similaritysearch_jl_ray.state.reader import IndexReader
 
         rdr = IndexReader(ensure_index(sf_dir))
-        items = sorted(rdr._df.items())
+        items = sorted(rdr.term_dfs().items())
         return pd.DataFrame(
             {"term": [t for t, _ in items], "df": pd.array([d for _, d in items], dtype="int64")}
         )

@@ -38,7 +38,15 @@ def main() -> int:
     import ray
 
     if not ray.is_initialized():  # under `ray job submit` the session exists
-        ray.init(address="local", include_dashboard=False, logging_level="ERROR")
+        # attach to the cluster the job manager points at; "local" only
+        # as the sandbox fallback when no RAY_ADDRESS is set
+        import os as _os
+
+        ray.init(
+            address=_os.environ.get("RAY_ADDRESS", "local"),
+            include_dashboard=False,
+            logging_level="ERROR",
+        )
     from ray.data import DataContext
 
     DataContext.get_current().enable_progress_bars = False

@@ -57,13 +57,39 @@ def shingle_hashes(tokens: list[str], n: int = 3) -> np.ndarray:
     return np.unique(np.fromiter((stable_u64(g) for g in set(grams)), dtype=np.uint64))
 
 
+def _mulmod_mersenne61(a: np.ndarray, x: np.ndarray) -> np.ndarray:
+    """Exact (a·x) mod (2^61−1), vectorized, no uint64 overflow.
+
+    Both operands must be < 2^61. The 122-bit product is formed in
+    32-bit limbs: a = ah·2^32 + al, x = xh·2^32 + xl, then reduced with
+    2^61 ≡ 1 (mod M) — so 2^64 ≡ 8 and mid·2^32 splits at bit 29.
+    Every intermediate below stays < 2^64 (bounds in comments)."""
+    M = np.uint64(_MERSENNE)
+    ah, al = a >> np.uint64(32), a & np.uint64(0xFFFFFFFF)   # ah < 2^29
+    xh, xl = x >> np.uint64(32), x & np.uint64(0xFFFFFFFF)   # xh < 2^29
+    # high term: ah·xh·2^64 ≡ ah·xh·8 ; ah·xh < 2^58 → ·8 < 2^61
+    hi = ((ah * xh) << np.uint64(3)) % M
+    # mid term: (ah·xl + al·xh)·2^32, each product < 2^61, sum < 2^62
+    mid = ah * xl + al * xh
+    mh, ml = mid >> np.uint64(29), mid & np.uint64((1 << 29) - 1)
+    # mid·2^32 = mh·2^61 + ml·2^32 ≡ mh + ml·2^32 ; ml·2^32 < 2^61
+    mid_red = (mh % M + ((ml << np.uint64(32)) % M)) % M
+    lo = (al * xl) % M                                        # < 2^64 pre-mod
+    return (hi + mid_red + lo) % M  # ≤ 3(M−1) < 2^63, no overflow
+
+
 def minhash_signature(shingles: np.ndarray) -> np.ndarray:
-    """64-perm MinHash signature (uint64) of a shingle-hash set."""
+    """64-perm MinHash signature (uint64) of a shingle-hash set.
+
+    A true affine permutation family over the 2^61−1 Mersenne field
+    (h = a·x + b mod M, a ∈ [1, M), b ∈ [0, M)) — the multiply is done
+    in 32-bit limbs so the field arithmetic is exact, preserving the
+    universal-hash collision bounds the LSH recall analysis assumes."""
     if len(shingles) == 0:
         return np.full(MINHASH_PERMS, np.uint64(_MERSENNE), dtype=np.uint64)
-    # (perm, shingle) affine over the Mersenne prime field
-    x = shingles.astype(np.uint64)[None, :]
-    h = (_A[:, None] * (x % np.uint64(_MERSENNE)) + _B[:, None]) % np.uint64(_MERSENNE)
+    x = shingles.astype(np.uint64)[None, :] % np.uint64(_MERSENNE)
+    prod = _mulmod_mersenne61(_A[:, None], x)
+    h = (prod + _B[:, None]) % np.uint64(_MERSENNE)
     return h.min(axis=1)
 
 

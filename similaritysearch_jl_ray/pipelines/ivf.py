@@ -18,6 +18,7 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..functions.rounding import round6
 from ..functions.topk import TopK
 from .ann import _matrix, load_embeddings
 
@@ -109,7 +110,7 @@ def knn_search_ivf(
                 "query_id": pa.array([qid] * len(rows), type=pa.int64()),
                 "rank": pa.array(np.arange(1, len(rows) + 1), type=pa.int64()),
                 "vec_id": pa.array([i for _, i in rows], type=pa.int64()),
-                "dist": pa.array([round(d, 6) for d, _ in rows], type=pa.float64()),
+                "dist": pa.array([round6(d) for d, _ in rows], type=pa.float64()),
             }
         )
 

@@ -113,16 +113,34 @@ def build_serving_pack(index_dir: str, params: Bm25Params | None = None) -> dict
     return {"stats": st, "terms": terms, "blocks": blocks}
 
 
-_PACK_CACHE: dict[str, object] = {}
+_PACK_CACHE: dict[tuple, object] = {}
+
+
+def _index_fingerprint(index_dir: str) -> tuple:
+    """Content fingerprint of an on-disk index: stats.json identity plus
+    the delta-segment listing. rebuild() rewrites stats.json and
+    append_pages() adds a delta dir, so either changes the fingerprint
+    and invalidates any cached serving pack for the old state."""
+    import os
+
+    st = os.stat(os.path.join(index_dir, "stats.json"))
+    deltas = tuple(sorted(n for n in os.listdir(index_dir) if n.startswith("delta=")))
+    return (int(st.st_mtime_ns), int(st.st_size), deltas)
 
 
 def _pack_ref(index_dir: str):
-    """ray.put the serving pack once per driver process per index."""
+    """ray.put the serving pack once per driver process per index
+    *state* (cache keyed by content fingerprint, not just path)."""
     import ray
 
-    ref = _PACK_CACHE.get(index_dir)
+    key = (index_dir, _index_fingerprint(index_dir))
+    ref = _PACK_CACHE.get(key)
     if ref is None:
-        ref = _PACK_CACHE[index_dir] = ray.put(build_serving_pack(index_dir))
+        # drop refs for stale states of this index_dir so the object
+        # store can reclaim the old pack
+        for k in [k for k in _PACK_CACHE if k[0] == index_dir]:
+            del _PACK_CACHE[k]
+        ref = _PACK_CACHE[key] = ray.put(build_serving_pack(index_dir))
     return ref
 
 
@@ -280,7 +298,9 @@ class Bm25Scorer:
             if not ids_l:
                 continue
             uniq, scores = _accumulate(ids_l, part_l)
-            postings_scored += int(sum(len(i) for i in ids_l))
+            n_scored = int(sum(len(i) for i in ids_l))
+            postings_scored += n_scored
+            heap.costdist += n_scored  # reference costdist: one score eval per posting
             heap.costblk += 1
             theta = heap.theta()
             if len(heap) >= self.k:

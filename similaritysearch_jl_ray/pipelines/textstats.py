@@ -110,7 +110,11 @@ def lang_id(sf_dir: str):
         preds = []
         for text in batch["text"].to_pylist():
             toks = set(tokenize(text))
-            best, best_score = "en", -1
+            # best_score starts at 0 so zero-evidence docs keep the
+            # documented deterministic 'en' fallback (strict > means
+            # the first language to reach a score owns it; ties break
+            # by sorted language order)
+            best, best_score = "en", 0
             for lang in sorted(_LANG_MARKERS):
                 score = sum(m in toks for m in _LANG_MARKERS[lang])
                 if score > best_score:

@@ -88,6 +88,10 @@ class IndexReader:
     def df(self, term: str) -> int:
         return self._df.get(term, 0)
 
+    def term_dfs(self) -> dict[str, int]:
+        """Public snapshot of the term dictionary: {term: df}."""
+        return dict(self._df)
+
     def idf(self, term: str) -> float:
         return float(_idf(self.df(term), self.n_docs))
 
