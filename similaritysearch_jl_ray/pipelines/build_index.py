@@ -262,9 +262,14 @@ def build_index(
             runs_dir, partition_cols=["part"], compression="zstd"
         )
 
-        # D2: one merge task per output partition
+        # D2: one merge task per output partition. Arrow-native: the
+        # part table is never converted to Python rows — single-run
+        # groups pass through via one vectorized ``take`` (payload
+        # buffers are sliced zero-copy), and only multi-run groups
+        # (two batches emitted the same (term, salt)) decode/re-encode.
         @ray.remote
         def merge_part(part: int) -> dict:
+            import pyarrow.compute as pc
             import pyarrow.dataset as pads
             import pyarrow.parquet as pqw
 
@@ -273,51 +278,65 @@ def build_index(
             part_in = os.path.join(runs_dir, f"part={part}")
             part_out = os.path.join(postings_dir, f"part={part}")
             os.makedirs(part_out, exist_ok=True)
-            out_rows = []
-            n_postings = n_tokens = payload_bytes = 0
-            if os.path.isdir(part_in):
-                tbl = pads.dataset(part_in, format="parquet").to_table()
-                skeys = np.asarray(tbl["skey"].to_pylist(), dtype=object)
-                order = np.argsort(skeys, kind="stable")
-                bounds = np.flatnonzero(
-                    np.r_[True, skeys[order][1:] != skeys[order][:-1], True]
-                )
-                rows = tbl.to_pylist()
-                for a, b in zip(bounds[:-1], bounds[1:]):
-                    grp = [rows[int(i)] for i in order[a:b]]
-                    if len(grp) == 1:
-                        enc = EncodedPostings.from_row(grp[0])
-                    else:
-                        runs = [EncodedPostings.from_row(r) for r in grp]
-                        decoded = [decode_all(r) for r in runs]
-                        ids = np.concatenate([d[0] for d in decoded])
-                        tf = np.concatenate([d[1] for d in decoded])
-                        dl = np.concatenate([d[2] for d in decoded])
-                        o = np.argsort(ids, kind="stable")
-                        enc = encode_postings(ids[o], tf[o], dl[o], block_size=block_size)
-                    row = enc.to_row(grp[0]["term"])
-                    row["salt"] = grp[0]["salt"]
-                    row["part"] = part
-                    n_postings += enc.df
-                    n_tokens += enc.cf
-                    payload_bytes += len(enc.payload)
-                    out_rows.append(row)
             schema = RUN_SCHEMA.remove(RUN_SCHEMA.get_field_index("skey"))
+            out_tbl = pa.Table.from_pylist([], schema=schema)
+            if os.path.isdir(part_in):
+                tbl = pads.dataset(part_in, format="parquet").to_table().combine_chunks()
+            else:
+                tbl = None
+            if tbl is not None and tbl.num_rows:
+                skeys = tbl.column("skey").to_numpy(zero_copy_only=False)
+                order = np.argsort(skeys, kind="stable")
+                sk = skeys[order]
+                bounds = np.flatnonzero(np.r_[True, sk[1:] != sk[:-1], True])
+                sizes = np.diff(bounds)
+                # group ordinal (skey-ascending) keeps the output row
+                # order identical to the per-group loop it replaces
+                single = sizes == 1
+                pieces, gpos = [], []
+                if single.any():
+                    idx = order[bounds[:-1][single]]
+                    s_tbl = tbl.take(pa.array(idx, type=pa.int64()))
+                    cols = {n: s_tbl.column(n) for n in schema.names if n != "part"}
+                    cols["part"] = pa.array(
+                        np.full(len(idx), part, dtype=np.int64), type=pa.int64()
+                    )
+                    pieces.append(pa.Table.from_pydict(cols, schema=schema))
+                    gpos.append(np.flatnonzero(single))
+                merged_rows = []
+                for g in np.flatnonzero(~single):
+                    idxs = order[bounds[g] : bounds[g + 1]]
+                    decoded = [
+                        decode_all(EncodedPostings.from_arrow_row(tbl, int(i))) for i in idxs
+                    ]
+                    ids = np.concatenate([d[0] for d in decoded])
+                    tf = np.concatenate([d[1] for d in decoded])
+                    dl = np.concatenate([d[2] for d in decoded])
+                    o = np.argsort(ids, kind="stable")
+                    enc = encode_postings(ids[o], tf[o], dl[o], block_size=block_size)
+                    row = enc.to_row(tbl.column("term")[int(idxs[0])].as_py())
+                    row["salt"] = tbl.column("salt")[int(idxs[0])].as_py()
+                    row["part"] = part
+                    merged_rows.append(row)
+                if merged_rows:
+                    pieces.append(pa.Table.from_pylist(merged_rows, schema=schema))
+                    gpos.append(np.flatnonzero(~single))
+                out_tbl = pa.concat_tables(pieces)
+                g_all = np.concatenate(gpos)
+                if not (np.diff(g_all) > 0).all():  # interleave back to skey order
+                    out_tbl = out_tbl.take(pa.array(np.argsort(g_all), type=pa.int64()))
             pqw.write_table(
-                pa.Table.from_pylist(out_rows, schema=schema),
-                os.path.join(part_out, "segment.parquet"),
-                compression="zstd",
+                out_tbl, os.path.join(part_out, "segment.parquet"), compression="zstd"
             )
+            flat_last = pc.list_flatten(out_tbl.column("block_last"))
             return {
                 "part": part,
-                "terms": len({r["term"] for r in out_rows}),
-                "runs": len(out_rows),
-                "postings": int(n_postings),
-                "tokens": int(n_tokens),
-                "payload_bytes": int(payload_bytes),
-                "max_doc": max(
-                    (int(r["block_last"][-1]) for r in out_rows if r["block_last"]), default=-1
-                ),
+                "terms": pc.count_distinct(out_tbl.column("term")).as_py() if out_tbl.num_rows else 0,
+                "runs": out_tbl.num_rows,
+                "postings": int(pc.sum(out_tbl.column("df")).as_py() or 0),
+                "tokens": int(pc.sum(out_tbl.column("cf")).as_py() or 0),
+                "payload_bytes": int(pc.sum(pc.binary_length(out_tbl.column("payload"))).as_py() or 0),
+                "max_doc": int(pc.max(flat_last).as_py()) if len(flat_last) else -1,
             }
 
         metas = ray.get([merge_part.remote(p) for p in missing])

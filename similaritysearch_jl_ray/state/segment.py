@@ -77,6 +77,30 @@ class EncodedPostings:
         }
 
     @classmethod
+    def from_arrow_row(cls, tbl, i: int) -> "EncodedPostings":
+        """Zero-copy construction from row ``i`` of a (combined-chunk)
+        Arrow table with the segment schema: list columns map straight
+        onto their int buffers and ``payload`` stays a ``pa.Buffer``
+        (``np.frombuffer`` in the decode path accepts any buffer
+        protocol object — no bytes copy is made)."""
+
+        def arr(name, dtype):
+            return tbl.column(name)[i].values.to_numpy(zero_copy_only=True).astype(dtype, copy=False)
+
+        return cls(
+            df=tbl.column("df")[i].as_py(),
+            cf=tbl.column("cf")[i].as_py(),
+            payload=tbl.column("payload")[i].as_buffer(),
+            block_first=arr("block_first", np.int64),
+            block_last=arr("block_last", np.int64),
+            block_count=arr("block_count", np.int32),
+            block_offset=arr("block_offset", np.int64),
+            block_vstart=arr("block_vstart", np.int64),
+            block_max_tf=arr("block_max_tf", np.int64),
+            block_min_dl=arr("block_min_dl", np.int64),
+        )
+
+    @classmethod
     def from_row(cls, row: dict) -> "EncodedPostings":
         return cls(
             df=int(row["df"]),
