@@ -61,6 +61,8 @@ RUN_SCHEMA = pa.schema(
         ("term", pa.string()),
         ("df", pa.int64()),
         ("cf", pa.int64()),
+        ("run_first", pa.int64()),
+        ("run_last", pa.int64()),
         ("payload", pa.binary()),
         ("block_first", pa.list_(pa.int64())),
         ("block_last", pa.list_(pa.int64())),

@@ -81,7 +81,12 @@ def _accumulate(ids_list, partial_list):
     return uniq, scores
 
 
-def build_serving_pack(index_dir: str, params: Bm25Params | None = None) -> dict:
+def build_serving_pack(
+    index_dir: str,
+    params: Bm25Params | None = None,
+    parts: list[int] | None = None,
+    doc_range: tuple[int, int] | None = None,
+) -> dict:
     """Pre-decode the index into flat numpy arrays for broadcast.
 
     ``{"stats": ..., "terms": {term: (doc_ids, partial_scores)},
@@ -90,10 +95,12 @@ def build_serving_pack(index_dir: str, params: Bm25Params | None = None) -> dict
     Broadcast once via ``ray.put``: every scorer actor on a node then
     maps the arrays zero-copy out of the shared object store instead of
     decoding its own copy — actor-pool warm-up cost stops scaling with
-    pool size. (At 100 TB this pack is per index *part*, built by a
-    task per part and read only by the actors serving that part.)
+    pool size. ``parts`` / ``doc_range`` build a *pinned* pack holding
+    only that slice of the index (the per-part pack a task builds for
+    the actors serving that part at 100 TB); arrays of boundary runs
+    may spill past ``doc_range`` — the scorer slices at query time.
     """
-    rdr = IndexReader(index_dir)
+    rdr = IndexReader(index_dir, parts=parts, doc_range=doc_range)
     st = rdr.stats
     p = params or Bm25Params(k1=st["k1"], b=st["b"])
     terms, blocks = {}, {}
@@ -157,7 +164,10 @@ class Bm25Scorer:
         params: Bm25Params | None = None,
         n_ranges: int = 256,
         pack_ref=None,
+        parts: list[int] | None = None,
+        doc_range: tuple[int, int] | None = None,
     ):
+        self.doc_range = doc_range
         if pack_ref is not None:
             import ray
 
@@ -165,7 +175,11 @@ class Bm25Scorer:
             st = self.pack["stats"]
             self.reader = None
         else:
-            self.reader = IndexReader(index_dir)
+            # pinned construction: the actor loads ONLY its parts /
+            # doc-range-overlapping runs (reader pushes the range
+            # filter into the parquet scan) — no whole-index state
+            # anywhere on this path
+            self.reader = IndexReader(index_dir, parts=parts, doc_range=doc_range)
             st = self.reader.stats
             self.pack = None
         self.stats = st
@@ -203,15 +217,26 @@ class Bm25Scorer:
     def _term_arrays(self, term: str) -> tuple[np.ndarray, np.ndarray]:
         """Actor-cached (doc_ids, idf·tf_norm partial scores) per term —
         the pinned "impact" arrays; decoded + scored once per actor
-        (the reference's context-cache pattern, context.jl:41-53)."""
-        if self.pack is not None:
-            return self.pack["terms"][term]
+        (the reference's context-cache pattern, context.jl:41-53).
+        With ``doc_range`` set, boundary runs are sliced to the range
+        here (idf/df stay global — reader contract), so a doc-sharded
+        scorer's values are bit-identical to the same docs' values in
+        unsharded scoring."""
         hit = self._scores_cache.get(term)
-        if hit is None:
+        if hit is not None:
+            return hit
+        if self.pack is not None:
+            ids, partial = self.pack["terms"][term]
+        else:
             ids, tfs, dls = self.reader.postings_cached(term)
             partial = self.reader.idf(term) * tf_norm(tfs, dls, self.reader.avgdl, self.params)
-            hit = self._scores_cache[term] = (ids, partial)
-        return hit
+        if self.doc_range is not None:
+            lo, hi = self.doc_range
+            a = np.searchsorted(ids, lo, side="left")
+            b = np.searchsorted(ids, hi, side="left")
+            ids, partial = ids[a:b], partial[a:b]
+        self._scores_cache[term] = (ids, partial)
+        return ids, partial
 
     def _term_blocks(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """(block_first, block_last, idf·block_max) across runs."""
@@ -370,85 +395,71 @@ def search(
     )
 
 
+def _combined_max_doc(index_dir: str) -> int:
+    """max_doc across the base segment and any delta segments — from
+    the tiny stats.json files only (no index decode on the driver)."""
+    import json as _json
+    import os as _os
+
+    with open(_os.path.join(index_dir, "stats.json")) as f:
+        m = _json.load(f)["max_doc"]
+    for name in sorted(_os.listdir(index_dir)):
+        if name.startswith("delta="):
+            with open(_os.path.join(index_dir, name, "stats.json")) as f:
+                m = max(m, _json.load(f)["max_doc"])
+    return int(m)
+
+
 def sharded_search(
     queries_ds,
     index_dir: str,
     *,
     k: int = 10,
     n_shards: int = 4,
-    concurrency: int | tuple = 4,
+    mode: str = "exhaustive",
+    concurrency: int | tuple = 2,
     batch_size: int = 64,
+    num_cpus: float | None = None,
 ):
-    """Doc-sharded serving (SURVEY.md §7): when the index is too large
-    for one actor, each shard scores only its doc-id range and emits a
-    partial top-k; a ``groupby(query_id)`` heap-merge under the same
+    """Doc-sharded serving — the default large-index path (SURVEY.md
+    §7): one actor pool per doc-id shard, each actor constructed with
+    ``doc_range=(lo, hi)`` so it loads ONLY the runs overlapping its
+    shard (parquet range pushdown on run_first/run_last — range-salted
+    head terms make most bytes skippable); each shard emits a partial
+    top-k and a ``groupby(query_id)`` heap-merge under the same
     (score desc, doc_id asc) tie rule reassembles the global top-k —
     the ``ParallelExhaustiveSearch`` shape
     (``/root/reference/src/parallel-exhaustive.jl:44-62``) with the
-    spinlock-guarded shared queue replaced by the shuffle merge.
+    spinlock-guarded shared queue replaced by the union + shuffle merge.
 
-    Proven rank-identical to the unsharded search in tests (the
-    order-independence of the queue's tie rule is what makes the merge
-    exact — functions/topk.py).
+    Nothing whole-index is ever built or broadcast: the driver reads
+    only stats.json. Proven rank-identical to the unsharded search in
+    tests (df/idf stay global per the reader contract, a doc's partial
+    sum happens entirely inside one shard in term-major order, and the
+    queue's tie rule is order-independent — functions/topk.py).
     """
-    import ray
-
-    pack_ref = _pack_ref(index_dir)
-    pack = ray.get(pack_ref)
-    max_doc = pack["stats"]["max_doc"]
+    max_doc = _combined_max_doc(index_dir)
     width = max_doc // n_shards + 1
     shards = [(s * width, min((s + 1) * width, max_doc + 1)) for s in range(n_shards)]
 
-    def fan_out(batch: pa.Table) -> pa.Table:
-        n = batch.num_rows
-        qid = batch["query_id"].to_numpy()
-        texts = batch["text"].to_pylist()
-        return pa.table(
-            {
-                "query_id": pa.array(np.repeat(qid, n_shards), type=pa.int64()),
-                "text": pa.array([t for t in texts for _ in range(n_shards)]),
-                "shard": pa.array(list(range(n_shards)) * n, type=pa.int64()),
-            }
+    extra = {"num_cpus": num_cpus} if num_cpus is not None else {}
+    branches = []
+    for lo, hi in shards:
+        branches.append(
+            queries_ds.map_batches(
+                Bm25Scorer,
+                fn_constructor_kwargs={
+                    "index_dir": index_dir,
+                    "k": k,
+                    "mode": mode,
+                    "doc_range": (lo, hi),
+                },
+                batch_format="pyarrow",
+                batch_size=batch_size,
+                concurrency=concurrency,
+                **extra,
+            ).select_columns(["query_id", "doc_id", "score"])
         )
-
-    class ShardScorer(Bm25Scorer):
-        """Scores each (query, shard) row against that shard's doc
-        range only — a stand-in for an actor that has loaded just its
-        shard's runs (range-salted head terms make that slicing a
-        file-level operation at scale)."""
-
-        def __call__(self, batch: pa.Table) -> pa.Table:
-            out = {"query_id": [], "doc_id": [], "score": []}
-            for qid, text, shard in zip(
-                batch["query_id"].to_pylist(),
-                batch["text"].to_pylist(),
-                batch["shard"].to_pylist(),
-            ):
-                lo, hi = shards[int(shard)]
-                terms = self._query_terms(text)
-                ids_l, part_l = [], []
-                for t in terms:
-                    ids, partial = self._term_arrays(t)
-                    a = np.searchsorted(ids, lo, side="left")
-                    b = np.searchsorted(ids, hi, side="left")
-                    if a == b:
-                        continue
-                    ids_l.append(ids[a:b])
-                    part_l.append(partial[a:b])
-                if not ids_l:
-                    continue
-                uniq, scores = _accumulate(ids_l, part_l)
-                for j in topk_indices(scores, uniq, self.k):
-                    out["query_id"].append(qid)
-                    out["doc_id"].append(int(uniq[j]))
-                    out["score"].append(float(scores[j]))
-            return pa.table(
-                {
-                    "query_id": pa.array(out["query_id"], type=pa.int64()),
-                    "doc_id": pa.array(out["doc_id"], type=pa.int64()),
-                    "score": pa.array(out["score"], type=pa.float64()),
-                }
-            )
 
     def merge(group: pa.Table) -> pa.Table:
         qid = int(group["query_id"][0].as_py())
@@ -465,18 +476,8 @@ def sharded_search(
             }
         )
 
-    return (
-        queries_ds.map_batches(fan_out, batch_format="pyarrow")
-        .map_batches(
-            ShardScorer,
-            fn_constructor_kwargs={"pack_ref": pack_ref, "k": k},
-            batch_format="pyarrow",
-            batch_size=batch_size,
-            concurrency=concurrency,
-        )
-        .groupby("query_id")
-        .map_groups(merge, batch_format="pyarrow")
-    )
+    u = branches[0].union(*branches[1:]) if len(branches) > 1 else branches[0]
+    return u.groupby("query_id").map_groups(merge, batch_format="pyarrow")
 
 
 def search_to_parquet(

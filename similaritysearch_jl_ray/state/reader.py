@@ -3,8 +3,22 @@
 Plays the role of the reference's shared read-only index + per-thread
 context caches (``/root/reference/src/searchgraph/context.jl:41-53``):
 one reader is constructed per scorer *actor* (once, in ``__init__``)
-and pins the term dictionary + encoded runs for its parts in memory;
+and pins the term dictionary + encoded runs for its slice in memory;
 per-query scratch (heaps, decode caches) is reused across queries.
+
+Pinning axes (both optional, composable):
+
+* ``parts=[...]`` — load only these term-hash partitions (term-sharded
+  serving; a term lives in exactly one part).
+* ``doc_range=(lo, hi)`` — load only runs whose doc-id span overlaps
+  ``[lo, hi)`` (doc-sharded serving). The filter is pushed into the
+  parquet scan on the scalar ``run_first``/``run_last`` columns, so a
+  shard actor never materializes out-of-shard payload bytes; range
+  salting of head terms makes most of a big term's bytes skippable at
+  row-group granularity. Per-term **df stays global**: the reader
+  reads the tiny (term, df) projection of every run row so idf is
+  identical across shards — the invariant that makes the doc-sharded
+  merge rank-identical to unsharded serving.
 
 A term's logical posting list is the concatenation of its salted runs
 in ascending salt order (doc-id ranges are disjoint and ordered by
@@ -25,16 +39,23 @@ __all__ = ["IndexReader"]
 
 
 class IndexReader:
-    def __init__(self, index_dir: str, parts: list[int] | None = None):
+    def __init__(
+        self,
+        index_dir: str,
+        parts: list[int] | None = None,
+        doc_range: tuple[int, int] | None = None,
+    ):
         # base index first, then delta segments in append order — each
         # delta's doc ids are strictly above the previous segment's
         # (lifecycle.append_pages contract), so per-term run lists stay
         # range-ordered and logical concatenation serves both.
+        self.doc_range = doc_range
         dirs = [index_dir]
         for name in sorted(os.listdir(index_dir)):
             if name.startswith("delta="):
                 dirs.append(os.path.join(index_dir, name))
         self.terms: dict[str, list[EncodedPostings]] = {}
+        self._df: dict[str, int] = {}
         n_docs = total_tokens = 0
         max_doc = -1
         self.stats: dict = {}
@@ -52,7 +73,6 @@ class IndexReader:
         )
         self.n_docs = n_docs
         self.avgdl = self.stats["avgdl"]
-        self._df = {t: sum(r.df for r in runs) for t, runs in self.terms.items()}
         # decoded-postings cache: the actor-resident analog of the
         # reference's per-thread context caches (context.jl:41-53) —
         # repeated query terms skip re-decoding. Unbounded here (vocab
@@ -71,15 +91,34 @@ class IndexReader:
             meta_path = os.path.join(seg_dir, "meta", f"part={p}.json")
             if not os.path.exists(meta_path):
                 raise FileNotFoundError(f"index part {p} incomplete (no meta): {meta_path}")
-            rows = pads.dataset(part_dir, format="parquet").to_table().to_pylist()
-            bysalt: dict[str, list[tuple[int, EncodedPostings]]] = {}
-            for row in rows:
-                bysalt.setdefault(row["term"], []).append(
-                    (row["salt"], EncodedPostings.from_row(row))
+            ds = pads.dataset(part_dir, format="parquet")
+            if self.doc_range is None:
+                tbl = ds.to_table().combine_chunks()
+                df_terms = tbl.column("term").to_numpy(zero_copy_only=False)
+                df_vals = tbl.column("df").to_numpy()
+            else:
+                lo, hi = self.doc_range
+                # global df from the tiny metadata projection (no payload I/O)
+                meta_tbl = ds.to_table(columns=["term", "df"])
+                df_terms = meta_tbl.column("term").to_numpy(zero_copy_only=False)
+                df_vals = meta_tbl.column("df").to_numpy()
+                tbl = ds.to_table(
+                    filter=(pads.field("run_last") >= lo) & (pads.field("run_first") < hi)
+                ).combine_chunks()
+            for t, v in zip(df_terms.tolist(), df_vals.tolist()):
+                self._df[t] = self._df.get(t, 0) + int(v)
+            if tbl.num_rows == 0:
+                continue
+            t_col = tbl.column("term").to_numpy(zero_copy_only=False)
+            s_col = tbl.column("salt").to_numpy()
+            # stable two-key sort (term, then salt); np.lexsort is
+            # unreliable on object (string) arrays, so compose argsorts
+            order = np.argsort(s_col, kind="stable")
+            order = order[np.argsort(t_col[order], kind="stable")]
+            for i in order:
+                self.terms.setdefault(t_col[i], []).append(
+                    EncodedPostings.from_arrow_row(tbl, int(i))
                 )
-            for term, runs in bysalt.items():
-                runs.sort(key=lambda t: t[0])
-                self.terms.setdefault(term, []).extend(r for _, r in runs)
         return st
 
     def __contains__(self, term: str) -> bool:
@@ -89,7 +128,7 @@ class IndexReader:
         return self._df.get(term, 0)
 
     def term_dfs(self) -> dict[str, int]:
-        """Public snapshot of the term dictionary: {term: df}."""
+        """Public snapshot of the term dictionary: {term: global df}."""
         return dict(self._df)
 
     def idf(self, term: str) -> float:

@@ -66,6 +66,12 @@ class EncodedPostings:
             "term": term,
             "df": self.df,
             "cf": self.cf,
+            # run-level doc-id span as SCALAR columns: lets a doc-range
+            # pinned reader push `run_last >= lo AND run_first < hi`
+            # down into the parquet scan (row-group skip) instead of
+            # reading every run's payload (-1 sentinel for empty runs)
+            "run_first": int(self.block_first[0]) if len(self.block_first) else -1,
+            "run_last": int(self.block_last[-1]) if len(self.block_last) else -1,
             "payload": self.payload,
             "block_first": self.block_first.tolist(),
             "block_last": self.block_last.tolist(),

@@ -150,6 +150,47 @@ def test_sharded_search_rank_identical(ray_session, index_dir):
     )
 
 
+def test_doc_range_pinned_reader_loads_only_overlapping_runs(index_dir):
+    """A doc-sharded actor must never load out-of-shard runs: the
+    pinned reader keeps only runs overlapping its range (pushdown on
+    run_first/run_last), while per-term df stays GLOBAL so idf — and
+    therefore scores — are identical across shards."""
+    from similaritysearch_jl_ray.state.reader import IndexReader
+
+    full = IndexReader(index_dir)
+    max_doc = full.stats["max_doc"]
+    lo, hi = max_doc // 3, 2 * max_doc // 3
+    pinned = IndexReader(index_dir, doc_range=(lo, hi))
+    n_full = sum(len(r) for r in full.terms.values())
+    n_pinned = sum(len(r) for r in pinned.terms.values())
+    assert 0 < n_pinned < n_full  # salted head-term runs outside the range skipped
+    for runs in pinned.terms.values():
+        for r in runs:
+            assert r.block_last[-1] >= lo and r.block_first[0] < hi
+    assert pinned.term_dfs() == full.term_dfs()  # df global, not shard-local
+    assert pinned.stats["n_docs"] == full.stats["n_docs"]
+
+
+def test_pinned_scorers_cover_exactly_the_direct_results(index_dir, gold):
+    """Union of doc-range-pinned scorers' partials merged under the
+    queue tie rule == direct search, bit-identical scores."""
+    from similaritysearch_jl_ray.functions.topk import TopK
+
+    max_doc = json.load(open(os.path.join(index_dir, "stats.json")))["max_doc"]
+    width = max_doc // 3 + 1
+    scorers = [
+        Bm25Scorer(index_dir, k=K, mode="exhaustive", doc_range=(s * width, (s + 1) * width))
+        for s in range(3)
+    ]
+    direct = Bm25Scorer(index_dir, k=K, mode="exhaustive")
+    for qid, text in REFERENCE_QUERIES:
+        heap = TopK(K)
+        for sc in scorers:
+            for doc_id, score in sc.score_query(text)[0]:
+                heap.push_score(score, doc_id)
+        assert heap.result() == direct.score_query(text)[0]
+
+
 def test_crashed_stage_d_debris_is_cleaned(ray_session, index_dir, tmp_path):
     """Simulate a crash between the runs_tmp write and meta commit:
     stale postings/part files + a leftover runs_tmp must not leak into
