@@ -18,13 +18,17 @@ Two modes, proven rank-identical by tests:
 * ``exhaustive`` — decode every posting of every query term, vectorized
   accumulate, closed-form top-k (the ``ExhaustiveSearch`` analog,
   ``src/sequential-exhaustive.jl:57-69``).
-* ``wand`` — block-max pruning: doc-id space is cut into ranges; each
-  range gets an upper bound Σ_t idf_t·max(block-max tf-norms of t's
-  blocks overlapping it); ranges are scored best-first and scoring
-  stops when the bound drops strictly below θ (ties can still enter
-  only via a smaller doc_id, and a bound *equal* to θ cannot produce a
-  smaller doc_id than the incumbent frontier… it can — so we stop only
-  on strict ``ub < θ`` and additionally require the heap to be full).
+* ``wand`` — impact-ordered pruning (the Anh–Moffat impact-ordered /
+  MaxScore family, published top-k early-termination): each term's
+  partial scores ("impacts") are kept sorted descending; candidates
+  are the union of every term's top-P impact prefix, exact-rescored
+  against the doc-ordered arrays. θ (= ``covradius``/``theta`` of the
+  k-th candidate) is compared to U = Σ_t (first unscanned impact of
+  t): any doc outside every prefix scores ≤ U, so ``θ > U`` (strict —
+  a tie could still lose on doc_id the other way) proves the top-k is
+  final. P doubles until that holds; a work budget falls back to the
+  exhaustive path on dense corpora where pruning cannot win, bounding
+  the overhead.
 
 Cost counters mirror the reference (``costdist``/``costblk``,
 ``src/pqueue/knnsorted.jl:10-13``): ``postings_scored`` and
@@ -103,11 +107,22 @@ def build_serving_pack(
     rdr = IndexReader(index_dir, parts=parts, doc_range=doc_range)
     st = rdr.stats
     p = params or Bm25Params(k1=st["k1"], b=st["b"])
-    terms, blocks = {}, {}
+    terms, blocks, imp, dense = {}, {}, {}, {}
+    span = int(st["max_doc"]) + 1 if doc_range is None else int(doc_range[1] - doc_range[0])
+    base = 0 if doc_range is None else int(doc_range[0])
     for term in rdr.terms:
         ids, tfs, dls = rdr.postings(term)
         partial = rdr.idf(term) * tf_norm(tfs, dls, rdr.avgdl, p)
         terms[term] = (ids, partial)
+        # impact-ordered view (impact desc, doc_id asc) for the pruned
+        # mode — computed once here, shared zero-copy by every actor
+        o = np.lexsort((ids, -partial))
+        imp[term] = (ids[o], partial[o])
+        # dense rescore array for head terms (see Bm25Scorer._term_dense)
+        if span > 0 and len(ids) >= max(64, span // 20) and doc_range is None:
+            arr = np.zeros(span, dtype=np.float64)
+            arr[ids - base] = partial
+            dense[term] = arr
         w = rdr.idf(term)
         runs = rdr.runs(term)
         blocks[term] = (
@@ -117,7 +132,7 @@ def build_serving_pack(
                 [w * tf_norm(r.block_max_tf, r.block_min_dl, rdr.avgdl, p) for r in runs]
             ),
         )
-    return {"stats": st, "terms": terms, "blocks": blocks}
+    return {"stats": st, "terms": terms, "blocks": blocks, "imp": imp, "dense": dense}
 
 
 _PACK_CACHE: dict[tuple, object] = {}
@@ -162,7 +177,7 @@ class Bm25Scorer:
         k: int = 10,
         mode: str = "wand",
         params: Bm25Params | None = None,
-        n_ranges: int = 256,
+        prefix0: int = 1024,
         pack_ref=None,
         parts: list[int] | None = None,
         doc_range: tuple[int, int] | None = None,
@@ -186,14 +201,14 @@ class Bm25Scorer:
         self.k = k
         self.mode = mode
         self.params = params or Bm25Params(k1=st["k1"], b=st["b"])
-        self.n_ranges = n_ranges
+        self.prefix0 = prefix0  # initial impact-prefix depth (see _score_wand)
         self.heap = TopK(k)  # reused across queries (reference `reuse!`)
         self._scores_cache: dict[str, tuple] = {}
-        # fixed range grid for WAND (see _score_wand)
-        max_doc = st["max_doc"]
-        self._range_width = max((max_doc + n_ranges) // n_ranges, 4096)
-        self._n_ranges_eff = (max_doc // self._range_width) + 1
-        self._ub_cache: dict[str, np.ndarray] = {}
+        self._impact_cache: dict[str, tuple] = {}
+        self._dense_cache: dict[str, object] = {}
+        # doc-id span this scorer serves (bounds dense rescore arrays;
+        # in sharded mode the shard width bounds it, the 100 TB story)
+        self._span = doc_range if doc_range is not None else (0, st["max_doc"] + 1)
         self._n_served = 0
 
     def _has_term(self, term: str) -> bool:
@@ -269,76 +284,136 @@ class Bm25Scorer:
             int(nblocks),
         )
 
-    def _term_ub(self, term: str) -> np.ndarray:
-        """Query-independent per-range upper bound of one term's
-        contribution: per-range MAX over its blocks' (idf·block-max)
-        values. Cached per actor — the block-max skip metadata pinned
-        next to the postings, as in a BMW index."""
-        tub = self._ub_cache.get(term)
-        if tub is not None:
-            return tub
-        width, n_ranges = self._range_width, self._n_ranges_eff
-        firsts, lasts, b_ub = self._term_blocks(term)
-        tub = np.zeros(n_ranges, dtype=np.float64)
-        lo = firsts // width
-        hi = lasts // width
-        same = lo == hi  # vectorized fast path: block within one range
-        if same.any():
-            np.maximum.at(tub, lo[same], b_ub[same])
-        for j in np.flatnonzero(~same):
-            sl = slice(int(lo[j]), int(hi[j]) + 1)
-            np.maximum(tub[sl], b_ub[j], out=tub[sl])
-        self._ub_cache[term] = tub
-        return tub
+    def _term_impacts(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """Impact-ordered view of a term's postings: (doc_ids, partial
+        scores) sorted by (impact desc, doc_id asc). Cached per actor;
+        served zero-copy from the broadcast pack when available (the
+        impact-sorted index the pruned mode walks — Anh & Moffat's
+        impact ordering, here derived at serve time rather than being
+        the storage order so the doc-ordered layout keeps serving the
+        exhaustive/sharded paths)."""
+        hit = self._impact_cache.get(term)
+        if hit is None:
+            if self.pack is not None and self.doc_range is None and term in self.pack.get("imp", {}):
+                hit = self.pack["imp"][term]
+            else:
+                ids, partial = self._term_arrays(term)
+                o = np.lexsort((ids, -partial))
+                hit = (ids[o], partial[o])
+            self._impact_cache[term] = hit
+        return hit
+
+    def _term_dense(self, term: str):
+        """Dense partial-score array over the actor's doc-id span
+        (``dense[doc - base] = impact``, 0.0 where absent) — turns the
+        candidate rescore into a pure gather. Built only for terms
+        dense enough to amortize the span (head terms; rare terms stay
+        on the binary-search path — their lists are short anyway).
+        Served zero-copy from the broadcast pack when available."""
+        if term in self._dense_cache:
+            return self._dense_cache[term]
+        if self.pack is not None and self.doc_range is None:
+            hit = self.pack.get("dense", {}).get(term)
+            if hit is not None:
+                self._dense_cache[term] = hit
+                return hit
+        ids, partial = self._term_arrays(term)
+        base, hi = self._span
+        span = hi - base
+        hit = None
+        if span > 0 and len(ids) >= max(64, span // 20):
+            arr = np.zeros(span, dtype=np.float64)
+            arr[ids - base] = partial
+            hit = arr
+        self._dense_cache[term] = hit
+        return hit
+
+    def _rescore(self, terms, cand: np.ndarray) -> np.ndarray:
+        """EXACT scores of sorted candidate doc_ids: term-major adds
+        with 0.0 for absent terms — bit-identical to ``_accumulate``
+        (x + 0.0 == x for the positive partials involved)."""
+        base, _ = self._span
+        exact = np.zeros(len(cand))
+        for t in terms:
+            dense = self._term_dense(t)
+            if dense is not None:
+                exact += dense[cand - base]
+                continue
+            ids_d, part_d = self._term_arrays(t)
+            if len(ids_d) == 0:
+                continue
+            pos = np.searchsorted(ids_d, cand)
+            pos_c = np.minimum(pos, len(ids_d) - 1)
+            valid = ids_d[pos_c] == cand
+            exact += np.where(valid, part_d[pos_c], 0.0)
+        return exact
 
     def _score_wand(self, terms):
-        width, n_ranges = self._range_width, self._n_ranges_eff
-        # range granularity: bounded below so tiny corpora degrade to a
-        # single exhaustive pass instead of paying per-range overhead;
-        # at scale n_ranges caps the bound array size. Summing the
-        # cached per-term per-range maxes gives a valid upper bound.
-        ub = np.zeros(n_ranges, dtype=np.float64)
-        for t in terms:
-            ub += self._term_ub(t)
-        order = np.argsort(-ub, kind="stable")
+        """Impact-ordered MaxScore pruning; rank-identical to exhaustive.
+
+        Two phases, no iteration:
+
+        1. *Seed θ̂*: exact-rescore the union of each term's top-m
+           impacts; θ̂ = k-th best — a LOWER bound on the final k-th
+           score (k-th best of a subset).
+        2. *Admissible cutoffs*: any doc d with exact(d) ≥ θ̂ has, for
+           its highest-impact term t*, ``imp_{t*}(d) ≥ max(θ̂ − Σ_{s≠t*}
+           max_s, θ̂/T)`` (MaxScore inequality + pigeonhole), so the
+           union of each term's impacts-≥-cutoff prefix contains every
+           possible top-k member, ties included. One exact rescore of
+           that union + ``topk_indices`` finalizes.
+
+        θ̂ plays precisely the ``covradius``/θ role of the reference's
+        beam pruning (``/root/reference/src/searchgraph/beamsearch.jl:30-97``);
+        exactness of the rescore keeps ids AND scores bit-identical to
+        the exhaustive path. Dense corpora where the cutoffs cannot
+        prune hit the work budget and fall back to one exhaustive pass
+        (overhead bounded by the tiny seed phase).
+        """
+        k = self.k
         heap = self.heap
-        heap.reuse(self.k)
-        postings_scored = 0
-        term_arrays = [self._term_arrays(t) for t in terms]
-        for r in order:
-            bound = ub[r]
-            if bound <= 0.0:
-                break
-            if len(heap) >= self.k and bound < heap.theta():
-                break  # best-first: no remaining range can beat the frontier
-            lo_id, hi_id = r * width, (r + 1) * width
-            ids_l, part_l = [], []
-            for ids, partial in term_arrays:
-                a = np.searchsorted(ids, lo_id, side="left")
-                b = np.searchsorted(ids, hi_id, side="left")
-                if a == b:
-                    continue
-                ids_l.append(ids[a:b])
-                part_l.append(partial[a:b])
-            if not ids_l:
-                continue
-            uniq, scores = _accumulate(ids_l, part_l)
-            n_scored = int(sum(len(i) for i in ids_l))
-            postings_scored += n_scored
-            heap.costdist += n_scored  # reference costdist: one score eval per posting
+        heap.reuse(k)
+        if len(terms) == 1:
+            # single term: exact scores ARE the impacts; the top-k is
+            # the first k of the impact order (impact desc, doc asc)
+            ids_i, imp_i = self._term_impacts(terms[0])
+            n = min(k, len(ids_i))
+            heap.costdist += n
             heap.costblk += 1
-            theta = heap.theta()
-            if len(heap) >= self.k:
-                # vectorized pre-filter: only candidates that can enter
-                # (score > θ, or == θ with a smaller doc_id) hit the heap
-                frontier_doc = heap.argmax()
-                m = (scores > theta) | ((scores == theta) & (uniq < frontier_doc))
-                uniq, scores = uniq[m], scores[m]
-            for s, d in zip(scores, uniq):
-                heap.push_score(float(s), int(d))
-        # cost accounting: costblk counted ranges actually scored (the
-        # reference's costblk = neighborhoods expanded, knnsorted.jl:10-13)
-        return heap.result(), postings_scored, int(heap.costblk)
+            return [(int(ids_i[j]), float(imp_i[j])) for j in range(n)], n, 1
+        impacts = [self._term_impacts(t) for t in terms]
+        total = sum(len(i[0]) for i in impacts)
+        T = len(terms)
+        # phase 1: seed θ̂
+        m = max(2 * k, self.prefix0 // 16)
+        seed = np.unique(np.concatenate([ids_i[:m] for ids_i, _ in impacts]))
+        exact_seed = self._rescore(terms, seed)
+        scanned = len(seed) * T
+        if len(seed) >= k:
+            theta_hat = float(np.partition(exact_seed, -k)[-k])
+            # phase 2: per-term admissible cutoffs → candidate prefixes
+            maxes = [float(imp[0]) if len(imp) else 0.0 for _, imp in impacts]
+            summax = sum(maxes)
+            prefixes = []
+            for (ids_i, imp_i), mx in zip(impacts, maxes):
+                c_t = max(theta_hat - (summax - mx), theta_hat / T)
+                p_t = int(np.searchsorted(-imp_i, -c_t, side="right"))
+                prefixes.append(p_t)
+            if sum(prefixes) <= total // 3:
+                cand = np.unique(
+                    np.concatenate([ids_i[:p] for (ids_i, _), p in zip(impacts, prefixes)])
+                )
+                exact = self._rescore(terms, cand)
+                scanned += len(cand) * T
+                heap.costdist += scanned
+                heap.costblk += 2
+                idx = topk_indices(exact, cand, k)
+                return [(int(cand[j]), float(exact[j])) for j in idx], scanned, 2
+        # pruning cannot pay for itself here — finish exhaustive
+        hits, npost, _ = self._score_exhaustive(terms)
+        heap.costdist += scanned + npost
+        heap.costblk += 2
+        return hits, scanned + npost, 2
 
     # -- batch entry --------------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:

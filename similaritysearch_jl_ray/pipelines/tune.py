@@ -20,7 +20,7 @@ import dataclasses
 
 from ..functions.perf import macrorecall
 
-__all__ = ["MinRecall", "ParetoRecall", "tune_ivf", "tune_wand_ranges"]
+__all__ = ["MinRecall", "ParetoRecall", "tune_ivf", "tune_wand_prefix", "tune_wand_ranges"]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -82,27 +82,31 @@ def tune_ivf(
     return {"best": best, "table": rows}
 
 
-def tune_wand_ranges(
+def tune_wand_prefix(
     sf_dir: str,
     index_dir: str,
     k: int = 10,
-    n_ranges_grid=(64, 256, 1024),
+    prefix_grid=(256, 1024, 4096),
 ) -> dict:
-    """Measure WAND cost counters across range granularities; recall is
-    1.0 by construction (asserted), so this tunes pure cost."""
+    """Measure pruned-mode cost counters across initial impact-prefix
+    depths; recall is 1.0 by construction (asserted), so this tunes
+    pure cost."""
     from .query import Bm25Scorer
     from .queryset import REFERENCE_QUERIES
 
     rows = []
-    for n_ranges in n_ranges_grid:
-        wand = Bm25Scorer(index_dir, k=k, mode="wand", n_ranges=n_ranges)
+    for prefix0 in prefix_grid:
+        wand = Bm25Scorer(index_dir, k=k, mode="wand", prefix0=prefix0)
         gold = Bm25Scorer(index_dir, k=k, mode="exhaustive")
         postings = 0
         for _, text in REFERENCE_QUERIES:
             hits, npost, _ = wand.score_query(text)
             ghits, _, _ = gold.score_query(text)
-            assert [h for h, _ in hits] == [h for h, _ in ghits], "WAND must stay exact"
+            assert [h for h, _ in hits] == [h for h, _ in ghits], "pruned mode must stay exact"
             postings += npost
-        rows.append({"n_ranges": n_ranges, "postings_scored": postings})
+        rows.append({"prefix0": prefix0, "postings_scored": postings})
     best = min(rows, key=lambda r: r["postings_scored"])
     return {"best": best, "table": rows}
+
+
+tune_wand_ranges = tune_wand_prefix  # backward-compat alias
