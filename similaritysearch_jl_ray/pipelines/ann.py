@@ -12,13 +12,23 @@ Top-k selection everywhere uses the ``KnnResult`` contract
 (functions/topk.py): ascending (dist, vec_id), matching the
 reference's queue + arrival-order tie rule.
 
-Distribution pattern: the corpus matrix is broadcast once via
-``ray.put`` and every batch does one numpy matmul against it —
-per-partition partial top-k, then a per-query merge (the
-``ParallelExhaustiveSearch`` shape, ``src/parallel-exhaustive.jl:44-62``,
-with the spinlock-guarded shared queue replaced by a groupby merge).
-At 100 TB the broadcast side is the *query* set and the corpus streams;
-the same partial/merge shape holds.
+Distribution pattern (none of these paths materializes the corpus on
+the driver):
+
+* **query sets are filtered reads** — ``vec_id < n_queries`` pushes
+  down into the parquet scan (row-group skip), so only the query rows
+  ever reach the driver; they are broadcast via ``ray.put`` and the
+  corpus STREAMS through ``map_batches`` (partial top-k per batch,
+  per-query merge — the ``ParallelExhaustiveSearch`` shape,
+  ``src/parallel-exhaustive.jl:44-62``, with the spinlock-guarded
+  shared queue replaced by a groupby merge). This is the 100 TB shape:
+  broadcast the small side, stream the big side.
+* **ops that need the whole corpus resident** (allknn's inner side,
+  closestpair via allknn) load it inside a Ray TASK whose return value
+  lives in the object store — workers map it zero-copy; the driver
+  holds only the ObjectRef. The exact broadcast-corpus mode works to
+  the memory bound; the bucketed paths (``neardup_embeddings``'s LSH
+  accretion, ivf.py) are the beyond-memory story.
 """
 
 from __future__ import annotations
@@ -49,12 +59,46 @@ def load_embeddings(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
 
 
-def _matrix(sf_dir: str):
-    pdf = load_embeddings(sf_dir).to_pandas()
-    ids = pdf["vec_id"].to_numpy().astype(np.int64)
-    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
+def _read_matrix(sf_dir: str, max_vec_id: int | None = None):
+    """(ids, mat) sorted by vec_id, via pyarrow with predicate pushdown
+    when ``max_vec_id`` bounds the read (query-set selection)."""
+    import pyarrow.dataset as pads
+
+    ds = pads.dataset(f"{sf_dir}/embeddings.parquet", format="parquet")
+    flt = (pads.field("vec_id") < max_vec_id) if max_vec_id is not None else None
+    t = ds.to_table(columns=["vec_id", "embedding"], filter=flt)
+    ids = t["vec_id"].to_numpy().astype(np.int64)
+    mat = np.stack(t["embedding"].to_numpy()).astype(np.float64)
     order = np.argsort(ids)
     return ids[order], mat[order]
+
+
+_CORPUS_REFS: dict[str, object] = {}
+
+
+def _corpus_ref(sf_dir: str):
+    """ObjectRef of the full (ids, mat) — loaded INSIDE a Ray task so
+    the driver never materializes the corpus; workers read the arrays
+    zero-copy out of the shared object store. Cached per driver."""
+    import ray
+
+    ref = _CORPUS_REFS.get(sf_dir)
+    if ref is None:
+
+        @ray.remote
+        def _load(d: str):
+            return _read_matrix(d)
+
+        ref = _CORPUS_REFS[sf_dir] = _load.remote(sf_dir)
+    return ref
+
+
+def _query_ref(sf_dir: str, n_queries: int):
+    """Broadcast ref of just the query rows (filtered read)."""
+    import ray
+
+    qids, qmat = _read_matrix(sf_dir, max_vec_id=n_queries)
+    return ray.put((qids, qmat))
 
 
 def _dists(bmat: np.ndarray, qmat: np.ndarray, metric: str) -> np.ndarray:
@@ -118,13 +162,11 @@ def _merge_partials(group: pa.Table, k: int, id_col="query_id", out_id="vec_id")
 
 def knn_search(sf_dir: str, k: int = 8, n_queries: int = 20, metric: str = "l2"):
     """``searchbatch`` analog: top-k for the fixed query set
-    (vec_id < n_queries), self-matches included."""
+    (vec_id < n_queries), self-matches included. Queries come from a
+    filtered (pushdown) read and are broadcast; the corpus streams."""
     import ray
 
-    ids, mat = _matrix(sf_dir)
-    qsel = ids < n_queries
-    qids, qmat = ids[qsel], mat[qsel]
-    ref = ray.put((qids, qmat))
+    ref = _query_ref(sf_dir, n_queries)
 
     def partial(batch: pa.Table) -> pa.Table:
         q, m = ray.get(ref)
@@ -140,11 +182,14 @@ def knn_search(sf_dir: str, k: int = 8, n_queries: int = 20, metric: str = "l2")
 
 def allknn(sf_dir: str, k: int = 4, metric: str = "l2", _round: bool = True):
     """k-NN of every indexed item, self excluded
-    (``/root/reference/src/allknn.jl:27-87``)."""
+    (``/root/reference/src/allknn.jl:27-87``). The query side streams
+    as batches; the corpus side is loaded by a Ray task into the
+    object store (zero-copy per worker, never on the driver) — exact
+    to the memory bound; ``neardup_embeddings``/ivf are the bucketed
+    beyond-memory paths."""
     import ray
 
-    ids, mat = _matrix(sf_dir)
-    ref = ray.put((ids, mat))
+    ref = _corpus_ref(sf_dir)
 
     def partial(batch: pa.Table) -> pa.Table:
         # here the *batch* rows are the queries; corpus is broadcast
@@ -178,12 +223,37 @@ def allknn(sf_dir: str, k: int = 4, metric: str = "l2", _round: bool = True):
 def closestpair(sf_dir: str, metric: str = "l2"):
     """Global closest pair (``/root/reference/src/closestpair.jl:17-78``):
     per-item NN (self excluded) → global argmin, ties by (vec_a, vec_b).
-    Selection happens at full precision; only the output dist rounds."""
-    nn1 = allknn(sf_dir, k=1, metric=metric, _round=False).to_pandas()
-    a = np.minimum(nn1["vec_id"], nn1["nn_id"])
-    b = np.maximum(nn1["vec_id"], nn1["nn_id"])
-    nn1 = nn1.assign(vec_a=a, vec_b=b).sort_values(["dist", "vec_a", "vec_b"])
-    top = nn1.iloc[0]
+    The argmin is a streaming reduction — each batch emits its single
+    best row, so the driver sees one row per block, never the full NN
+    table. Selection happens at full precision; only the output
+    dist rounds."""
+
+    def batch_min(batch: pa.Table) -> pa.Table:
+        if batch.num_rows == 0:
+            return pa.table({"vec_a": pa.array([], type=pa.int64()),
+                             "vec_b": pa.array([], type=pa.int64()),
+                             "dist": pa.array([], type=pa.float64())})
+        v = batch["vec_id"].to_numpy()
+        n = batch["nn_id"].to_numpy()
+        d = batch["dist"].to_numpy()
+        a = np.minimum(v, n)
+        b = np.maximum(v, n)
+        j = int(np.lexsort((b, a, d))[0])
+        return pa.table(
+            {
+                "vec_a": pa.array([int(a[j])], type=pa.int64()),
+                "vec_b": pa.array([int(b[j])], type=pa.int64()),
+                "dist": pa.array([float(d[j])], type=pa.float64()),
+            }
+        )
+
+    partials = (
+        allknn(sf_dir, k=1, metric=metric, _round=False)
+        .map_batches(batch_min, batch_format="pyarrow")
+        .to_pandas()  # one row per block — tiny
+    )
+    partials = partials.sort_values(["dist", "vec_a", "vec_b"])
+    top = partials.iloc[0]
     import pandas as pd
 
     return pd.DataFrame(
@@ -199,26 +269,58 @@ def fft(sf_dir: str, k: int = 5, metric: str = "l2"):
     """Farthest-first traversal (``/root/reference/src/fft.jl:21-64``):
     k rounds of (update running NN-dist to centers, argmax). Seeded at
     the smallest vec_id (deterministic stand-in for the reference's
-    random start). Returns (step, center_id, dmax) — dmax is the
-    coverage radius *before* adding that round's center (0 for round 0)."""
-    ids, mat = _matrix(sf_dir)
-    centers = [int(ids[0])]
-    rows = [(0, int(ids[0]), 0.0)]
-    nnd = _dists(mat, mat[[0]], metric)[:, 0]
+    random start). Distributed: each round streams the corpus through
+    ``map_batches`` against the broadcast center list (a k-row
+    matrix), emitting one (max nn-dist, argmax id, center row) row per
+    batch; the driver reduces block partials only — the corpus never
+    materializes centrally. Returns (step, center_id, dmax) — dmax is
+    the coverage radius *before* adding that round's center (0 for
+    round 0)."""
+    import ray
+    import pyarrow.dataset as pads
+
+    dset = pads.dataset(f"{sf_dir}/embeddings.parquet", format="parquet")
+    seed_id = int(dset.to_table(columns=["vec_id"])["vec_id"].to_numpy().min())
+
+    def _center_matrix(cids: list[int]) -> np.ndarray:
+        # ≤ k rows via pushdown — the legitimately-small side
+        t = dset.to_table(
+            columns=["vec_id", "embedding"], filter=pads.field("vec_id").isin(cids)
+        )
+        got = {int(i): np.asarray(e, dtype=np.float64)
+               for i, e in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())}
+        return np.stack([got[c] for c in cids])
+
+    rows = [(0, seed_id, 0.0)]
+    centers_ids = [seed_id]
+    emb = load_embeddings(sf_dir)
+
     for r in range(1, k):
-        # argmax with min-vec_id tie-break
-        m = nnd.max()
-        cand = ids[nnd == m]
-        cid = int(cand.min())
-        rows.append((r, cid, round6(float(m))))
-        centers.append(cid)
-        cidx = int(np.flatnonzero(ids == cid)[0])
-        nnd = np.minimum(nnd, _dists(mat, mat[[cidx]], metric)[:, 0])
+        cref = ray.put(_center_matrix(centers_ids))
+
+        def partial(batch: pa.Table) -> pa.Table:
+            cmat = ray.get(cref)
+            bids = batch["vec_id"].to_numpy().astype(np.int64)
+            bmat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+            nnd = _dists(bmat, cmat, metric).min(axis=1)
+            j = int(np.lexsort((bids, -nnd))[0])  # max nnd, min id on ties
+            return pa.table(
+                {
+                    "dmax": pa.array([float(nnd[j])], type=pa.float64()),
+                    "arg_id": pa.array([int(bids[j])], type=pa.int64()),
+                }
+            )
+
+        part = emb.map_batches(partial, batch_format="pyarrow", batch_size=256).to_pandas()
+        dmax = float(part["dmax"].max())
+        cid = int(part.loc[part["dmax"] == dmax, "arg_id"].min())
+        rows.append((r, cid, round6(dmax)))
+        centers_ids.append(cid)
     import pandas as pd
 
     return pd.DataFrame(
         {
-            "step": pd.array([r for r, _, _ in rows], dtype="int64"),
+            "step": pd.array([s for s, _, _ in rows], dtype="int64"),
             "center_id": pd.array([c for _, c, _ in rows], dtype="int64"),
             "dmax": [d for _, _, d in rows],
         }
@@ -228,16 +330,38 @@ def fft(sf_dir: str, k: int = 5, metric: str = "l2"):
 def distsample(sf_dir: str, metric: str = "l2"):
     """Sampled pairwise distance quantiles
     (``/root/reference/src/distsample.jl:17-58``), deterministic pair
-    formula j = (i*31+7) mod n (skip i==j), quantiles 0.1/0.5/0.9."""
-    ids, mat = _matrix(sf_dir)
-    n = len(ids)
-    i = np.arange(n)
-    j = (i * 31 + 7) % n
-    keep = i != j
-    i, j = i[keep], j[keep]
-    d = np.sqrt(((mat[i] - mat[j]) ** 2).sum(axis=1)) if metric == "l2" else None
+    formula j = (i*31+7) mod n (skip i==j), quantiles 0.1/0.5/0.9.
+
+    The i-side streams as batches; the j-side rows are gathered from
+    the task-built corpus ref (zero-copy object store). The driver
+    collects only the distance SAMPLE (by construction bounded — the
+    whole point of the operator) for the exact quantile."""
+    import ray
+    import pyarrow.dataset as pads
+
+    n = pads.dataset(f"{sf_dir}/embeddings.parquet", format="parquet").count_rows()
+    ref = _corpus_ref(sf_dir)
+
+    def pair_dists(batch: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(ref)
+        i = batch["vec_id"].to_numpy().astype(np.int64)
+        j = (i * 31 + 7) % n
+        keep = i != j
+        i, j = i[keep], j[keep]
+        bmat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)[keep]
+        jmat = all_mat[np.searchsorted(all_ids, j)]
+        d = np.sqrt(((bmat - jmat) ** 2).sum(axis=1))
+        return pa.table({"i": pa.array(i, type=pa.int64()),
+                         "dist": pa.array(d, type=pa.float64())})
+
+    part = (
+        load_embeddings(sf_dir)
+        .map_batches(pair_dists, batch_format="pyarrow", batch_size=256)
+        .to_pandas()
+        .sort_values("i")  # deterministic sample order
+    )
     qs = [0.1, 0.5, 0.9]
-    vals = np.quantile(d, qs)
+    vals = np.quantile(part["dist"].to_numpy(), qs)
     import pandas as pd
 
     return pd.DataFrame({"q": qs, "value": round6(vals)})
@@ -245,16 +369,17 @@ def distsample(sf_dir: str, metric: str = "l2"):
 
 def rerank(sf_dir: str, k_candidates: int = 20, k: int = 8, n_queries: int = 10):
     """Two-stage search (``/root/reference/src/rerank.jl:5-32``):
-    cosine-distance candidate top-k', exact-L2 rerank to top-k."""
+    cosine-distance candidate top-k', exact-L2 rerank to top-k.
+    Queries are a broadcast filtered read; the corpus streams for the
+    candidate stage; the rescore stage gathers candidate rows from the
+    task-built corpus ref (zero-copy, never on the driver)."""
     import ray
 
-    ids, mat = _matrix(sf_dir)
-    qsel = ids < n_queries
-    qids, qmat = ids[qsel], mat[qsel]
-    ref = ray.put((ids, mat, qids, qmat))
+    qref = _query_ref(sf_dir, n_queries)
+    cref = _corpus_ref(sf_dir)
 
     def partial(batch: pa.Table) -> pa.Table:
-        all_ids, all_mat, q_ids, q_mat = ray.get(ref)
+        q_ids, q_mat = ray.get(qref)
         return _topk_rows_batch(batch, q_ids, q_mat, "cosine", k_candidates, exclude_self=False)
 
     cands = (
@@ -265,7 +390,8 @@ def rerank(sf_dir: str, k_candidates: int = 20, k: int = 8, n_queries: int = 10)
     )
 
     def rescore(group: pa.Table) -> pa.Table:
-        all_ids, all_mat, q_ids, q_mat = ray.get(ref)
+        q_ids, q_mat = ray.get(qref)
+        all_ids, all_mat = ray.get(cref)
         qid = int(group["query_id"][0].as_py())
         cand_ids = group["vec_id"].to_numpy().astype(np.int64)
         qrow = q_mat[int(np.flatnonzero(q_ids == qid)[0])]
@@ -287,15 +413,23 @@ def rerank(sf_dir: str, k_candidates: int = 20, k: int = 8, n_queries: int = 10)
 def hsp_filter(sf_dir: str, k: int = 16, n_queries: int = 10):
     """Half-space partition post-filter of each query's knn list
     (``/root/reference/src/hsp.jl:42-63``): scan neighbors ascending by
-    dist; drop p if an already-kept c satisfies dist(p,c) < dist(p,q)."""
-    import ray
+    dist; drop p if an already-kept c satisfies dist(p,c) < dist(p,q).
+    Driver-side over the SMALL result set only: the needed embedding
+    rows (queries + their neighbors) come from one pushdown read."""
+    import pyarrow.dataset as pads
 
-    ids, mat = _matrix(sf_dir)
     knn = knn_search(sf_dir, k=k, n_queries=n_queries).to_pandas()
-    by_id = {int(i): mat[int(np.flatnonzero(ids == i)[0])] for i in knn["vec_id"].unique()}
+    need = sorted(set(knn["vec_id"].astype(int)) | set(knn["query_id"].astype(int)))
+    t = pads.dataset(f"{sf_dir}/embeddings.parquet", format="parquet").to_table(
+        columns=["vec_id", "embedding"], filter=pads.field("vec_id").isin(need)
+    )
+    by_id = {
+        int(i): np.asarray(e, dtype=np.float64)
+        for i, e in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())
+    }
     rows = []
     for qid, g in knn.groupby("query_id"):
-        q = mat[int(np.flatnonzero(ids == qid)[0])]
+        q = by_id[int(qid)]
         kept: list[int] = []
         for _, row in g.sort_values("rank").iterrows():
             p = by_id[int(row.vec_id)]
@@ -326,15 +460,14 @@ def permuted_knn_search(sf_dir: str, k: int = 8, n_queries: int = 20, seed: int 
     """
     import ray
     import pandas as pd
+    import pyarrow.dataset as pads
 
-    ids, mat = _matrix(sf_dir)
-    n = len(ids)
+    n = pads.dataset(f"{sf_dir}/embeddings.parquet", format="parquet").count_rows()
     rng = np.random.default_rng(seed)
     perm = rng.permutation(n).astype(np.int64)   # internal id of external e = perm[e]
     inv = np.empty_like(perm)
     inv[perm] = np.arange(n)
-    qsel = ids < n_queries
-    qids, qmat = ids[qsel], mat[qsel]
+    qids, qmat = _read_matrix(sf_dir, max_vec_id=n_queries)  # pushdown read
     ref = ray.put((qids, qmat, perm))
 
     def partial(batch: pa.Table) -> pa.Table:
@@ -366,11 +499,7 @@ def neardup_embeddings(sf_dir: str, eps: float = 1.2, n_projections: int = 8):
     cover property holds globally. Returns (vec_id, center_id, dist)."""
     import ray
 
-    ids, mat = _matrix(sf_dir)
     rng = np.random.default_rng(0xFEED)
-    proj = rng.standard_normal((mat.shape[1], n_projections))
-    buckets = (mat @ proj > 0) @ (1 << np.arange(n_projections))
-    import ray.data as rd
 
     def accrete(group: pa.Table) -> pa.Table:
         g_ids = group["vec_id"].to_numpy().astype(np.int64)
@@ -399,14 +528,18 @@ def neardup_embeddings(sf_dir: str, eps: float = 1.2, n_projections: int = 8):
         )
 
     ds = load_embeddings(sf_dir)
-    bucket_of = dict(zip(ids.tolist(), np.asarray(buckets).astype(np.int64).tolist()))
-    bref = ray.put(bucket_of)
+    # projection matrix derived from the schema's dim (one-row peek),
+    # broadcast; each batch computes its own sign-LSH buckets — no
+    # per-id lookup table anywhere
+    dim = len(ds.take(1)[0]["embedding"])
+    proj = rng.standard_normal((dim, n_projections))
+    pref = ray.put(proj)
 
     def add_bucket(batch: pa.Table) -> pa.Table:
-        bo = ray.get(bref)
-        return batch.append_column(
-            "bucket", pa.array([bo[int(v)] for v in batch["vec_id"].to_pylist()], type=pa.int64())
-        )
+        pj = ray.get(pref)
+        bmat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        buckets = ((bmat @ pj > 0) @ (1 << np.arange(n_projections))).astype(np.int64)
+        return batch.append_column("bucket", pa.array(buckets, type=pa.int64()))
 
     return (
         ds.map_batches(add_bucket, batch_format="pyarrow")

@@ -326,15 +326,20 @@ def embedding_neardup_pairs(sf_dir: str, tau: float = 0.3):
     import ray
     import ray.data as rd
 
+    from .ann import _corpus_ref
+
     emb = rd.read_parquet(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
-    pdf = emb.to_pandas()
-    ids = pdf["vec_id"].to_numpy()
-    mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
-    norms = np.linalg.norm(mat, axis=1)
-    ref = ray.put((ids, mat, norms))
+    # corpus side loaded by a Ray task into the object store (never on
+    # the driver); each streamed batch matmuls against it zero-copy
+    ref = _corpus_ref(sf_dir)
+
+    _norm_memo: dict = {}  # per-worker-process memo (ref → norms)
 
     def sims(batch: pa.Table) -> pa.Table:
-        all_ids, all_mat, all_norms = ray.get(ref)
+        all_ids, all_mat = ray.get(ref)
+        all_norms = _norm_memo.get(ref)
+        if all_norms is None:
+            all_norms = _norm_memo[ref] = np.linalg.norm(all_mat, axis=1)
         bids = batch["vec_id"].to_numpy()
         bmat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
         bnorms = np.linalg.norm(bmat, axis=1)

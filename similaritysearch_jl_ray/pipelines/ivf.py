@@ -20,7 +20,7 @@ import pyarrow as pa
 
 from ..functions.rounding import round6
 from ..functions.topk import TopK
-from .ann import _matrix, load_embeddings
+from .ann import _read_matrix, load_embeddings
 
 __all__ = ["ivf_centroids", "knn_search_ivf"]
 
@@ -61,21 +61,28 @@ def knn_search_ivf(
     """
     import ray
 
-    ids, mat = _matrix(sf_dir)
-    cent = ivf_centroids(mat, n_centroids)
-    assign = ((mat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
-    qsel = ids < n_queries
-    qids, qmat = ids[qsel], mat[qsel]
+    # coarse quantizer trained in a Ray TASK on a deterministic sample
+    # (prefix by vec_id, pushdown read) — the driver never holds the
+    # corpus; it gets back only the k×d centroid matrix
+    @ray.remote
+    def _train(d: str, nc: int, cap: int) -> np.ndarray:
+        _, sample = _read_matrix(d, max_vec_id=cap)
+        return ivf_centroids(sample, nc)
+
+    cent = ray.get(_train.remote(sf_dir, n_centroids, 65536))
+    qids, qmat = _read_matrix(sf_dir, max_vec_id=n_queries)  # pushdown read
     # per query: probe set of centroid ids
     qd = ((qmat[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
     probes = np.argsort(qd, axis=1)[:, :nprobe]
-    ref = ray.put((qids, qmat, probes, assign))
+    ref = ray.put((qids, qmat, probes, cent))
 
     def partial(batch: pa.Table) -> pa.Table:
-        q_ids, q_mat, q_probes, assign_all = ray.get(ref)
+        q_ids, q_mat, q_probes, c = ray.get(ref)
         bids = batch["vec_id"].to_numpy().astype(np.int64)
         bmat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
-        b_assign = assign_all[bids]  # fixture ids are dense 0..n-1
+        # list assignment computed in-batch against the broadcast
+        # quantizer — no per-id assignment table is ever built
+        b_assign = ((bmat[:, None, :] - c[None, :, :]) ** 2).sum(axis=2).argmin(axis=1)
         out_q, out_v, out_d = [], [], []
         for j, qid in enumerate(q_ids):
             m = np.isin(b_assign, q_probes[j])
