@@ -129,8 +129,36 @@ def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.5, n: int = 3, max_df: int |
             }
         )
 
+    def preagg_pairs(batch: pa.Table) -> pa.Table:
+        """In-batch combiner: collapse per-shingle pair rows into one
+        row per pair with a partial intersection count, so the final
+        pair shuffle moves one row per (pair, batch) instead of one
+        per co-occurring shingle (the pre-aggregate-before-groupby
+        rule, SURVEY.md §2.7)."""
+        if batch.num_rows == 0:
+            return batch.append_column("inter_partial", pa.array([], type=pa.int64()))
+        a = batch["doc_a"].to_numpy()
+        b = batch["doc_b"].to_numpy()
+        order = np.lexsort((b, a))
+        a_s, b_s = a[order], b[order]
+        bounds = np.flatnonzero(
+            np.r_[True, (a_s[1:] != a_s[:-1]) | (b_s[1:] != b_s[:-1]), True]
+        )
+        firsts = order[bounds[:-1]]
+        return pa.table(
+            {
+                "doc_a": pa.array(a[firsts], type=pa.int64()),
+                "doc_b": pa.array(b[firsts], type=pa.int64()),
+                "size_a": pa.array(batch["size_a"].to_numpy()[firsts], type=pa.int64()),
+                "size_b": pa.array(batch["size_b"].to_numpy()[firsts], type=pa.int64()),
+                "inter_partial": pa.array(np.diff(bounds), type=pa.int64()),
+            }
+        )
+
     def jaccard_of_group(group: pa.Table) -> pa.Table:
-        inter = group.num_rows
+        import pyarrow.compute as pc
+
+        inter = int(pc.sum(group["inter_partial"]).as_py())
         sa = int(group["size_a"][0].as_py())
         sb = int(group["size_b"][0].as_py())
         j = inter / (sa + sb - inter)
@@ -156,6 +184,7 @@ def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.5, n: int = 3, max_df: int |
     return (
         ds.groupby("shingle")
         .map_groups(pairs_of_group, batch_format="pyarrow")
+        .map_batches(preagg_pairs, batch_format="pyarrow")
         .map_batches(add_pair_key, batch_format="pyarrow")
         .groupby("pair")
         .map_groups(jaccard_of_group, batch_format="pyarrow")
@@ -198,44 +227,15 @@ def minhash_lsh_pairs(sf_dir: str, tau: float = 0.5, n: int = 3):
         .groupby("band_key")
         .map_groups(candidates, batch_format="pyarrow")
     )
-    # distinct candidate pairs, then exact verify against the shingle sets.
-    # The verify side re-derives shingles from the documents table via a
-    # broadcast dict — small at test scale; at 100 TB this becomes a
-    # co-partitioned join on doc_id (documented partitioning assumption).
-    import ray
 
-    docs_tbl = _documents(sf_dir).to_pandas()
-    sets = {
-        int(r.doc_id): shingle_hashes(tokenize(r.text), n=n) for r in docs_tbl.itertuples()
-    }
-    sets_ref = ray.put(sets)
-
-    def verify(batch: pa.Table) -> pa.Table:
-        s = ray.get(sets_ref)
-        doc_a = batch["doc_a"].to_numpy()
-        doc_b = batch["doc_b"].to_numpy()
-        keep_a, keep_b, js = [], [], []
-        seen = set()
-        for a, b in zip(doc_a.tolist(), doc_b.tolist()):
-            if (a, b) in seen:
-                continue
-            seen.add((a, b))
-            sa, sb = s[a], s[b]
-            inter = len(np.intersect1d(sa, sb, assume_unique=True))
-            union = len(sa) + len(sb) - inter
-            j = inter / union if union else 0.0
-            if j >= tau:
-                keep_a.append(a)
-                keep_b.append(b)
-                js.append(round6(j))
-        return pa.table(
-            {
-                "doc_a": pa.array(keep_a, type=pa.int64()),
-                "doc_b": pa.array(keep_b, type=pa.int64()),
-                "jaccard": pa.array(js, type=pa.float64()),
-            }
-        )
-
+    # Exact verify as a CO-PARTITIONED JOIN on doc_id — no whole-corpus
+    # broadcast anywhere: (1) distinct candidate pairs fan out to two
+    # membership rows each; (2) membership rows union with the long
+    # (doc_id, shingle) table and co-group by doc_id, attaching each
+    # doc's shingle set to every pair it participates in; (3) a final
+    # groupby(pair) holds exactly the two sets it needs and computes
+    # the exact Jaccard. Shuffle volume is bounded by the shingle table
+    # plus candidate-pair fanout — the 100 TB join shape.
     def dedup_pairs(group: pa.Table) -> pa.Table:
         return group.slice(0, 1)
 
@@ -243,12 +243,82 @@ def minhash_lsh_pairs(sf_dir: str, tau: float = 0.5, n: int = 3):
         key = [f"{a}_{b}" for a, b in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist())]
         return batch.append_column("pair", pa.array(key))
 
-    return (
+    distinct_pairs = (
         cand.map_batches(add_pair_key, batch_format="pyarrow")
         .groupby("pair")
         .map_groups(dedup_pairs, batch_format="pyarrow")
-        .select_columns(["doc_a", "doc_b"])
-        .map_batches(verify, batch_format="pyarrow")
+    )
+
+    def memberships(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy()
+        b = batch["doc_b"].to_numpy()
+        pairs = batch["pair"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "shingle": pa.array([None] * (2 * len(pairs)), type=pa.int64()),
+                "pair": pa.array(pairs + pairs),
+            }
+        )
+
+    def shingle_side(batch: pa.Table) -> pa.Table:
+        t = _shingle_rows(batch, n)
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "shingle": t["shingle"],
+                "pair": pa.array([None] * t.num_rows, type=pa.string()),
+            }
+        )
+
+    joined = distinct_pairs.map_batches(memberships, batch_format="pyarrow").union(
+        _documents(sf_dir).map_batches(shingle_side, batch_format="pyarrow")
+    )
+
+    def attach_set(group: pa.Table) -> pa.Table:
+        pair_col = group["pair"].to_pylist()
+        doc_id = int(group["doc_id"][0].as_py())
+        sh = group["shingle"].drop_null().to_numpy(zero_copy_only=False)
+        shingles = np.sort(sh.astype(np.int64))
+        pairs = [q for q in pair_col if q is not None]
+        return pa.table(
+            {
+                "pair": pa.array(pairs),
+                "doc_id": pa.array([doc_id] * len(pairs), type=pa.int64()),
+                "shingles": pa.array([shingles.tolist()] * len(pairs), type=pa.list_(pa.int64())),
+            }
+        )
+
+    def verify_pair(group: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {"doc_a": pa.array([], type=pa.int64()),
+             "doc_b": pa.array([], type=pa.int64()),
+             "jaccard": pa.array([], type=pa.float64())}
+        )
+        if group.num_rows != 2:
+            return empty  # a candidate doc with no shingles cannot verify
+        docs = group["doc_id"].to_numpy()
+        order = np.argsort(docs)
+        sa = np.asarray(group["shingles"][int(order[0])].as_py(), dtype=np.int64)
+        sb = np.asarray(group["shingles"][int(order[1])].as_py(), dtype=np.int64)
+        inter = len(np.intersect1d(sa, sb, assume_unique=True))
+        union = len(sa) + len(sb) - inter
+        j = inter / union if union else 0.0
+        if j < tau:
+            return empty
+        return pa.table(
+            {
+                "doc_a": pa.array([int(docs[order[0]])], type=pa.int64()),
+                "doc_b": pa.array([int(docs[order[1]])], type=pa.int64()),
+                "jaccard": pa.array([round6(j)], type=pa.float64()),
+            }
+        )
+
+    return (
+        joined.groupby("doc_id")
+        .map_groups(attach_set, batch_format="pyarrow")
+        .groupby("pair")
+        .map_groups(verify_pair, batch_format="pyarrow")
     )
 
 
