@@ -47,21 +47,30 @@ def _queries_sql() -> str:
     return queries_values_sql()
 
 
-def _bm25_sql() -> str:
+_BM25_SUM = f"""sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+              * tf.tf * ({_K1} + 1)
+              / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / s.avgdl)) )"""
+
+
+def _bm25_sql(doc_join: str = "", conjunctive: bool = False) -> str:
+    having = (
+        "HAVING count(*) = (SELECT count(*) FROM q q2 WHERE q2.query_id = q.query_id)"
+        if conjunctive
+        else ""
+    )
     return f"""
 WITH {_TOK_CTES},
 q AS (SELECT * FROM {_queries_sql()}),
 scores AS (
-  SELECT q.query_id, tf.doc_id,
-         sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
-              * tf.tf * ({_K1} + 1)
-              / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / s.avgdl)) ) AS fscore
+  SELECT q.query_id, tf.doc_id, {_BM25_SUM} AS fscore
   FROM q
   JOIN tf ON tf.term = q.term
   JOIN df ON df.term = q.term
   JOIN dl ON dl.doc_id = tf.doc_id
+  {doc_join}
   CROSS JOIN stats s
   GROUP BY q.query_id, tf.doc_id
+  {having}
 ),
 ranked AS (
   SELECT query_id, doc_id, fscore,
@@ -74,14 +83,74 @@ ORDER BY query_id, rank
 """
 
 
-def _bm25_query(sf_dir: str, mode: str):
+def _phrase_sql() -> str:
+    from similaritysearch_jl_ray.pipelines.queryset import phrase_values_sql
+
+    return f"""
+WITH {_TOK_CTES},
+q AS (SELECT * FROM {_queries_sql()}),
+p AS (SELECT * FROM {phrase_values_sql()}),
+docstr AS (
+  SELECT doc_id,
+         ' ' || array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ') || ' ' AS s
+  FROM documents
+),
+m AS (SELECT p.query_id, d.doc_id FROM p JOIN docstr d ON contains(d.s, p.pat)),
+scores AS (
+  SELECT m.query_id, m.doc_id, {_BM25_SUM} AS fscore
+  FROM m
+  JOIN q ON q.query_id = m.query_id
+  JOIN tf ON tf.term = q.term AND tf.doc_id = m.doc_id
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s
+  GROUP BY m.query_id, m.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, fscore,
+         row_number() OVER (PARTITION BY query_id ORDER BY fscore DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(fscore, {_ROUND}) AS score
+FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
+def _bm25_query(sf_dir: str, mode: str, lang: str | None = None):
     from similaritysearch_jl_ray.functions.rounding import round6
     from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index
     from similaritysearch_jl_ray.pipelines.query import search
     from similaritysearch_jl_ray.pipelines.queryset import queries_dataset
 
     index_dir = ensure_index(sf_dir)
-    res = search(queries_dataset(), index_dir, k=K, mode=mode, concurrency=2).to_pandas()
+    res = search(
+        queries_dataset(), index_dir, k=K, mode=mode, concurrency=2, lang=lang
+    ).to_pandas()
+    res = res[["query_id", "rank", "doc_id", "score"]].astype(
+        {"query_id": "int64", "rank": "int64", "doc_id": "int64", "score": "float64"}
+    )
+    res["score"] = round6(res["score"].to_numpy())
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _index_export(sf_dir: str):
+    """sparse(adj)-style long-table dump of the built index — an
+    index-LEVEL oracle check (codec + shuffle + merge, no query)."""
+    from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index
+    from similaritysearch_jl_ray.pipelines.export import index_export
+
+    return index_export(ensure_index(sf_dir))
+
+
+def _bm25_phrase(sf_dir: str):
+    """Phrase top-k (contiguous token match, BM25-scored)."""
+    from similaritysearch_jl_ray.functions.rounding import round6
+    from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index
+    from similaritysearch_jl_ray.pipelines.query import phrase_search
+
+    index_dir = ensure_index(sf_dir)
+    res = phrase_search(sf_dir, index_dir, k=K).to_pandas()
     res = res[["query_id", "rank", "doc_id", "score"]].astype(
         {"query_id": "int64", "rank": "int64", "doc_id": "int64", "score": "float64"}
     )
@@ -205,9 +274,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk": lambda sf: _bm25_query(sf, "wand"),
         "bm25_topk_exhaustive": lambda sf: _bm25_query(sf, "exhaustive"),
         "bm25_topk_sharded": _bm25_sharded,
+        "index_export": _index_export,
+        "bm25_topk_and": lambda sf: _bm25_query(sf, "and"),
+        "bm25_topk_lang_en": lambda sf: _bm25_query(sf, "wand", lang="en"),
+        "bm25_topk_phrase": _bm25_phrase,
         # -- dedup suite (SURVEY §2.6 neardup + task brief) ---------------
         "exact_dedup": dedup.exact_dedup,
         "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(sf, tau=0.5, n=3),
+        "dedup_clusters": lambda sf: dedup.dedup_clusters(sf, tau=0.5, n=3),
         "minhash_lsh_pairs": lambda sf: dedup.minhash_lsh_pairs(sf, tau=0.5, n=3),
         "simhash_pairs": lambda sf: dedup.simhash_pairs(sf, max_hamming=3),
         "embedding_neardup_pairs": lambda sf: dedup.embedding_neardup_pairs(sf, tau=0.3),
@@ -305,6 +379,16 @@ SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
         "bm25_topk": _bm25_sql(),
         "bm25_topk_exhaustive": _bm25_sql(),
         "bm25_topk_sharded": _bm25_sql(),
+        "index_export": f"""
+WITH {_TOK_CTES}
+SELECT tf.term, tf.doc_id, tf.tf, dl.dl
+FROM tf JOIN dl ON dl.doc_id = tf.doc_id
+""",
+        "bm25_topk_and": _bm25_sql(conjunctive=True),
+        "bm25_topk_lang_en": _bm25_sql(
+            doc_join="JOIN documents dd ON dd.doc_id = tf.doc_id AND dd.lang = 'en'"
+        ),
+        "bm25_topk_phrase": _phrase_sql(),
         # -- dedup ---------------------------------------------------------
         "exact_dedup": (
             "SELECT min(doc_id)::BIGINT AS keeper_doc_id, count(*)::BIGINT AS group_size"
@@ -324,6 +408,28 @@ jac AS (
   FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
 )
 SELECT doc_a, doc_b, round(j, 6) AS jaccard FROM jac WHERE j >= 0.5
+""",
+        "dedup_clusters": f"""
+WITH RECURSIVE {_GRAMS_CTE},
+sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM grams GROUP BY doc_id),
+inter AS (
+  SELECT a.doc_id AS da, b.doc_id AS db, count(*)::BIGINT AS inter
+  FROM grams a JOIN grams b ON a.gram = b.gram AND b.doc_id > a.doc_id
+  GROUP BY da, db
+),
+jac AS (
+  SELECT da AS doc_a, db AS doc_b
+  FROM inter JOIN sizes sa ON sa.doc_id = da JOIN sizes sb ON sb.doc_id = db
+  WHERE inter::DOUBLE / (sa.sz + sb.sz - inter) >= 0.5
+),
+edges AS (SELECT doc_a AS a, doc_b AS b FROM jac
+          UNION ALL SELECT doc_b, doc_a FROM jac),
+reach(node, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT e.b, r.m FROM reach r JOIN edges e ON e.a = r.node
+)
+SELECT node AS doc_id, min(m)::BIGINT AS keeper_doc_id FROM reach GROUP BY node
 """,
         # minhash_lsh_pairs / simhash_pairs: probabilistic candidates →
         # rows-only driver check (recall/precision proven in pytest).

@@ -51,6 +51,7 @@ __all__ = [
     "minhash_lsh_pairs",
     "simhash_pairs",
     "embedding_neardup_pairs",
+    "dedup_clusters",
 ]
 
 
@@ -320,6 +321,104 @@ def minhash_lsh_pairs(sf_dir: str, tau: float = 0.5, n: int = 3):
         .groupby("pair")
         .map_groups(verify_pair, batch_format="pyarrow")
     )
+
+
+# ---------------------------------------------------------------------------
+def dedup_clusters(sf_dir: str, tau: float = 0.5, n: int = 3, max_rounds: int = 50):
+    """Connected-components grouping of the verified near-dup pair
+    graph — the operator a training-data pipeline actually runs:
+    "keep one doc per duplicate *cluster*", not pairs. Returns one row
+    per document: (doc_id, keeper_doc_id) where keeper is the minimum
+    doc_id reachable through ngram-Jaccard ≥ τ edges (singletons keep
+    themselves).
+
+    Distributed min-label propagation over Ray Data (the classic
+    BSP/Pregel shape): each round co-groups the label table with the
+    edge list on node id, every edge forwards its endpoint's current
+    label to the other endpoint, and a ``groupby(node).min`` takes the
+    new label. Labels only decrease, so Σlabels is strictly decreasing
+    while anything changes — convergence is detected with a cheap
+    global sum instead of a per-node diff join. Per-round state is one
+    (node, label) row per doc (16 B/doc — the only thing materialized
+    between rounds); rounds = cluster diameter, small for dedup
+    graphs. A DuckDB recursive CTE is the oracle.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Min
+
+    edges = (
+        ngram_jaccard_pairs(sf_dir, tau=tau, n=n)
+        .select_columns(["doc_a", "doc_b"])
+        .materialize()
+    )
+
+    def init_labels(batch: pa.Table) -> pa.Table:
+        return pa.table({"node": batch["doc_id"], "label": batch["doc_id"]})
+
+    labels = (
+        _documents(sf_dir)
+        .select_columns(["doc_id"])
+        .map_batches(init_labels, batch_format="pyarrow")
+        .materialize()
+    )
+
+    def edge_msgs(batch: pa.Table) -> pa.Table:
+        a = batch["doc_a"].to_numpy()
+        b = batch["doc_b"].to_numpy()
+        return pa.table(
+            {
+                "node": pa.array(np.concatenate([a, b]), type=pa.int64()),
+                "other": pa.array(np.concatenate([b, a]), type=pa.int64()),
+                "label": pa.array([None] * (2 * len(a)), type=pa.int64()),
+            }
+        )
+
+    def label_msgs(batch: pa.Table) -> pa.Table:
+        nrows = batch.num_rows
+        return pa.table(
+            {
+                "node": batch["node"],
+                "other": pa.array([None] * nrows, type=pa.int64()),
+                "label": batch["label"],
+            }
+        )
+
+    def forward(group: pa.Table) -> pa.Table:
+        # exactly one label row per node; forward it along every edge
+        lab_col = group["label"].drop_null()
+        lab = int(lab_col[0].as_py())
+        node = int(group["node"][0].as_py())
+        others = group["other"].drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
+        nodes = np.concatenate([[node], others])
+        labs = np.full(len(nodes), lab, dtype=np.int64)
+        return pa.table(
+            {"node": pa.array(nodes, type=pa.int64()), "label": pa.array(labs, type=pa.int64())}
+        )
+
+    prev_sum = None
+    for _ in range(max_rounds):
+        msgs = edges.map_batches(edge_msgs, batch_format="pyarrow").union(
+            labels.map_batches(label_msgs, batch_format="pyarrow")
+        )
+        new_labels = (
+            msgs.groupby("node")
+            .map_groups(forward, batch_format="pyarrow")
+            .groupby("node")
+            .aggregate(Min("label", alias_name="label"))
+            .materialize()
+        )
+        total = new_labels.sum("label")
+        labels = new_labels
+        if prev_sum is not None and total == prev_sum:
+            break
+        prev_sum = total
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {"doc_id": batch["node"], "keeper_doc_id": batch["label"]}
+        )
+
+    return labels.map_batches(rename, batch_format="pyarrow")
 
 
 # ---------------------------------------------------------------------------

@@ -181,8 +181,22 @@ class Bm25Scorer:
         pack_ref=None,
         parts: list[int] | None = None,
         doc_range: tuple[int, int] | None = None,
+        lang: str | None = None,
     ):
         self.doc_range = doc_range
+        # field filter: restrict scoring to docs whose docmap lang
+        # matches — the allowed-id set comes from a PUSHDOWN read of
+        # the index's docmap (only doc_id of matching rows is read)
+        self._allowed = None
+        if lang is not None:
+            import os as _os
+
+            import pyarrow.dataset as pads
+
+            t = pads.dataset(
+                _os.path.join(index_dir, "docmap"), format="parquet"
+            ).to_table(columns=["doc_id"], filter=pads.field("lang") == lang)
+            self._allowed = np.sort(t["doc_id"].to_numpy().astype(np.int64))
         if pack_ref is not None:
             import ray
 
@@ -222,6 +236,12 @@ class Bm25Scorer:
 
     def score_query(self, text: str) -> tuple[list[tuple[int, float]], int, int]:
         """Returns (result, postings_scored, blocks_decoded)."""
+        if self.mode == "and":
+            all_terms = sorted(set(tokenize(text)))
+            terms = [t for t in all_terms if self._has_term(t)]
+            if not all_terms or len(terms) < len(all_terms):
+                return [], 0, 0  # conjunctive: an unknown term matches nothing
+            return self._score_and(terms)
         terms = self._query_terms(text)
         if not terms:
             return [], 0, 0
@@ -250,6 +270,14 @@ class Bm25Scorer:
             a = np.searchsorted(ids, lo, side="left")
             b = np.searchsorted(ids, hi, side="left")
             ids, partial = ids[a:b], partial[a:b]
+        if self._allowed is not None and len(ids):
+            if len(self._allowed) == 0:
+                ids, partial = ids[:0], partial[:0]
+            else:
+                pos = np.searchsorted(self._allowed, ids)
+                pos_c = np.minimum(pos, len(self._allowed) - 1)
+                keep = self._allowed[pos_c] == ids
+                ids, partial = ids[keep], partial[keep]
         self._scores_cache[term] = (ids, partial)
         return ids, partial
 
@@ -294,7 +322,12 @@ class Bm25Scorer:
         exhaustive/sharded paths)."""
         hit = self._impact_cache.get(term)
         if hit is None:
-            if self.pack is not None and self.doc_range is None and term in self.pack.get("imp", {}):
+            if (
+                self.pack is not None
+                and self.doc_range is None
+                and self._allowed is None
+                and term in self.pack.get("imp", {})
+            ):
                 hit = self.pack["imp"][term]
             else:
                 ids, partial = self._term_arrays(term)
@@ -302,6 +335,27 @@ class Bm25Scorer:
                 hit = (ids[o], partial[o])
             self._impact_cache[term] = hit
         return hit
+
+    def _score_and(self, terms):
+        """Conjunctive (AND) BM25: only docs containing EVERY query
+        term score; same formula, same tie rule. Presence is counted
+        with a parallel unit-weight accumulate over the same id arrays
+        (same uniq vector), so the mask aligns exactly."""
+        ids_l, part_l = [], []
+        for t in terms:
+            ids, partial = self._term_arrays(t)
+            ids_l.append(ids)
+            part_l.append(partial)
+        uniq, scores = _accumulate(ids_l, part_l)
+        _, counts = _accumulate(ids_l, [np.ones(len(i)) for i in ids_l])
+        mask = counts == float(len(terms))
+        uniq, scores = uniq[mask], scores[mask]
+        idx = topk_indices(scores, uniq, self.k)
+        return (
+            [(int(uniq[j]), float(scores[j])) for j in idx],
+            int(sum(len(i) for i in ids_l)),
+            int(len(terms)),
+        )
 
     def _term_dense(self, term: str):
         """Dense partial-score array over the actor's doc-id span
@@ -312,7 +366,7 @@ class Bm25Scorer:
         Served zero-copy from the broadcast pack when available."""
         if term in self._dense_cache:
             return self._dense_cache[term]
-        if self.pack is not None and self.doc_range is None:
+        if self.pack is not None and self.doc_range is None and self._allowed is None:
             hit = self.pack.get("dense", {}).get(term)
             if hit is not None:
                 self._dense_cache[term] = hit
@@ -449,17 +503,22 @@ def search(
     concurrency: int | tuple = 4,
     batch_size: int = 256,
     broadcast: bool = True,
+    lang: str | None = None,
 ):
     """queries (query_id, text) → results Dataset (long format).
 
     ``broadcast=True`` pre-decodes the index once on the driver and
     ships it through the object store (zero-copy per node); actors
     start warm. ``False`` keeps the decode-in-actor path (the shape
-    used when each actor pins only its own index parts)."""
+    used when each actor pins only its own index parts). ``lang``
+    restricts scoring to docs with that docmap lang (field query)."""
     kwargs = {"k": k, "mode": mode}
+    if lang is not None:
+        kwargs["lang"] = lang
+        kwargs["index_dir"] = index_dir
     if broadcast:
         kwargs["pack_ref"] = _pack_ref(index_dir)
-    else:
+    elif "index_dir" not in kwargs:
         kwargs["index_dir"] = index_dir
     return queries_ds.map_batches(
         Bm25Scorer,
@@ -553,6 +612,97 @@ def sharded_search(
 
     u = branches[0].union(*branches[1:]) if len(branches) > 1 else branches[0]
     return u.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+
+def phrase_search(sf_dir: str, index_dir: str, k: int = 10, queries=None):
+    """Phrase top-k BM25: a doc matches when the tokenized phrase
+    appears CONTIGUOUSLY in its token stream; matching docs are scored
+    with the standard BM25 sum over the phrase's distinct terms.
+
+    The index stores no positions (by design — SURVEY.md §4), so
+    phrase matching streams the corpus once for ALL queries: the
+    phrase list + the phrase terms' idf/avgdl (read from index
+    metadata only, no posting decode) broadcast; each batch tokenizes
+    its docs and substring-matches the space-joined token string
+    (equivalent to contiguous-subsequence). At 100 TB the upgrade path
+    is positional postings or an Aho-Corasick pass — either way this
+    single-stream + tiny-merge shape holds.
+    """
+    import ray
+    import ray.data as rd
+
+    from .queryset import REFERENCE_QUERIES
+
+    queries = queries if queries is not None else REFERENCE_QUERIES
+    # metadata-only reader: doc_range (0, 0) loads stats + the (term,
+    # df) projection but constructs no posting runs
+    rdr = IndexReader(index_dir, doc_range=(0, 0))
+    p = Bm25Params(k1=rdr.stats["k1"], b=rdr.stats["b"])
+    phrases = []
+    idf_map = {}
+    for qid, text in queries:
+        toks = tokenize(text)
+        if not toks:
+            continue
+        pat = " " + " ".join(toks) + " "
+        terms = sorted(set(toks))
+        phrases.append((qid, pat, terms))
+        for t in terms:
+            if t not in idf_map and rdr.df(t) > 0:
+                idf_map[t] = rdr.idf(t)
+    bref = ray.put((phrases, idf_map, rdr.avgdl, p))
+
+    def match_batch(batch: pa.Table) -> pa.Table:
+        from collections import Counter
+
+        phr, idfs, avgdl, params = ray.get(bref)
+        out_q, out_d, out_s = [], [], []
+        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
+            toks = tokenize(text)
+            joined = " " + " ".join(toks) + " "
+            c = None
+            for qid, pat, terms in phr:
+                if pat not in joined:
+                    continue
+                if c is None:
+                    c = Counter(toks)
+                score = 0.0  # term-major adds, same order as the oracle sum
+                for t in terms:
+                    score += idfs[t] * float(
+                        tf_norm(np.array([c[t]]), np.array([len(toks)]), avgdl, params)[0]
+                    )
+                out_q.append(qid)
+                out_d.append(doc_id)
+                out_s.append(score)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+    def merge(group: pa.Table) -> pa.Table:
+        qid = int(group["query_id"][0].as_py())
+        heap = TopK(k)
+        for d, s in zip(group["doc_id"].to_numpy(), group["score"].to_numpy()):
+            heap.push_score(float(s), int(d))
+        rows = heap.result()
+        return pa.table(
+            {
+                "query_id": pa.array([qid] * len(rows), type=pa.int64()),
+                "rank": pa.array(np.arange(1, len(rows) + 1, dtype=np.int32), type=pa.int32()),
+                "doc_id": pa.array([d for d, _ in rows], type=pa.int64()),
+                "score": pa.array([s for _, s in rows], type=pa.float64()),
+            }
+        )
+
+    docs = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    return (
+        docs.map_batches(match_batch, batch_format="pyarrow")
+        .groupby("query_id")
+        .map_groups(merge, batch_format="pyarrow")
+    )
 
 
 def search_to_parquet(

@@ -53,3 +53,15 @@ def queries_values_sql() -> str:
         for term in sorted(set(tokenize(text))):
             pairs.append(f"({qid}, '{term}')")
     return "(VALUES " + ", ".join(pairs) + ") AS q(query_id, term)"
+
+
+def phrase_values_sql() -> str:
+    """``(query_id, pat)`` VALUES list of space-padded tokenized
+    phrases — ``contains(doc_token_string, pat)`` is exactly the
+    engine's contiguous-subsequence match."""
+    rows = []
+    for qid, text in REFERENCE_QUERIES:
+        toks = tokenize(text)
+        if toks:
+            rows.append(f"({qid}, ' {' '.join(toks)} ')")
+    return "(VALUES " + ", ".join(rows) + ") AS p(query_id, pat)"

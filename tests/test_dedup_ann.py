@@ -47,6 +47,34 @@ def test_ngram_jaccard_exact(ray_session):
         assert abs(got_pairs[p] - j) < 1e-6
 
 
+def test_dedup_clusters_match_union_find(ray_session):
+    """Min-label propagation == union-find over the exact pair graph:
+    every doc's keeper is the min doc_id reachable through τ-edges
+    (transitive closure, not just direct pairs)."""
+    from similaritysearch_jl_ray.pipelines.dedup import dedup_clusters
+
+    got = dedup_clusters(SF_DIR, tau=0.5).to_pandas()
+    docs = _docs()
+    parent = {d: d for d in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in _brute_jaccard_pairs(docs, 0.5):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(d) for d in docs}
+    assert len(got) == len(docs)
+    got_map = dict(zip(got["doc_id"].astype(int), got["keeper_doc_id"].astype(int)))
+    assert got_map == want
+    # sanity: the fixture actually contains a non-trivial cluster
+    assert any(k != d for d, k in want.items())
+
+
 def test_minhash_lsh_precision_and_recall(ray_session):
     from similaritysearch_jl_ray.pipelines.dedup import minhash_lsh_pairs
 
