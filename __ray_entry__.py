@@ -293,6 +293,18 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "distsample": ann.distsample,
         "rerank": lambda sf: ann.rerank(sf, k_candidates=20, k=8, n_queries=10),
         "hsp_filter": lambda sf: ann.hsp_filter(sf, k=16, n_queries=10),
+        # neighborhood filter family (SAT/DistalSAT/KCenters) — the
+        # reference's static-pruning rules as knn post-filters;
+        # order-dependent geometry → pytest-pinned, rows-only here
+        "sat_neighborhood": lambda sf: __import__(
+            "similaritysearch_jl_ray.pipelines.neighborhood", fromlist=["neighborhood_filter"]
+        ).neighborhood_filter(sf, kind="sat"),
+        "distal_sat_neighborhood": lambda sf: __import__(
+            "similaritysearch_jl_ray.pipelines.neighborhood", fromlist=["neighborhood_filter"]
+        ).neighborhood_filter(sf, kind="distal_sat"),
+        "kcenters_neighborhood": lambda sf: __import__(
+            "similaritysearch_jl_ray.pipelines.neighborhood", fromlist=["neighborhood_filter"]
+        ).neighborhood_filter(sf, kind="kcenters"),
         "permuted_knn_search": lambda sf: ann.permuted_knn_search(sf, k=8, n_queries=10),
         "neardup_embeddings": lambda sf: ann.neardup_embeddings(sf, eps=1.2),
         # -- ANN scale path + transforms ----------------------------------
@@ -307,6 +319,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quantize_embeddings": lambda sf: __import__(
             "similaritysearch_jl_ray.pipelines.transform", fromlist=["quantize_embeddings"]
         ).quantize_embeddings(sf, bits=8),
+        # -- dataset-level sampling / set ops (SURVEY §2.7) ----------------
+        "docs_sample": lambda sf: __import__(
+            "similaritysearch_jl_ray.pipelines.setops", fromlist=["sample_documents"]
+        ).sample_documents(sf, every=20),
+        "docs_setops": lambda sf: __import__(
+            "similaritysearch_jl_ray.pipelines.setops", fromlist=["docs_setops"]
+        ).docs_setops(sf, lang="en", token="data"),
         # -- multimodal plumbing (decode stubbed per brief) ---------------
         "media_features": lambda sf: __import__(
             "similaritysearch_jl_ray.pipelines.media", fromlist=["decode_features"]
@@ -495,6 +514,17 @@ rr AS (SELECT qid AS query_id, vec_id, ldist,
               row_number() OVER (PARTITION BY qid ORDER BY ldist, vec_id) AS rank
        FROM cand WHERE crank <= 20)
 SELECT query_id, rank, vec_id, round(ldist, 6) AS dist FROM rr WHERE rank <= 8
+""",
+        "docs_sample": "SELECT doc_id, text FROM documents WHERE doc_id % 20 = 0",
+        "docs_setops": """
+WITH a AS (SELECT doc_id FROM documents WHERE lang = 'en'),
+b AS (SELECT doc_id FROM documents
+      WHERE list_contains(regexp_extract_all(lower(text), '[a-z0-9]+'), 'data'))
+SELECT 'union' AS op, doc_id FROM (SELECT doc_id FROM a UNION SELECT doc_id FROM b)
+UNION ALL
+SELECT 'intersect', doc_id FROM (SELECT doc_id FROM a INTERSECT SELECT doc_id FROM b)
+UNION ALL
+SELECT 'except', doc_id FROM (SELECT doc_id FROM a EXCEPT SELECT doc_id FROM b)
 """,
         # hsp_filter / neardup_embeddings: order-dependent (reference
         # contract ported, trajectory not SQL-expressible) → rows-only.

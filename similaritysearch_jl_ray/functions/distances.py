@@ -158,3 +158,30 @@ def hausdorff(A: np.ndarray, B: np.ndarray) -> float:
 def chamfer(A: np.ndarray, B: np.ndarray) -> float:
     """Symmetric mean-of-NN distances (cloud.jl ChamferDistance)."""
     return float(_nn_dists(A, B).mean() + _nn_dists(B, A).mean())
+
+
+def emd_greedy(A: np.ndarray, B: np.ndarray, p: float = 1.0) -> float:
+    """Greedy perfect-matching EMD (``/root/reference/src/dist/cloud.jl:92-120``).
+
+    For each row of A in order, scan the still-unmatched rows of
+    B[:len(A)] for the minimum ``dist^p``; the matched row is swapped
+    out of the candidate pool. Faithful to the reference's accumulation
+    rule (cloud.jl:109 adds ``d`` on every *improvement* during the
+    scan, not just the final minimum — semantics, not an optimization
+    target here). Returns ``s^(1/p)``. Requires ``len(B) >= len(A)``;
+    only the first ``len(A)`` rows of B participate, as in the
+    reference's candidate array ``C = 1:n``."""
+    n = len(A)
+    if len(B) < n:
+        raise ValueError("emd_greedy needs len(B) >= len(A)")
+    C = np.arange(n)
+    s = 0.0
+    for i in range(n):
+        d = np.sqrt(((B[C[i:]] - A[i]) ** 2).sum(axis=1)) ** p
+        # reference scan: s += d at every new running minimum
+        run_min = np.minimum.accumulate(d)
+        improved = np.r_[True, run_min[1:] < run_min[:-1]]
+        s += float(d[improved].sum())
+        j = i + int(np.flatnonzero(d == run_min[-1])[0])
+        C[i], C[j] = C[j], C[i]
+    return float(s ** (1.0 / p))

@@ -31,7 +31,7 @@ import math
 
 import numpy as np
 
-__all__ = ["TopK", "topk_indices", "merge_topk"]
+__all__ = ["TopK", "TopKSorted", "topk_indices", "merge_topk"]
 
 _INF = math.inf
 
@@ -135,6 +135,90 @@ class TopK:
     def reuse(self, k: int | None = None) -> None:
         """Reset in place (knnheap.jl:91-103); optionally re-cap."""
         self._heap.clear()
+        if k is not None:
+            self.k = k
+        self.costdist = 0
+        self.costblk = 0
+
+
+class TopKSorted:
+    """Second queue implementation with the SAME contract as
+    :class:`TopK`, kept as an always-sorted array instead of a heap —
+    the reference maintains ``KnnHeap`` AND ``KnnSorted``
+    (``/root/reference/src/pqueue/knnsorted.jl:91-118``) and proves
+    them equivalent as a test strategy (``test/testresults.jl:52-84``);
+    the property test in tests/test_topk.py does the same here, which
+    pins the queue *contract* independently of either implementation.
+
+    Ascending ``(dist, doc_id)``; the frontier is the last element.
+    """
+
+    __slots__ = ("k", "_items", "costdist", "costblk")
+
+    def __init__(self, k: int):
+        if k <= 0:
+            raise ValueError("k must be positive")
+        self.k = k
+        self._items: list[tuple[float, int]] = []
+        self.costdist = 0
+        self.costblk = 0
+
+    def __len__(self) -> int:
+        return len(self._items)
+
+    def covradius(self) -> float:
+        if len(self._items) < self.k:
+            return _INF
+        return self._items[-1][0]
+
+    def theta(self) -> float:
+        return -self.covradius()
+
+    def push(self, dist: float, doc_id: int) -> bool:
+        import bisect
+
+        it = self._items
+        key = (dist, doc_id)
+        if len(it) < self.k:
+            bisect.insort(it, key)
+            return True
+        # knnsorted.jl:114 reject rule: the same (dist, doc_id) total
+        # order as TopK — ties on dist admit only a smaller doc_id
+        if key >= it[-1]:
+            return False
+        it.pop()
+        bisect.insort(it, key)
+        return True
+
+    def push_score(self, score: float, doc_id: int) -> bool:
+        return self.push(-score, doc_id)
+
+    def maximum(self) -> float:
+        return self._items[-1][0] if self._items else -_INF
+
+    def minimum(self) -> float:
+        return self._items[0][0] if self._items else _INF
+
+    def argmax(self) -> int:
+        return self._items[-1][1] if self._items else -1
+
+    def argmin(self) -> int:
+        return self._items[0][1] if self._items else -1
+
+    def pop_max(self) -> tuple[float, int]:
+        return self._items.pop()
+
+    def pop_min(self) -> tuple[float, int]:
+        return self._items.pop(0)
+
+    def items(self) -> list[tuple[float, int]]:
+        return list(self._items)
+
+    def result(self) -> list[tuple[int, float]]:
+        return [(i, -d) for d, i in self._items]
+
+    def reuse(self, k: int | None = None) -> None:
+        self._items.clear()
         if k is not None:
             self.k = k
         self.costdist = 0

@@ -1,0 +1,127 @@
+"""Dataset-level sampling and set operations (SURVEY.md §2.7 rows
+"sampling" and "union/intersect/except").
+
+The reference samples its database with ``rand`` → ``SubDatabase``
+(``/root/reference/src/db/db.jl:77``) and intersects result id lists
+in its recall scorer (``/root/reference/src/perf.jl:10-12``). Here
+both become DATASET-level operators instead of batch-local numpy:
+
+* :func:`sample_documents` — systematic sample (``doc_id % every ==
+  0``): deterministic across runs/partitionings, SQL-oracle-able, and
+  a pushdown-friendly predicate. :func:`random_sample_documents`
+  wraps ``Dataset.random_sample`` for the probabilistic variant.
+* :func:`dataset_set_flags` — tag-union-groupby set algebra between
+  two keyed datasets: one tiny shuffle keyed by the id, emitting each
+  key's membership flags; intersect/union/except are projections of
+  it. This is the co-partitioned shape that scales (no broadcast of
+  either side).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.text import tokenize
+
+__all__ = [
+    "sample_documents",
+    "random_sample_documents",
+    "dataset_set_flags",
+    "docs_setops",
+]
+
+
+def sample_documents(sf_dir: str, every: int = 20):
+    """Systematic sample: rows with doc_id % every == 0."""
+    import ray.data as rd
+
+    def pick(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        return batch.filter(pa.array(ids % every == 0))
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+        pick, batch_format="pyarrow"
+    )
+
+
+def random_sample_documents(sf_dir: str, fraction: float = 0.1, seed: int = 7):
+    """Probabilistic sample via the Dataset-native operator — the
+    ``rand() → SubDatabase`` analog (db.jl:77)."""
+    import ray.data as rd
+
+    return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).random_sample(
+        fraction, seed=seed
+    )
+
+
+def dataset_set_flags(a, b, key: str):
+    """Tag both datasets, union, group by ``key``: one row per distinct
+    key with (in_a, in_b) booleans. intersect = in_a & in_b, except =
+    in_a & ~in_b, union = all rows."""
+
+    def tag(which: str):
+        def f(batch: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    key: batch[key],
+                    "src": pa.array([which] * batch.num_rows),
+                }
+            )
+
+        return f
+
+    def flags(group: pa.Table) -> pa.Table:
+        srcs = set(group["src"].to_pylist())
+        return pa.table(
+            {
+                key: group[key].slice(0, 1),
+                "in_a": pa.array(["a" in srcs]),
+                "in_b": pa.array(["b" in srcs]),
+            }
+        )
+
+    u = a.map_batches(tag("a"), batch_format="pyarrow").union(
+        b.map_batches(tag("b"), batch_format="pyarrow")
+    )
+    return u.groupby(key).map_groups(flags, batch_format="pyarrow")
+
+
+def docs_setops(sf_dir: str, lang: str = "en", token: str = "data"):
+    """(op, doc_id) rows for the three set ops between A = docs with
+    ``lang`` and B = docs containing ``token`` — the driver-facing
+    demonstration of :func:`dataset_set_flags`."""
+    import ray.data as rd
+
+    a = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "lang"]).filter(
+        expr=f"lang == '{lang}'"
+    ).select_columns(["doc_id"])
+
+    def has_token(batch: pa.Table) -> pa.Table:
+        keep = [token in tokenize(t) for t in batch["text"].to_pylist()]
+        return pa.table({"doc_id": batch["doc_id"].filter(pa.array(keep))})
+
+    b = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
+        has_token, batch_format="pyarrow"
+    )
+
+    def emit(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        in_a = batch["in_a"].to_numpy(zero_copy_only=False)
+        in_b = batch["in_b"].to_numpy(zero_copy_only=False)
+        ops, out = [], []
+        for op, mask in (
+            ("union", np.ones(len(ids), dtype=bool)),
+            ("intersect", in_a & in_b),
+            ("except", in_a & ~in_b),
+        ):
+            ops.extend([op] * int(mask.sum()))
+            out.append(ids[mask])
+        return pa.table(
+            {
+                "op": pa.array(ops),
+                "doc_id": pa.array(np.concatenate(out) if out else [], type=pa.int64()),
+            }
+        )
+
+    return dataset_set_flags(a, b, "doc_id").map_batches(emit, batch_format="pyarrow")

@@ -169,6 +169,49 @@ def test_doc_fingerprint_deterministic(ray_session):
     assert a["fingerprint"].nunique() >= 450
 
 
+def test_neighborhood_filters_properties(ray_session):
+    """SAT/DistalSAT/KCenters contracts (hsp.jl:9-34,
+    neighborhood.jl:89-137): kept sets satisfy the half-space rule in
+    their scan direction; kcenters returns the right count; all
+    outputs are subsets of the knn candidates."""
+    import pyarrow.dataset as pads
+
+    from similaritysearch_jl_ray.pipelines.ann import knn_search
+    from similaritysearch_jl_ray.pipelines.neighborhood import neighborhood_filter
+
+    K, NQ = 16, 6
+    knn = knn_search(SF_DIR, k=K, n_queries=NQ).to_pandas()
+    need = sorted(set(knn["vec_id"].astype(int)) | set(knn["query_id"].astype(int)))
+    t = pads.dataset(f"{SF_DIR}/embeddings.parquet", format="parquet").to_table(
+        columns=["vec_id", "embedding"], filter=pads.field("vec_id").isin(need)
+    )
+    by_id = {int(i): np.asarray(e, float) for i, e in zip(t["vec_id"].to_pylist(), t["embedding"].to_pylist())}
+
+    def d(a, b):
+        return float(np.sqrt(((by_id[a] - by_id[b]) ** 2).sum()))
+
+    for kind in ("sat", "distal_sat", "kcenters"):
+        out = neighborhood_filter(SF_DIR, kind=kind, k=K, n_queries=NQ)
+        for qid, g in out.groupby("query_id"):
+            cand = knn[knn.query_id == qid].sort_values("rank")
+            cand_ids = cand["vec_id"].astype(int).tolist()
+            kept = g.sort_values("rank")["vec_id"].astype(int).tolist()
+            assert set(kept) <= set(cand_ids)
+            assert len(kept) >= 1
+            if kind in ("sat", "distal_sat"):
+                # half-space rule: each kept p has no EARLIER-kept c
+                # strictly closer to p than the query is
+                dq = dict(zip(cand["vec_id"].astype(int), cand["dist"]))
+                for r, p in enumerate(kept):
+                    assert not any(d(p, c) < dq[p] for c in kept[:r]), (kind, qid, p)
+                # scan seeds: nearest (sat) / farthest (distal) kept first
+                assert kept[0] == (cand_ids[0] if kind == "sat" else cand_ids[-1])
+            else:
+                import math
+
+                assert len(kept) == min(16, max(1, math.ceil(math.log2(len(cand_ids)))))
+
+
 def test_lang_id_deterministic_and_valid(ray_session):
     from similaritysearch_jl_ray.pipelines.textstats import lang_id
 

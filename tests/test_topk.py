@@ -13,7 +13,7 @@ import random
 import numpy as np
 import pytest
 
-from similaritysearch_jl_ray.functions.topk import TopK, merge_topk, topk_indices
+from similaritysearch_jl_ray.functions.topk import TopK, TopKSorted, merge_topk, topk_indices
 
 
 def model_topk(pairs, k):
@@ -118,6 +118,68 @@ def test_merge_topk_equals_global():
     assert merged == gold
 
 
+def test_heap_and_sorted_impls_equivalent():
+    """The reference's dual-implementation proof strategy
+    (``test/testresults.jl:52-84``, KnnHeap vs KnnSorted): drive both
+    queues with identical random streams incl. pops; every accessor
+    must agree at every step — the contract is pinned by the pair, not
+    by either implementation."""
+    rng = random.Random(99)
+    for trial in range(20):
+        k = rng.choice([1, 2, 5, 16])
+        a, b = TopK(k), TopKSorted(k)
+        for step in range(400):
+            op = rng.random()
+            if op < 0.9 or len(a) == 0:
+                d = rng.choice([rng.uniform(-4, 4), float(rng.randint(-2, 2))])
+                i = rng.randint(0, 10_000)
+                assert a.push(d, i) == b.push(d, i), (trial, step)
+            elif op < 0.95:
+                assert a.pop_max() == b.pop_max()
+            else:
+                assert a.pop_min() == b.pop_min()
+            assert a.items() == b.items()
+            assert len(a) == len(b)
+            assert a.covradius() == b.covradius()
+            if len(a):
+                assert (a.maximum(), a.argmax()) == (b.maximum(), b.argmax())
+                assert (a.minimum(), a.argmin()) == (b.minimum(), b.argmin())
+        a.reuse(k + 1)
+        b.reuse(k + 1)
+        assert a.items() == b.items() == []
+
+
+def test_emd_greedy_matches_reference_scan():
+    """Greedy-EMD faithful to cloud.jl:92-120 including the
+    accumulate-on-improvement rule — checked against a literal
+    transcription of the scalar loop."""
+    from similaritysearch_jl_ray.functions.distances import emd_greedy
+
+    rng = np.random.default_rng(3)
+    for _ in range(20):
+        n, dim = int(rng.integers(1, 12)), 3
+        A = rng.normal(size=(n, dim))
+        B = rng.normal(size=(n, dim))
+        p = float(rng.choice([1.0, 2.0]))
+        # scalar model
+        C = list(range(n))
+        s = 0.0
+        for i in range(n):
+            u = A[i]
+            min_, arg = float("inf"), -1
+            for j in range(i, n):
+                d = float(np.sqrt(((u - B[C[j]]) ** 2).sum())) ** p
+                if d < min_:
+                    s += d
+                    min_, arg = d, j
+            C[arg], C[i] = C[i], C[arg]
+        want = s ** (1.0 / p)
+        got = emd_greedy(A, B, p=p)
+        np.testing.assert_allclose(got, want, rtol=1e-10)
+
+
 def test_k_must_be_positive():
     with pytest.raises(ValueError):
         TopK(0)
+    with pytest.raises(ValueError):
+        TopKSorted(0)
