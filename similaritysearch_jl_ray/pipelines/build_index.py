@@ -12,12 +12,17 @@ the north rule's "resumable from per-partition checkpoints with
 lineage + metrics")::
 
     docmap/             doc_id, url, lang         (the doc-side map)
-    tokens/             term, doc_id, tf, dl      (SPIMI triples;
-                        extract+tokenize run fused — no full-text
-                        intermediate is ever written)
-    stats.json          N, avgdl, vocab df sketch → head-term set, knobs
+    head_sketch.json    sampled df → head-term set (from a pages sample)
+    stats.json          N, avgdl, exact stats from merge metadata, knobs
     postings/part=*/    term, salt, df, cf, payload, block_* arrays
     meta/part=*.json    docs, postings, bytes, terms  (lineage + metrics)
+
+    Extract → tokenize → SPIMI-encode run FUSED in one streaming pass
+    (stage D1): neither the clean text nor the (term, doc_id, tf, dl)
+    triples are ever persisted — the only intermediate on disk is the
+    compressed encoded-runs shuffle payload (runs_tmp/), ≈1/8 of the
+    raw token bytes. On a D1 crash the pass re-runs (tokenization is
+    cheaper than the I/O the old token checkpoint cost every build).
 
 Skew handling (explicit, north rule): terms whose sketched df exceeds
 ``HEAD_TERM_DF_FRACTION × N`` are "head" terms; their shuffle key gets
@@ -116,7 +121,6 @@ def build_index(
 
     os.makedirs(index_dir, exist_ok=True)
     docmap_dir = os.path.join(index_dir, "docmap")
-    tokens_dir = os.path.join(index_dir, "tokens")
     stats_path = os.path.join(index_dir, "stats.json")
     postings_dir = os.path.join(index_dir, "postings")
     meta_dir = os.path.join(index_dir, "meta")
@@ -130,46 +134,30 @@ def build_index(
         )
         _mark_done(docmap_dir)
 
-    # ---- stage B: extract + tokenize FUSED → SPIMI triples --------------
-    # One streaming pass: html → text → (term, doc_id, tf, dl). The
-    # clean-text corpus is never persisted (project early; zstd
-    # everywhere — the build is I/O-bound before it is CPU-bound).
-    if not _done(tokens_dir):
-        shutil.rmtree(tokens_dir, ignore_errors=True)
-        (
-            pages_ds.map_batches(extract_batch, batch_format="pyarrow")
-            .map_batches(tokenize_batch, batch_format="pyarrow", batch_size=tokenize_batch_size)
-            .write_parquet(tokens_dir, compression="zstd")
-        )
-        _mark_done(tokens_dir)
-
     # ---- stage C: df SKETCH → head-term set (sampled, cheap) ------------
     # Salting is a performance decision, not a correctness one, so the
-    # head-term set comes from a sample of token files. Exact global
-    # stats (N, avgdl, df) are finalized AFTER the merge from run/meta
-    # metadata (stage E) — no full pre-pass over the token stream.
+    # head-term set comes from a bounded PAGES sample (limit() early-
+    # stops the read). Exact global stats (N, avgdl, df) are finalized
+    # AFTER the merge from run/meta metadata (stage E) — no full
+    # pre-pass over the corpus.
     sketch_path = os.path.join(index_dir, "head_sketch.json")
     if not os.path.exists(sketch_path):
-        import pyarrow.parquet as pqf
-
-        n_docs = rd.read_parquet(docmap_dir, columns=["doc_id"]).count()
-        token_files = sorted(
-            f for f in os.listdir(tokens_dir) if f.endswith(".parquet")
-        )
-        sample = token_files[:: max(1, len(token_files) // 8)][:8]
-        sampled_rows = 0
         from collections import Counter
 
+        n_docs = rd.read_parquet(docmap_dir, columns=["doc_id"]).count()
+        sample_n = int(min(n_docs, 4096))
+        sample = (
+            pages_ds.limit(sample_n)
+            .map_batches(extract_batch, batch_format="pyarrow")
+            .map_batches(tokenize_batch, batch_format="pyarrow", batch_size=tokenize_batch_size)
+        )
         df_sketch: Counter = Counter()
-        for fname in sample:
-            t = pqf.read_table(os.path.join(tokens_dir, fname), columns=["term"])
+        for t in sample.iter_batches(batch_format="pyarrow"):
             enc = t["term"].combine_chunks().dictionary_encode()
             counts = np.bincount(enc.indices.to_numpy(), minlength=len(enc.dictionary))
-            sampled_rows += len(enc.indices)
             for term, c in zip(enc.dictionary.to_pylist(), counts):
-                df_sketch[term] += int(c)
-        total_files = len(token_files)
-        scale = total_files / max(1, len(sample))
+                df_sketch[term] += int(c)  # one row per (doc, term) = df
+        scale = n_docs / max(1, sample_n)
         head_cut = head_df_fraction * n_docs
         head_terms_sketch = {
             t: int(c * scale) for t, c in df_sketch.items() if c * scale > head_cut
@@ -248,20 +236,23 @@ def build_index(
                 rows.append(row)
             return pa.Table.from_pylist(rows, schema=RUN_SCHEMA)
 
-        # D1: partitioned WRITE of local runs (no all-to-all operator —
-        # the hash partitioning happens in the parquet layout itself).
-        # Ray's groupby().map_groups() measured 95 s on these wide
-        # binary rows even with a trivial UDF; a per-part merge task
-        # over the partitioned files does the same exchange in seconds
-        # and is the per-segment-merger shape a 100 TB build wants.
+        # D1: FUSED extract → tokenize → encode → partitioned WRITE of
+        # local runs, one streaming pass over the raw pages (no token
+        # intermediate, no all-to-all operator — the hash partitioning
+        # happens in the parquet layout itself). Ray's
+        # groupby().map_groups() measured 95 s on these wide binary
+        # rows even with a trivial UDF; a per-part merge task over the
+        # partitioned files does the same exchange in seconds and is
+        # the per-segment-merger shape a 100 TB build wants.
         import ray
-        import ray.data as rd2
 
         runs_dir = os.path.join(index_dir, "runs_tmp")
         shutil.rmtree(runs_dir, ignore_errors=True)
-        tok = rd2.read_parquet(tokens_dir)
-        tok.map_batches(encode_local, batch_format="pyarrow", batch_size=None).write_parquet(
-            runs_dir, partition_cols=["part"], compression="zstd"
+        (
+            pages_ds.map_batches(extract_batch, batch_format="pyarrow")
+            .map_batches(tokenize_batch, batch_format="pyarrow", batch_size=tokenize_batch_size)
+            .map_batches(encode_local, batch_format="pyarrow", batch_size=None)
+            .write_parquet(runs_dir, partition_cols=["part"], compression="zstd")
         )
 
         # D2: one merge task per output partition. Arrow-native: the

@@ -28,7 +28,7 @@ from .build_index import build_index
 
 def rebuild(pages_ds, index_dir: str, **build_kwargs) -> dict:
     """Full rebuild: clear every checkpoint, re-run the DAG."""
-    for sub in ("docmap", "tokens", "postings", "meta", "runs_tmp"):
+    for sub in ("docmap", "postings", "meta", "runs_tmp"):
         shutil.rmtree(os.path.join(index_dir, sub), ignore_errors=True)
     for f in ("stats.json", "head_sketch.json"):
         try:
@@ -85,9 +85,9 @@ def _min_doc(index_dir: str):
     lo = None
     for part in os.listdir(postings):
         t = pads.dataset(os.path.join(postings, part), format="parquet").to_table(
-            columns=["block_first"]
+            columns=["run_first"]  # scalar span column (layout v3)
         )
-        for bf in t["block_first"].to_pylist():
-            if bf:
-                lo = bf[0] if lo is None else min(lo, bf[0])
+        for v in t["run_first"].to_pylist():
+            if v is not None and v >= 0:
+                lo = v if lo is None else min(lo, v)
     return lo
