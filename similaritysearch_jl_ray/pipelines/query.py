@@ -223,6 +223,14 @@ class Bm25Scorer:
         # doc-id span this scorer serves (bounds dense rescore arrays;
         # in sharded mode the shard width bounds it, the 100 TB story)
         self._span = doc_range if doc_range is not None else (0, st["max_doc"] + 1)
+        # actor-resident accumulator scratch: the exhaustive path adds
+        # each term's partials in place and resets only touched slots —
+        # NO multi-MB allocation per query. (Measured on this class of
+        # host: a fresh ≥6 MB numpy allocation can stall 300-800 ms on
+        # first-touch page faults under memory pressure; per-query
+        # transient buffers turned the first fallback query of every
+        # actor into a ~1-3 s outlier.)
+        self._acc: np.ndarray | None = None
         self._n_served = 0
 
     def _has_term(self, term: str) -> bool:
@@ -296,19 +304,48 @@ class Bm25Scorer:
             ),
         )
 
+    # spans beyond this fall back to the allocating _accumulate path
+    # (sparse/offset id spaces, e.g. delta appends far above base)
+    _MAX_SCRATCH_SPAN = 1 << 26
+
     def _score_exhaustive(self, terms):
-        ids_l, part_l = [], []
+        base, hi = self._span
+        span = hi - base
+        npost = 0
         nblocks = 0
-        for t in terms:
-            ids, partial = self._term_arrays(t)
-            nblocks += len(self._term_blocks(t)[0])
-            ids_l.append(ids)
-            part_l.append(partial)
-        uniq, scores = _accumulate(ids_l, part_l)
+        total = sum(len(self._term_arrays(t)[0]) for t in terms)
+        # dense-enough spans use the scratch (flatnonzero scans the
+        # span once per query — only worth it when postings fill it)
+        if 0 < span <= min(self._MAX_SCRATCH_SPAN, max(4 * total, 1)):
+            # allocation-free accumulate: per-term in-place adds into
+            # the reused scratch. Within a term ids are unique, so the
+            # fancy-index += is exact; per-doc adds happen in term-major
+            # order — bit-identical to the bincount path (_accumulate).
+            if self._acc is None or len(self._acc) < span:
+                self._acc = np.zeros(span, dtype=np.float64)
+            acc = self._acc
+            for t in terms:
+                ids, partial = self._term_arrays(t)
+                nblocks += len(self._term_blocks(t)[0])
+                acc[ids if base == 0 else ids - base] += partial
+                npost += len(ids)
+            nz = np.flatnonzero(acc[:span])
+            scores = acc[nz]  # copy before reset
+            acc[nz] = 0.0     # reset only touched slots
+            uniq = nz + base if base else nz
+        else:
+            ids_l, part_l = [], []
+            for t in terms:
+                ids, partial = self._term_arrays(t)
+                nblocks += len(self._term_blocks(t)[0])
+                ids_l.append(ids)
+                part_l.append(partial)
+            uniq, scores = _accumulate(ids_l, part_l)
+            npost = int(sum(len(i) for i in ids_l))
         idx = topk_indices(scores, uniq, self.k)
         return (
             [(int(uniq[j]), float(scores[j])) for j in idx],
-            int(sum(len(i) for i in ids_l)),
+            int(npost),
             int(nblocks),
         )
 
