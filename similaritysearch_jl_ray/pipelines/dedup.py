@@ -193,20 +193,22 @@ def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.5, n: int = 3, max_df: int |
 
 
 # ---------------------------------------------------------------------------
-def minhash_lsh_pairs(sf_dir: str, tau: float = 0.5, n: int = 3):
+def minhash_lsh_pairs(sf_dir: str, tau: float = 0.5, n: int = 3, bands: int = MINHASH_BANDS):
     """MinHash/LSH near-dup: banded signature groupby → exact-Jaccard
     verify. Precision 1.0 (every emitted pair is verified); recall is
-    the LSH S-curve at (64 perms, 8 bands)."""
-    rows_per_band = MINHASH_PERMS // MINHASH_BANDS
+    the LSH S-curve at (64 perms, ``bands`` bands × 64/bands rows) —
+    tunable via tune.tune_minhash (the reference's optimize_index!
+    pattern applied to the LSH operating point)."""
+    if MINHASH_PERMS % bands:
+        raise ValueError(f"bands must divide {MINHASH_PERMS}")
+    rows_per_band = MINHASH_PERMS // bands
 
     def sig_rows(batch: pa.Table) -> pa.Table:
         out = {"band_key": [], "doc_id": []}
-        shingle_cache = {}
         for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
             sh = shingle_hashes(tokenize(text), n=n)
-            shingle_cache[doc_id] = sh
             sig = minhash_signature(sh)
-            for b in range(MINHASH_BANDS):
+            for b in range(bands):
                 band = sig[b * rows_per_band : (b + 1) * rows_per_band]
                 key = f"{b}:" + hashlib.md5(band.tobytes()).hexdigest()[:16]
                 out["band_key"].append(key)

@@ -20,7 +20,14 @@ import dataclasses
 
 from ..functions.perf import macrorecall
 
-__all__ = ["MinRecall", "ParetoRecall", "tune_ivf", "tune_wand_prefix", "tune_wand_ranges"]
+__all__ = [
+    "MinRecall",
+    "ParetoRecall",
+    "tune_ivf",
+    "tune_minhash",
+    "tune_wand_prefix",
+    "tune_wand_ranges",
+]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -110,3 +117,33 @@ def tune_wand_prefix(
 
 
 tune_wand_ranges = tune_wand_prefix  # backward-compat alias
+
+
+def tune_minhash(
+    sf_dir: str,
+    tau: float = 0.5,
+    bands_grid=(4, 8, 16),
+    error=MinRecall(0.9),
+) -> dict:
+    """Tune the MinHash-LSH banding (b bands × 64/b rows) against the
+    EXACT pair set: recall = |LSH∩exact| / |exact| at Jaccard ≥ τ,
+    cost = bands/max(bands) (band rows shuffled scale linearly with b).
+    Same ``MinRecall``/``ParetoRecall`` objectives as the reference's
+    ``optimize_index!`` (``/root/reference/src/opt.jl:139-235``)."""
+    from .dedup import minhash_lsh_pairs, ngram_jaccard_pairs
+
+    exact = ngram_jaccard_pairs(sf_dir, tau=tau).to_pandas()
+    exact_pairs = set(zip(exact["doc_a"].astype(int), exact["doc_b"].astype(int)))
+    rows = []
+    for bands in bands_grid:
+        got = minhash_lsh_pairs(sf_dir, tau=tau, bands=bands).to_pandas()
+        got_pairs = set(zip(got["doc_a"].astype(int), got["doc_b"].astype(int)))
+        recall = len(got_pairs & exact_pairs) / max(1, len(exact_pairs))
+        cost = bands / max(bands_grid)
+        rows.append(
+            {"bands": bands, "rows_per_band": 64 // bands,
+             "recall": round(recall, 4), "cost": cost,
+             "objective": error.score(recall, cost)}
+        )
+    best = min(rows, key=lambda r: r["objective"])
+    return {"best": best, "table": rows}

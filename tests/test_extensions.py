@@ -135,6 +135,22 @@ def test_tune_ivf(ray_session):
     assert res["best"]["recall"] >= 0.99
 
 
+def test_tune_minhash(ray_session):
+    """Banding tune: more bands → recall monotone non-decreasing (the
+    LSH S-curve steepens); MinRecall picks the cheapest config meeting
+    the floor."""
+    from similaritysearch_jl_ray.pipelines.tune import MinRecall, tune_minhash
+
+    res = tune_minhash(SF_DIR, tau=0.5, bands_grid=(8, 16), error=MinRecall(0.8))
+    tbl = {r["bands"]: r for r in res["table"]}
+    assert set(tbl) == {8, 16}
+    assert tbl[16]["recall"] >= tbl[8]["recall"]
+    assert res["best"]["recall"] >= 0.8
+    assert res["best"]["bands"] == min(
+        b for b, r in tbl.items() if r["recall"] >= 0.8
+    )
+
+
 # -- media plumbing ---------------------------------------------------------
 def test_media_decode_features(ray_session):
     from similaritysearch_jl_ray.pipelines.media import decode_features
