@@ -338,6 +338,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": textstats.doc_fingerprint,
         # -- stream-shaped (events) ---------------------------------------
         "windowed_event_counts": lambda sf: events.windowed_event_counts(sf, window_s=3600),
+        "sliding_event_counts": lambda sf: events.sliding_event_counts(
+            sf, window_s=3600, slide_s=900
+        ),
+        "late_event_stats": lambda sf: events.late_event_stats(sf, watermark_s=7200),
         "sessionize": lambda sf: events.sessionize(sf, gap_s=1800),
     }
 
@@ -549,6 +553,22 @@ FROM (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
 SELECT event_type, ((epoch_us(ts) // 1000000) // 3600 * 3600)::BIGINT AS window_start,
        count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
 FROM events GROUP BY event_type, window_start
+""",
+        "sliding_event_counts": """
+SELECT event_type,
+       ((((epoch_us(ts) // 1000000) // 900) - k.k) * 900)::BIGINT AS window_start,
+       count(*)::BIGINT AS n, round(sum(value), 6) AS sum_value
+FROM events, (SELECT unnest(range(0, 4)) AS k) AS k
+GROUP BY event_type, window_start
+""",
+        "late_event_stats": """
+WITH e AS (SELECT event_type, epoch_us(ts) // 1000000 AS s FROM events),
+m AS (SELECT event_type, max(s) AS mx FROM e GROUP BY event_type)
+SELECT e.event_type, count(*)::BIGINT AS n_total,
+       sum(CASE WHEN e.s < m.mx - 7200 THEN 1 ELSE 0 END)::BIGINT AS n_late,
+       m.mx::BIGINT AS max_ts_s
+FROM e JOIN m ON m.event_type = e.event_type
+GROUP BY e.event_type, m.mx
 """,
         "sessionize": """
 WITH e AS (SELECT user_id, epoch_us(ts) // 1000000 AS s FROM events),
