@@ -475,36 +475,64 @@ class Bm25Scorer:
         impacts = [self._term_impacts(t) for t in terms]
         total = sum(len(i[0]) for i in impacts)
         T = len(terms)
-        # phase 1: seed θ̂
-        m = max(2 * k, self.prefix0 // 16)
-        seed = np.unique(np.concatenate([ids_i[:m] for ids_i, _ in impacts]))
-        exact_seed = self._rescore(terms, seed)
-        scanned = len(seed) * T
-        if len(seed) >= k:
-            theta_hat = float(np.partition(exact_seed, -k)[-k])
-            # phase 2: per-term admissible cutoffs → candidate prefixes
-            maxes = [float(imp[0]) if len(imp) else 0.0 for _, imp in impacts]
-            summax = sum(maxes)
-            prefixes = []
+        maxes = [float(imp[0]) if len(imp) else 0.0 for _, imp in impacts]
+        summax = sum(maxes)
+
+        def cutoffs(theta: float) -> list[int]:
+            ps = []
             for (ids_i, imp_i), mx in zip(impacts, maxes):
-                c_t = max(theta_hat - (summax - mx), theta_hat / T)
-                p_t = int(np.searchsorted(-imp_i, -c_t, side="right"))
-                prefixes.append(p_t)
-            if sum(prefixes) <= total // 3:
+                c_t = max(theta - (summax - mx), theta / T)
+                ps.append(int(np.searchsorted(-imp_i, -c_t, side="right")))
+            return ps
+
+        # phase 0: seed θ̂ from the tiny top-m union
+        m0 = max(2 * k, self.prefix0 // 16)
+        cur_prefix = [min(m0, len(i[0])) for i in impacts]
+        cand = np.unique(np.concatenate([ids_i[:p] for (ids_i, _), p in zip(impacts, cur_prefix)]))
+        exact = self._rescore(terms, cand)
+        scanned = len(cand) * T
+        phases = 1
+        if len(cand) >= k:
+            theta = float(np.partition(exact, -k)[-k])
+            # progressive tightening: θ̂ only grows as the rescored
+            # subset grows, so each round's cutoffs shrink toward the
+            # true-θ prefixes (measured 3-6× smaller than the seed-θ̂
+            # ones on the bench corpus). Caps bound the middle round;
+            # the loop finalizes as soon as the current candidate set
+            # already covers the admissible cutoffs.
+            for cap in (8 * self.prefix0, None):
+                ps = cutoffs(theta)
+                if all(p <= cp for p, cp in zip(ps, cur_prefix)):
+                    break  # cand ⊇ every possible top-k member — done
+                if cap is not None and sum(ps) <= total // 6:
+                    continue  # already cheap: go straight to the final gather
+                if cap is None and sum(ps) > total // 3:
+                    hits, npost, _ = self._score_exhaustive(terms)
+                    heap.costdist += scanned + npost
+                    heap.costblk += phases
+                    return hits, scanned + npost, phases
+                nxt = [
+                    min(max(p, cp), cap if cap is not None else len(i[0]))
+                    for p, cp, i in zip(ps, cur_prefix, impacts)
+                ]
                 cand = np.unique(
-                    np.concatenate([ids_i[:p] for (ids_i, _), p in zip(impacts, prefixes)])
+                    np.concatenate([ids_i[:p] for (ids_i, _), p in zip(impacts, nxt)])
                 )
                 exact = self._rescore(terms, cand)
                 scanned += len(cand) * T
-                heap.costdist += scanned
-                heap.costblk += 2
-                idx = topk_indices(exact, cand, k)
-                return [(int(cand[j]), float(exact[j])) for j in idx], scanned, 2
-        # pruning cannot pay for itself here — finish exhaustive
+                phases += 1
+                cur_prefix = nxt
+                theta = max(theta, float(np.partition(exact, -k)[-k]))
+            heap.costdist += scanned
+            heap.costblk += phases
+            idx = topk_indices(exact, cand, k)
+            return [(int(cand[j]), float(exact[j])) for j in idx], scanned, phases
+        # fewer than k docs seen and nothing to tighten against —
+        # finish exhaustive (tiny corpora / heavy filters)
         hits, npost, _ = self._score_exhaustive(terms)
         heap.costdist += scanned + npost
-        heap.costblk += 2
-        return hits, scanned + npost, 2
+        heap.costblk += phases
+        return hits, scanned + npost, phases
 
     # -- batch entry --------------------------------------------------------
     def __call__(self, batch: pa.Table) -> pa.Table:
