@@ -182,7 +182,15 @@ class Bm25Scorer:
         parts: list[int] | None = None,
         doc_range: tuple[int, int] | None = None,
         lang: str | None = None,
+        cache_size: int = 0,
     ):
+        # opt-in per-actor results LRU (text → result). Real query
+        # traffic is heavily repeated; OFF by default so benchmarks
+        # measure scoring, not caching.
+        self._result_cache: dict[str, tuple] | None = (
+            {} if cache_size > 0 else None
+        )
+        self._result_cache_size = cache_size
         self.doc_range = doc_range
         # field filter: restrict scoring to docs whose docmap lang
         # matches — the allowed-id set comes from a PUSHDOWN read of
@@ -244,6 +252,22 @@ class Bm25Scorer:
 
     def score_query(self, text: str) -> tuple[list[tuple[int, float]], int, int]:
         """Returns (result, postings_scored, blocks_decoded)."""
+        cache = self._result_cache
+        if cache is not None:
+            hit = cache.get(text)
+            if hit is not None:
+                # LRU bump: dicts preserve insertion order
+                del cache[text]
+                cache[text] = hit
+                return hit
+        out = self._score_query_uncached(text)
+        if cache is not None:
+            if len(cache) >= self._result_cache_size:
+                cache.pop(next(iter(cache)))
+            cache[text] = out
+        return out
+
+    def _score_query_uncached(self, text: str):
         if self.mode == "and":
             all_terms = sorted(set(tokenize(text)))
             terms = [t for t in all_terms if self._has_term(t)]
@@ -569,6 +593,7 @@ def search(
     batch_size: int = 256,
     broadcast: bool = True,
     lang: str | None = None,
+    cache_size: int = 0,
 ):
     """queries (query_id, text) → results Dataset (long format).
 
@@ -578,6 +603,8 @@ def search(
     used when each actor pins only its own index parts). ``lang``
     restricts scoring to docs with that docmap lang (field query)."""
     kwargs = {"k": k, "mode": mode}
+    if cache_size:
+        kwargs["cache_size"] = cache_size
     if lang is not None:
         kwargs["lang"] = lang
         kwargs["index_dir"] = index_dir

@@ -191,6 +191,22 @@ def test_pinned_scorers_cover_exactly_the_direct_results(index_dir, gold):
         assert heap.result() == direct.score_query(text)[0]
 
 
+def test_result_cache_identical_and_hits(index_dir):
+    """Opt-in per-actor results LRU: identical results, repeated texts
+    served from cache (cost counters stop growing), LRU evicts."""
+    plain = Bm25Scorer(index_dir, k=K, mode="wand")
+    cached = Bm25Scorer(index_dir, k=K, mode="wand", cache_size=4)
+    for _, text in REFERENCE_QUERIES:
+        assert cached.score_query(text) == plain.score_query(text)
+    # repeated text: costdist unchanged by a cache hit
+    cached.heap.reuse(K)
+    cached.score_query("fast merge")
+    before = cached.heap.costdist
+    cached.score_query("fast merge")
+    assert cached.heap.costdist == before
+    assert len(cached._result_cache) <= 4
+
+
 def test_crashed_stage_d_debris_is_cleaned(ray_session, index_dir, tmp_path):
     """Simulate a crash between the runs_tmp write and meta commit:
     stale postings/part files + a leftover runs_tmp must not leak into
