@@ -89,7 +89,10 @@ def run_bench() -> dict:
         for qid, text in REFERENCE_QUERIES
     ]
     n_queries = len(items)
-    concurrency = max(2, num_cpus - 2)
+    # leave ≥1 CPU for the non-actor operators (repartition/input) —
+    # at num_cpus=2, two pool actors consume every CPU and the
+    # upstream repartition starves: a real Ray Data deadlock
+    concurrency = max(1, num_cpus - 2)
 
     timings = {}
     lat_p50 = {}

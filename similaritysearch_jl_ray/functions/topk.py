@@ -140,6 +140,15 @@ class TopK:
         self.costdist = 0
         self.costblk = 0
 
+    # -- IdView / DistView projections (pqueue.jl IdView/DistView) ----------
+    def ids(self) -> list[int]:
+        """Sorted-result ids only (the reference's ``IdView``)."""
+        return [i for _, i in self.items()]
+
+    def dists(self) -> list[float]:
+        """Sorted-result dists only (the reference's ``DistView``)."""
+        return [d for d, _ in self.items()]
+
 
 class TopKSorted:
     """Second queue implementation with the SAME contract as
@@ -223,6 +232,12 @@ class TopKSorted:
             self.k = k
         self.costdist = 0
         self.costblk = 0
+
+    def ids(self) -> list[int]:
+        return [i for _, i in self._items]
+
+    def dists(self) -> list[float]:
+        return [d for d, _ in self._items]
 
 
 def topk_indices(scores: np.ndarray, doc_ids: np.ndarray, k: int) -> np.ndarray:

@@ -110,12 +110,19 @@ def build_index(
     block_size: int = POSTING_BLOCK_SIZE,
     params: Bm25Params = DEFAULT_BM25,
     tokenize_batch_size: int = 1024,
+    on_part_complete=None,
 ) -> dict:
     """Build (or resume) the index; returns the stats dict.
 
     ``pages_ds`` is a Ray Dataset with the input_hint schema (plus the
     fixture's ride-along ``doc_id``; a real crawl would derive doc_id
     from (input partition, row index) — see sources/pages.py).
+
+    ``on_part_complete(meta_dict)`` is the §2.9 build-callback hook
+    (the reference's ``execute_callbacks!`` cadence, per-partition
+    here): invoked on the driver as each merge task's lineage/metrics
+    dict is committed — progress logging, metrics export, external
+    checkpoint registration.
     """
     import ray.data as rd
 
@@ -332,12 +339,20 @@ def build_index(
                 "max_doc": int(pc.max(flat_last).as_py()) if len(flat_last) else -1,
             }
 
-        metas = ray.get([merge_part.remote(p) for p in missing])
-        for meta in metas:
+        # commit each part's meta as its merge task finishes (not as a
+        # barrier), so the callback fires at true completion cadence
+        pending = {merge_part.remote(p): p for p in missing}
+        while pending:
+            done, _ = ray.wait(list(pending), num_returns=1)
+            ref = done[0]
+            del pending[ref]
+            meta = ray.get(ref)
             tmp = os.path.join(meta_dir, f"part={meta['part']}.json.tmp")
             with open(tmp, "w") as f:
                 json.dump(meta, f)
             os.replace(tmp, os.path.join(meta_dir, f"part={meta['part']}.json"))
+            if on_part_complete is not None:
+                on_part_complete(meta)
         shutil.rmtree(runs_dir, ignore_errors=True)
 
     # ---- stage E: finalize EXACT global stats from merge metadata -------

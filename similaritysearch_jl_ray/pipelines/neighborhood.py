@@ -37,7 +37,7 @@ import numpy as np
 
 from .ann import knn_search
 
-__all__ = ["neighborhood_filter"]
+__all__ = ["neighborhood_filter", "register_neighborhood_filter", "NEIGHBORHOOD_FILTERS"]
 
 
 def _d(a: np.ndarray, b: np.ndarray) -> float:
@@ -73,6 +73,18 @@ def _kcenters(ids, by_id, n_centers):
     return [int(ids[c]) for c in centers]
 
 
+# §2.9 extension hook (the reference's NeighborhoodFilter protocol,
+# neighborhood.jl:89-137): a filter is f(q_vec, ids, dists, by_id) →
+# kept id list; register under a name and every `kind=` site sees it.
+NEIGHBORHOOD_FILTERS: dict[str, object] = {}
+
+
+def register_neighborhood_filter(name: str, fn) -> None:
+    """Plug a custom candidate-list filter into ``neighborhood_filter``
+    (``fn(q_vec, ids, dists, by_id) -> list[int]``)."""
+    NEIGHBORHOOD_FILTERS[name] = fn
+
+
 def neighborhood_filter(sf_dir: str, kind: str = "sat", k: int = 16, n_queries: int = 10):
     """(query_id, rank, vec_id) — each query's filtered neighborhood,
     rank = kept order under the filter's scan direction."""
@@ -103,6 +115,8 @@ def neighborhood_filter(sf_dir: str, kind: str = "sat", k: int = 16, n_queries: 
             kept = _kcenters(ids, by_id, n_centers)
         elif kind == "identity":
             kept = [int(i) for i in ids]
+        elif kind in NEIGHBORHOOD_FILTERS:
+            kept = [int(v) for v in NEIGHBORHOOD_FILTERS[kind](q, ids, dists, by_id)]
         else:
             raise ValueError(kind)
         rows += [(int(qid), r + 1, v) for r, v in enumerate(kept)]

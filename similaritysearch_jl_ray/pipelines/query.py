@@ -668,6 +668,9 @@ def sharded_search(
     width = max_doc // n_shards + 1
     shards = [(s * width, min((s + 1) * width, max_doc + 1)) for s in range(n_shards)]
 
+    # every shard pool consumes the query set; materialize it once so
+    # n_shards branches share blocks instead of re-executing the source
+    queries_ds = queries_ds.materialize()
     extra = {"num_cpus": num_cpus} if num_cpus is not None else {}
     branches = []
     for lo, hi in shards:

@@ -191,6 +191,21 @@ def test_pinned_scorers_cover_exactly_the_direct_results(index_dir, gold):
         assert heap.result() == direct.score_query(text)[0]
 
 
+def test_build_callback_fires_per_part(ray_session, tmp_path):
+    """§2.9 build-callback hook: on_part_complete sees every part's
+    lineage/metrics dict exactly once, at commit time."""
+    seen = []
+    build_index(
+        pages_dataset(SF_DIR),
+        str(tmp_path / "cb"),
+        num_parts=4,
+        salt_factor=2,
+        on_part_complete=seen.append,
+    )
+    assert sorted(m["part"] for m in seen) == [0, 1, 2, 3]
+    assert all({"postings", "tokens", "payload_bytes"} <= set(m) for m in seen)
+
+
 def test_result_cache_identical_and_hits(index_dir):
     """Opt-in per-actor results LRU: identical results, repeated texts
     served from cache (cost counters stop growing), LRU evicts."""

@@ -212,6 +212,19 @@ def test_neighborhood_filters_properties(ray_session):
                 assert len(kept) == min(16, max(1, math.ceil(math.log2(len(cand_ids)))))
 
 
+def test_custom_neighborhood_filter_hook(ray_session):
+    """§2.9 extension surface: a registered filter plugs into every
+    kind= site."""
+    from similaritysearch_jl_ray.pipelines.neighborhood import (
+        neighborhood_filter,
+        register_neighborhood_filter,
+    )
+
+    register_neighborhood_filter("first_two", lambda q, ids, dists, by_id: ids[:2])
+    out = neighborhood_filter(SF_DIR, kind="first_two", k=8, n_queries=4)
+    assert (out.groupby("query_id")["vec_id"].count() == 2).all()
+
+
 def test_lang_id_deterministic_and_valid(ray_session):
     from similaritysearch_jl_ray.pipelines.textstats import lang_id
 

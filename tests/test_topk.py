@@ -178,6 +178,15 @@ def test_emd_greedy_matches_reference_scan():
         np.testing.assert_allclose(got, want, rtol=1e-10)
 
 
+def test_id_and_dist_views():
+    q, s = TopK(3), TopKSorted(3)
+    for d, i in [(3.0, 1), (1.0, 2), (2.0, 3), (0.5, 9)]:
+        q.push(d, i)
+        s.push(d, i)
+    assert q.ids() == s.ids() == [9, 2, 3]
+    assert q.dists() == s.dists() == [0.5, 1.0, 2.0]
+
+
 def test_k_must_be_positive():
     with pytest.raises(ValueError):
         TopK(0)
