@@ -191,6 +191,71 @@ def test_pinned_scorers_cover_exactly_the_direct_results(index_dir, gold):
         assert heap.result() == direct.score_query(text)[0]
 
 
+def test_and_mode_semantics(index_dir):
+    """Conjunctive mode: results ⊆ exhaustive results, every hit doc
+    contains EVERY query term, unknown terms match nothing."""
+    a = Bm25Scorer(index_dir, k=K, mode="and")
+    e = Bm25Scorer(index_dir, k=K, mode="exhaustive")
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    from similaritysearch_jl_ray.functions.text import tokenize
+
+    for text in ("fast merge", "window agg stream", "the a"):
+        hits_a, _, _ = a.score_query(text)
+        hits_e, _, _ = e.score_query(text)
+        terms = set(tokenize(text))
+        for doc_id, score in hits_a:
+            assert terms <= set(tokenize(texts[doc_id]))
+        # scores agree with the disjunctive scorer for all-terms docs
+        e_map = dict(hits_e)
+        for doc_id, score in hits_a:
+            if doc_id in e_map:
+                assert score == e_map[doc_id]
+    assert a.score_query("merge zzzunknown")[0] == []  # unknown term → empty
+
+
+def test_phrase_search_contiguity(ray_session, tmp_path):
+    """Phrase match requires CONTIGUOUS tokens: a doc containing the
+    words out of order or interleaved must not match."""
+    import pyarrow as pa
+    import ray.data as rd
+
+    from similaritysearch_jl_ray.pipelines.query import phrase_search
+    from similaritysearch_jl_ray.sources.pages import pages_from_documents
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma",      # contiguous "alpha beta" ✓
+                    "alpha gamma beta",      # out of order ✗
+                    "alpha xx beta",         # interleaved ✗
+                    "pre alpha beta post",   # contiguous inside ✓
+                ]
+            ),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["s"] * 4),
+        }
+    )
+    sf = str(tmp_path / "phrasefix")
+    import os
+
+    os.makedirs(sf)
+    import pyarrow.parquet as pq
+
+    pq.write_table(docs, f"{sf}/documents.parquet")
+    pages = rd.from_arrow(docs).map_batches(
+        lambda b: pages_from_documents(b), batch_format="pyarrow", batch_size=None
+    )
+    idx = str(tmp_path / "phraseidx")
+    build_index(pages, idx, num_parts=2, salt_factor=2)
+    out = phrase_search(sf, idx, k=10, queries=[(0, "alpha beta")]).to_pandas()
+    assert sorted(out["doc_id"].astype(int)) == [0, 3]
+
+
 def test_build_callback_fires_per_part(ray_session, tmp_path):
     """§2.9 build-callback hook: on_part_complete sees every part's
     lineage/metrics dict exactly once, at commit time."""
