@@ -151,8 +151,19 @@ def _index_fingerprint(index_dir: str) -> tuple:
 
 
 def _pack_ref(index_dir: str):
-    """ray.put the serving pack once per driver process per index
-    *state* (cache keyed by content fingerprint, not just path)."""
+    """Parallel per-part serving packs, broadcast once per driver
+    process per index *state* (cache keyed by content fingerprint).
+
+    One Ray TASK per term-hash part builds that part's pack — a term
+    lives in exactly one part, so part-local df IS global df, and
+    stats.json supplies the global N/avgdl; the driver never decodes
+    a posting. The broadcast object is a tiny dict of per-part
+    ObjectRefs; actors ray.get them zero-copy and merge the term
+    dicts (the per-part pack build the 100 TB layout wants — at
+    cluster scale each pack task runs next to its part's files)."""
+    import json as _json
+    import os as _os
+
     import ray
 
     key = (index_dir, _index_fingerprint(index_dir))
@@ -162,8 +173,32 @@ def _pack_ref(index_dir: str):
         # store can reclaim the old pack
         for k in [k for k in _PACK_CACHE if k[0] == index_dir]:
             del _PACK_CACHE[k]
-        ref = _PACK_CACHE[key] = ray.put(build_serving_pack(index_dir))
+        with open(_os.path.join(index_dir, "stats.json")) as f:
+            num_parts = _json.load(f)["num_parts"]
+
+        @ray.remote
+        def _part_pack(d: str, p: int) -> dict:
+            return build_serving_pack(d, parts=[p])
+
+        part_refs = [_part_pack.remote(index_dir, p) for p in range(num_parts)]
+        ref = _PACK_CACHE[key] = ray.put({"part_refs": part_refs})
     return ref
+
+
+def _resolve_pack(pack_ref) -> dict:
+    """Actor-side pack fetch: merge per-part packs (zero-copy arrays)
+    or accept a plain single pack (tests / custom callers)."""
+    import ray
+
+    outer = ray.get(pack_ref)
+    if "part_refs" not in outer:
+        return outer
+    parts = ray.get(outer["part_refs"])
+    merged = {"stats": parts[0]["stats"], "terms": {}, "blocks": {}, "imp": {}, "dense": {}}
+    for p in parts:
+        for section in ("terms", "blocks", "imp", "dense"):
+            merged[section].update(p.get(section, {}))
+    return merged
 
 
 class Bm25Scorer:
@@ -206,9 +241,7 @@ class Bm25Scorer:
             ).to_table(columns=["doc_id"], filter=pads.field("lang") == lang)
             self._allowed = np.sort(t["doc_id"].to_numpy().astype(np.int64))
         if pack_ref is not None:
-            import ray
-
-            self.pack = ray.get(pack_ref)
+            self.pack = _resolve_pack(pack_ref)
             st = self.pack["stats"]
             self.reader = None
         else:
