@@ -41,7 +41,7 @@ import dataclasses
 import numpy as np
 
 from ..config import POSTING_BLOCK_SIZE
-from ..functions.varint import decode_varints, encode_varints
+from ..functions.varint import decode_varints, encode_varints, varint_sizes
 
 __all__ = ["EncodedPostings", "encode_postings", "concat_runs", "decode_all", "decode_blocks"]
 
@@ -144,37 +144,56 @@ def encode_postings(
     counts = (ends - starts).astype(np.int32)
     nblocks = len(starts)
 
-    # per-block varint stream: gaps (count-1) ++ tfs (count) ++ dls (count)
-    payload_parts: list[bytes] = []
-    offsets = np.zeros(nblocks, dtype=np.int64)
-    vstarts = np.zeros(nblocks, dtype=np.int64)
-    max_tf = np.zeros(nblocks, dtype=np.int64)
-    min_dl = np.zeros(nblocks, dtype=np.int64)
-    off = 0
-    vcnt = 0
-    for i in range(nblocks):
-        s, e = int(starts[i]), int(ends[i])
-        gaps = np.diff(doc_ids[s:e]).astype(np.uint64)
-        stream = np.concatenate([gaps, tfs[s:e].astype(np.uint64), dls[s:e].astype(np.uint64)])
-        blob = encode_varints(stream)
-        offsets[i] = off
-        vstarts[i] = vcnt
-        max_tf[i] = tfs[s:e].max()
-        min_dl[i] = dls[s:e].min()
-        payload_parts.append(blob)
-        off += len(blob)
-        vcnt += len(stream)
+    # Per-block value layout: gaps (count−1) ++ tfs (count) ++ dls
+    # (count), all blocks concatenated into ONE value stream and varint-
+    # encoded in ONE call — byte-identical to encoding each block
+    # separately and concatenating (LEB128 is per-value), but without a
+    # Python loop per block (that loop was ~half of stage-D1 time at
+    # 2M docs: ~1M tiny encode calls per build).
+    c64 = counts.astype(np.int64)
+    reps = c64 - 1                       # gaps per block
+    nvals = 3 * c64 - 1                  # values per block
+    val_starts = np.zeros(nblocks, dtype=np.int64)
+    np.cumsum(nvals[:-1], out=val_starts[1:])
+    total_vals = int(nvals.sum())
+    stream = np.empty(total_vals, dtype=np.uint64)
+
+    def _ranges(lengths: np.ndarray) -> np.ndarray:
+        # [0..l0-1, 0..l1-1, ...] for the given segment lengths
+        tot = int(lengths.sum())
+        if tot == 0:
+            return np.empty(0, dtype=np.int64)
+        seg_starts = np.zeros(len(lengths), dtype=np.int64)
+        np.cumsum(lengths[:-1], out=seg_starts[1:])
+        return np.arange(tot, dtype=np.int64) - np.repeat(seg_starts, lengths)
+
+    # gaps section: within-block diffs of doc_ids
+    all_gaps = np.diff(doc_ids).astype(np.uint64) if n > 1 else np.empty(0, np.uint64)
+    dst_gap = np.repeat(val_starts, reps) + _ranges(reps)
+    src_gap = np.repeat(starts, reps) + _ranges(reps)
+    stream[dst_gap] = all_gaps[src_gap]
+    # tfs section (block-contiguous sources == plain arange)
+    dst_tf = np.repeat(val_starts + reps, c64) + _ranges(c64)
+    stream[dst_tf] = tfs.astype(np.uint64)
+    # dls section
+    dst_dl = np.repeat(val_starts + reps + c64, c64) + _ranges(c64)
+    stream[dst_dl] = dls.astype(np.uint64)
+
+    payload = encode_varints(stream)
+    sizes = varint_sizes(stream)
+    byte_before = np.zeros(total_vals + 1, dtype=np.int64)
+    np.cumsum(sizes, out=byte_before[1:])
     return EncodedPostings(
         df=n,
         cf=int(tfs.sum()),
-        payload=b"".join(payload_parts),
+        payload=payload,
         block_first=doc_ids[starts],
         block_last=doc_ids[ends - 1],
         block_count=counts,
-        block_offset=offsets,
-        block_vstart=vstarts,
-        block_max_tf=max_tf,
-        block_min_dl=min_dl,
+        block_offset=byte_before[val_starts],
+        block_vstart=val_starts,
+        block_max_tf=np.maximum.reduceat(tfs, starts),
+        block_min_dl=np.minimum.reduceat(dls, starts),
     )
 
 
