@@ -31,7 +31,11 @@ def main() -> int:
     ap.add_argument("--salt-factor", type=int, default=8)
     ap.add_argument("--queries-out", default=None, help="write top-k results parquet here")
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--mode", default="wand", choices=["wand", "exhaustive"])
+    ap.add_argument("--mode", default="wand", choices=["wand", "exhaustive", "and"])
+    ap.add_argument("--shards", type=int, default=0,
+                    help="serve doc-sharded with this many range-pinned pools")
+    ap.add_argument("--lang", default=None, help="field filter: only docs with this lang")
+    ap.add_argument("--cache-size", type=int, default=0, help="per-actor results LRU")
     ap.add_argument("--rebuild", action="store_true")
     args = ap.parse_args()
 
@@ -78,9 +82,19 @@ def main() -> int:
     }
     if args.queries_out:
         t0 = time.perf_counter()
-        search_to_parquet(
-            queries_dataset(), args.index_dir, args.queries_out, k=args.k, mode=args.mode
-        )
+        if args.shards > 0:
+            from similaritysearch_jl_ray.pipelines.query import sharded_search
+
+            sharded_search(
+                queries_dataset(), args.index_dir, k=args.k,
+                n_shards=args.shards, mode=args.mode,
+            ).write_parquet(args.queries_out, compression="zstd")
+        else:
+            search_to_parquet(
+                queries_dataset(), args.index_dir, args.queries_out,
+                k=args.k, mode=args.mode, lang=args.lang,
+                cache_size=args.cache_size,
+            )
         out["query_sec"] = round(time.perf_counter() - t0, 3)
         out["results_dir"] = args.queries_out
     print(json.dumps(out))

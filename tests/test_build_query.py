@@ -191,6 +191,16 @@ def test_pinned_scorers_cover_exactly_the_direct_results(index_dir, gold):
         assert heap.result() == direct.score_query(text)[0]
 
 
+def test_protocol_conformance(index_dir):
+    """§2.9: the built-ins satisfy the formal structural protocols
+    (the reference's AbstractSearchIndex surface)."""
+    from similaritysearch_jl_ray.state.protocol import IndexState, Scorer
+    from similaritysearch_jl_ray.state.reader import IndexReader
+
+    assert isinstance(IndexReader(index_dir), IndexState)
+    assert isinstance(Bm25Scorer(index_dir, k=5), Scorer)
+
+
 def test_and_mode_semantics(index_dir):
     """Conjunctive mode: results ⊆ exhaustive results, every hit doc
     contains EVERY query term, unknown terms match nothing."""
