@@ -21,7 +21,7 @@ import json
 import os
 import shutil
 
-__all__ = ["rebuild", "append_pages", "delta_dirs"]
+__all__ = ["rebuild", "append_pages", "delta_dirs", "maybe_compact"]
 
 from .build_index import build_index
 
@@ -76,6 +76,24 @@ def append_pages(pages_ds, index_dir: str, **build_kwargs) -> dict:
             "use rebuild() for overlapping id spaces"
         )
     return stats
+
+
+def maybe_compact(full_pages_ds, index_dir: str, max_deltas: int = 4, **build_kwargs):
+    """Compaction policy: when the delta count exceeds ``max_deltas``,
+    rebuild the whole index from ``full_pages_ds`` (base + all appended
+    pages); otherwise no-op. Returns (compacted: bool, stats | None).
+
+    Serving cost grows with delta count (each term's logical posting
+    list is base runs ++ one run-set per delta — reader.py), so an
+    append-heavy workload periodically folds deltas back into a single
+    base segment. The threshold trades append latency (cheap deltas)
+    against read amplification, exactly the LSM compaction trade-off;
+    the reference's only equivalent is a full ``rebuild``
+    (``/root/reference/src/searchgraph/rebuild.jl:17-53``).
+    """
+    if len(delta_dirs(index_dir)) <= max_deltas:
+        return False, None
+    return True, rebuild(full_pages_ds, index_dir, **build_kwargs)
 
 
 def _min_doc(index_dir: str):

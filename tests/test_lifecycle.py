@@ -10,7 +10,12 @@ import pyarrow as pa
 import pytest
 
 from similaritysearch_jl_ray.pipelines.build_index import build_index
-from similaritysearch_jl_ray.pipelines.lifecycle import append_pages, delta_dirs, rebuild
+from similaritysearch_jl_ray.pipelines.lifecycle import (
+    append_pages,
+    delta_dirs,
+    maybe_compact,
+    rebuild,
+)
 from similaritysearch_jl_ray.pipelines.query import Bm25Scorer
 from similaritysearch_jl_ray.pipelines.queryset import REFERENCE_QUERIES
 from similaritysearch_jl_ray.sources.pages import pages_dataset, pages_from_documents
@@ -62,6 +67,27 @@ def test_append_rejects_overlapping_ids(ray_session, tmp_path):
     build_index(_pages_slice(ray_session, 0, 300), base, num_parts=2, salt_factor=2)
     with pytest.raises(ValueError, match="id ordering"):
         append_pages(_pages_slice(ray_session, 100, 200), base)
+
+
+def test_maybe_compact_policy(ray_session, tmp_path):
+    """Compaction folds deltas back into one base segment once the
+    delta count exceeds the threshold; serving stays rank-identical."""
+    d = str(tmp_path / "cp")
+    build_index(_pages_slice(ray_session, 0, 200), d, num_parts=2, salt_factor=2)
+    append_pages(_pages_slice(ray_session, 200, 350), d, head_df_fraction=0.01)
+    append_pages(_pages_slice(ray_session, 350, 500), d, head_df_fraction=0.01)
+    before = {t: Bm25Scorer(d, k=10, mode="exhaustive").score_query(t)[0]
+              for _, t in REFERENCE_QUERIES[:5]}
+    compacted, _ = maybe_compact(pages_dataset(SF_DIR), d, max_deltas=4)
+    assert not compacted and len(delta_dirs(d)) == 2  # under threshold → no-op
+    compacted, stats = maybe_compact(
+        pages_dataset(SF_DIR), d, max_deltas=1, num_parts=2, salt_factor=2
+    )
+    assert compacted and stats["n_docs"] == 500
+    assert delta_dirs(d) == []
+    after = Bm25Scorer(d, k=10, mode="exhaustive")
+    for _, t in REFERENCE_QUERIES[:5]:
+        assert after.score_query(t)[0] == before[t]
 
 
 def test_rebuild_resets_and_matches(ray_session, tmp_path):
