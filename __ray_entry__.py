@@ -158,6 +158,58 @@ def _bm25_phrase(sf_dir: str):
     return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _bm25_bool(sf_dir: str):
+    """Boolean DNF filter + BM25 ranking over the fixed group set."""
+    from similaritysearch_jl_ray.functions.rounding import round6
+    from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index
+    from similaritysearch_jl_ray.pipelines.query import bool_search
+
+    res = bool_search(ensure_index(sf_dir), k=K, concurrency=2).to_pandas()
+    res = res[["query_id", "rank", "doc_id", "score"]].astype(
+        {"query_id": "int64", "rank": "int64", "doc_id": "int64", "score": "float64"}
+    )
+    res["score"] = round6(res["score"].to_numpy())
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _bool_sql() -> str:
+    from similaritysearch_jl_ray.pipelines.queryset import bool_values_sql
+
+    return f"""
+WITH {_TOK_CTES},
+qb AS (SELECT * FROM {bool_values_sql()}),
+qterms AS (SELECT DISTINCT query_id, term FROM qb),
+scores AS (
+  SELECT q.query_id, tf.doc_id, {_BM25_SUM} AS fscore
+  FROM qterms q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+need AS (SELECT query_id, grp, count(*)::BIGINT AS need FROM qb GROUP BY query_id, grp),
+have AS (
+  SELECT qb.query_id, qb.grp, tf.doc_id, count(*)::BIGINT AS have
+  FROM qb JOIN tf ON tf.term = qb.term
+  GROUP BY qb.query_id, qb.grp, tf.doc_id
+),
+matched AS (
+  SELECT DISTINCT h.query_id, h.doc_id
+  FROM have h JOIN need n ON n.query_id = h.query_id AND n.grp = h.grp
+  WHERE h.have = n.need
+),
+ranked AS (
+  SELECT s.query_id, s.doc_id, s.fscore,
+         row_number() OVER (PARTITION BY s.query_id ORDER BY s.fscore DESC, s.doc_id) AS rank
+  FROM scores s JOIN matched m ON m.query_id = s.query_id AND m.doc_id = s.doc_id
+)
+SELECT query_id, rank, doc_id, round(fscore, {_ROUND}) AS score
+FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
 def _bm25_sharded(sf_dir: str):
     """Doc-sharded serving path — exact, shares the BM25 oracle."""
     from similaritysearch_jl_ray.functions.rounding import round6
@@ -278,6 +330,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_and": lambda sf: _bm25_query(sf, "and"),
         "bm25_topk_lang_en": lambda sf: _bm25_query(sf, "wand", lang="en"),
         "bm25_topk_phrase": _bm25_phrase,
+        "bm25_topk_bool": _bm25_bool,
         # -- dedup suite (SURVEY §2.6 neardup + task brief) ---------------
         "exact_dedup": dedup.exact_dedup,
         "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(sf, tau=0.5, n=3),
@@ -412,6 +465,7 @@ FROM tf JOIN dl ON dl.doc_id = tf.doc_id
             doc_join="JOIN documents dd ON dd.doc_id = tf.doc_id AND dd.lang = 'en'"
         ),
         "bm25_topk_phrase": _phrase_sql(),
+        "bm25_topk_bool": _bool_sql(),
         # -- dedup ---------------------------------------------------------
         "exact_dedup": (
             "SELECT min(doc_id)::BIGINT AS keeper_doc_id, count(*)::BIGINT AS group_size"

@@ -451,6 +451,48 @@ class Bm25Scorer:
             int(len(terms)),
         )
 
+    def score_bool(self, groups: list[list[str]]) -> tuple[list[tuple[int, float]], int, int]:
+        """Boolean (DNF) query: a doc matches when ANY group's terms
+        are ALL present; matching docs rank by standard BM25 over the
+        query's distinct (known) terms — boolean clause filtering +
+        relevance ranking, the Lucene pattern. A group containing an
+        unknown term can never match (conjunctive within the group)."""
+        all_terms = sorted({t for g in groups for t in g})
+        live = [t for t in all_terms if self._has_term(t)]
+        if not live:
+            return [], 0, 0
+        ids_l, part_l = [], []
+        for t in live:
+            ids, partial = self._term_arrays(t)
+            ids_l.append(ids)
+            part_l.append(partial)
+        uniq, scores = _accumulate(ids_l, part_l)
+        if len(uniq) == 0:
+            return [], 0, 0
+        keep = np.zeros(len(uniq), dtype=bool)
+        for g in groups:
+            if any(not self._has_term(t) for t in g):
+                continue  # dead group: an unknown term matches nothing
+            m = np.ones(len(uniq), dtype=bool)
+            for t in g:
+                ids_t, _ = self._term_arrays(t)
+                if len(ids_t) == 0:
+                    m[:] = False
+                    break
+                pos = np.searchsorted(ids_t, uniq)
+                pos_c = np.minimum(pos, len(ids_t) - 1)
+                m &= ids_t[pos_c] == uniq
+            keep |= m
+            if keep.all():
+                break
+        uniq, scores = uniq[keep], scores[keep]
+        idx = topk_indices(scores, uniq, self.k)
+        return (
+            [(int(uniq[j]), float(scores[j])) for j in idx],
+            int(sum(len(i) for i in ids_l)),
+            int(len(groups)),
+        )
+
     def _term_dense(self, term: str):
         """Dense partial-score array over the actor's doc-id span
         (``dense[doc - base] = impact``, 0.0 where absent) — turns the
@@ -740,6 +782,61 @@ def sharded_search(
 
     u = branches[0].union(*branches[1:]) if len(branches) > 1 else branches[0]
     return u.groupby("query_id").map_groups(merge, batch_format="pyarrow")
+
+
+def bool_search(
+    index_dir: str,
+    bool_queries=None,
+    *,
+    k: int = 10,
+    concurrency: int | tuple = 2,
+    broadcast: bool = True,
+):
+    """DNF boolean queries as a Dataset pipeline: rows carry
+    (query_id, groups as JSON); a scorer actor pool filters + ranks
+    per :meth:`Bm25Scorer.score_bool`. Same long-format result schema
+    (query_id, rank, doc_id, score) as the other serving paths."""
+    import json as _json
+
+    import ray.data as rd
+
+    from .queryset import BOOL_QUERIES
+
+    bool_queries = bool_queries if bool_queries is not None else BOOL_QUERIES
+    items = [
+        {"query_id": qid, "groups": _json.dumps(groups)} for qid, groups in bool_queries
+    ]
+
+    class BoolScorer(Bm25Scorer):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+            for qid, gs in zip(batch["query_id"].to_pylist(), batch["groups"].to_pylist()):
+                hits, _, _ = self.score_bool(_json.loads(gs))
+                for rank, (doc_id, score) in enumerate(hits, start=1):
+                    out["query_id"].append(qid)
+                    out["rank"].append(rank)
+                    out["doc_id"].append(doc_id)
+                    out["score"].append(score)
+            return pa.table(
+                {
+                    "query_id": pa.array(out["query_id"], type=pa.int64()),
+                    "rank": pa.array(out["rank"], type=pa.int64()),
+                    "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                    "score": pa.array(out["score"], type=pa.float64()),
+                }
+            )
+
+    kwargs = {"k": k}
+    if broadcast:
+        kwargs["pack_ref"] = _pack_ref(index_dir)
+    else:
+        kwargs["index_dir"] = index_dir
+    return rd.from_items(items).map_batches(
+        BoolScorer,
+        fn_constructor_kwargs=kwargs,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
 
 
 def phrase_search(sf_dir: str, index_dir: str, k: int = 10, queries=None):

@@ -55,6 +55,29 @@ def queries_values_sql() -> str:
     return "(VALUES " + ", ".join(pairs) + ") AS q(query_id, term)"
 
 
+# Boolean (DNF) reference queries: doc matches if ANY group's terms
+# are ALL present; ranking is standard BM25 over the query's distinct
+# terms (the Lucene boolean-filter + relevance-rank pattern).
+BOOL_QUERIES: list[tuple[int, list[list[str]]]] = [
+    (0, [["merge", "join"], ["fast"]]),
+    (1, [["window", "agg", "stream"]]),
+    (2, [["sort", "key"], ["group", "filter"]]),
+    (3, [["zzzunknown"], ["scan", "big"]]),   # dead group + live group
+    (4, [["data"], ["table", "row", "batch"]]),
+    (5, [["zzzunknown", "merge"]]),           # unknown term kills its group
+]
+
+
+def bool_values_sql() -> str:
+    """``(query_id, grp, term)`` VALUES rows of the DNF groups."""
+    rows = []
+    for qid, groups in BOOL_QUERIES:
+        for g, terms in enumerate(groups):
+            for t in terms:
+                rows.append(f"({qid}, {g}, '{t}')")
+    return "(VALUES " + ", ".join(rows) + ") AS qb(query_id, grp, term)"
+
+
 def phrase_values_sql() -> str:
     """``(query_id, pat)`` VALUES list of space-padded tokenized
     phrases — ``contains(doc_token_string, pat)`` is exactly the

@@ -191,6 +191,31 @@ def test_pinned_scorers_cover_exactly_the_direct_results(index_dir, gold):
         assert heap.result() == direct.score_query(text)[0]
 
 
+def test_bool_dnf_semantics(index_dir):
+    """DNF filter: hit docs satisfy SOME group fully; scores equal the
+    disjunctive scorer's for the same docs; a dead (unknown-term)
+    group matches nothing; all-dead query is empty."""
+    import pyarrow.parquet as pq
+
+    from similaritysearch_jl_ray.functions.text import tokenize
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    sc = Bm25Scorer(index_dir, k=K, mode="exhaustive")
+    groups = [["merge", "join"], ["fast"]]
+    hits, _, _ = sc.score_bool(groups)
+    assert hits
+    for doc_id, score in hits:
+        toks = set(tokenize(texts[doc_id]))
+        assert any(set(g) <= toks for g in groups)
+    # scores match the disjunctive scorer over the same distinct terms
+    e_map = dict(sc.score_query("merge join fast")[0])
+    for doc_id, score in hits:
+        if doc_id in e_map:
+            assert score == e_map[doc_id]
+    assert sc.score_bool([["zzzunknown", "merge"]])[0] == []
+
+
 def test_protocol_conformance(index_dir):
     """§2.9: the built-ins satisfy the formal structural protocols
     (the reference's AbstractSearchIndex surface)."""
