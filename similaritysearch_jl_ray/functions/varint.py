@@ -79,8 +79,13 @@ def decode_varints(buf: bytes | np.ndarray, count: int | None = None) -> np.ndar
         starts_of_groups[0] = 0
         starts_of_groups[1:] = np.flatnonzero(term)[:-1] + 1
         pos = np.arange(len(b), dtype=np.int64) - starts_of_groups[gidx]
-        out = np.zeros(n, dtype=np.uint64)
-        np.add.at(out, gidx, (b & np.uint8(0x7F)).astype(np.uint64) << (np.uint64(7) * pos.astype(np.uint64)))
+        # per-byte contributions summed per group: reduceat over the
+        # group starts (~10× faster than the np.add.at scatter this
+        # replaced — the pack-build hot kernel at multi-M postings)
+        contrib = (b & np.uint8(0x7F)).astype(np.uint64) << (
+            np.uint64(7) * pos.astype(np.uint64)
+        )
+        out = np.add.reduceat(contrib, starts_of_groups)
     if count is not None and len(out) != count:
         raise ValueError(f"varint stream decoded {len(out)} values, expected {count}")
     return out
