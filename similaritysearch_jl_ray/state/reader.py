@@ -44,6 +44,7 @@ class IndexReader:
         index_dir: str,
         parts: list[int] | None = None,
         doc_range: tuple[int, int] | None = None,
+        max_cached_terms: int | None = None,
     ):
         # base index first, then delta segments in append order — each
         # delta's doc ids are strictly above the previous segment's
@@ -75,9 +76,12 @@ class IndexReader:
         self.avgdl = self.stats["avgdl"]
         # decoded-postings cache: the actor-resident analog of the
         # reference's per-thread context caches (context.jl:41-53) —
-        # repeated query terms skip re-decoding. Unbounded here (vocab
-        # is pinned per actor); an LRU bound is the 100 TB policy.
+        # repeated query terms skip re-decoding. Unbounded by default
+        # (this corpus' vocab pins comfortably); ``max_cached_terms``
+        # is the web-vocab policy: LRU-evict decoded arrays while the
+        # encoded runs stay resident.
         self._decoded: dict[str, tuple[np.ndarray, np.ndarray, np.ndarray]] = {}
+        self._max_cached_terms = max_cached_terms
 
     def _load_segment(self, seg_dir: str, parts) -> dict:
         import pyarrow.dataset as pads
@@ -152,8 +156,15 @@ class IndexReader:
 
     def postings_cached(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         hit = self._decoded.get(term)
-        if hit is None:
-            hit = self._decoded[term] = self.postings(term)
+        if hit is not None:
+            if self._max_cached_terms is not None:
+                del self._decoded[term]  # LRU bump (dict keeps order)
+                self._decoded[term] = hit
+            return hit
+        hit = self.postings(term)
+        if self._max_cached_terms is not None and len(self._decoded) >= self._max_cached_terms:
+            self._decoded.pop(next(iter(self._decoded)))
+        self._decoded[term] = hit
         return hit
 
     def decode_run_blocks(self, term: str, run_idx: int, bidx: np.ndarray):

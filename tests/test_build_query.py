@@ -191,6 +191,25 @@ def test_pinned_scorers_cover_exactly_the_direct_results(index_dir, gold):
         assert heap.result() == direct.score_query(text)[0]
 
 
+def test_reader_decoded_cache_lru_bound(index_dir):
+    """max_cached_terms bounds the decoded cache with LRU eviction;
+    results are unaffected (encoded runs stay resident)."""
+    from similaritysearch_jl_ray.state.reader import IndexReader
+
+    bounded = IndexReader(index_dir, max_cached_terms=3)
+    full = IndexReader(index_dir)
+    terms = sorted(full.terms)[:6]
+    for t in terms:
+        a = bounded.postings_cached(t)
+        b = full.postings_cached(t)
+        assert (a[0] == b[0]).all() and (a[1] == b[1]).all()
+    assert len(bounded._decoded) == 3
+    assert set(bounded._decoded) == set(terms[-3:])  # LRU kept the recent ones
+    # re-decoding an evicted term still returns correct arrays
+    a = bounded.postings_cached(terms[0])
+    assert (a[0] == full.postings_cached(terms[0])[0]).all()
+
+
 def test_bool_dnf_semantics(index_dir):
     """DNF filter: hit docs satisfy SOME group fully; scores equal the
     disjunctive scorer's for the same docs; a dead (unknown-term)
