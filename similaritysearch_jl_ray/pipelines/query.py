@@ -721,6 +721,7 @@ def sharded_search(
     concurrency: int | tuple = 2,
     batch_size: int = 64,
     num_cpus: float | None = None,
+    lang: str | None = None,
 ):
     """Doc-sharded serving — the default large-index path (SURVEY.md
     §7): one actor pool per doc-id shard, each actor constructed with
@@ -757,6 +758,7 @@ def sharded_search(
                     "k": k,
                     "mode": mode,
                     "doc_range": (lo, hi),
+                    **({"lang": lang} if lang is not None else {}),
                 },
                 batch_format="pyarrow",
                 batch_size=batch_size,
