@@ -14,7 +14,14 @@ import numpy as np
 
 from .hashing import popcount64
 
-__all__ = ["DISTANCES", "register_distance", "pairwise", "set_distance", "string_distance"]
+__all__ = [
+    "DISTANCES",
+    "register_distance",
+    "pairwise",
+    "set_distance",
+    "string_distance",
+    "EditDistanceScratch",
+]
 
 
 def _l2(a, q):
@@ -136,6 +143,45 @@ def string_distance(a: str, b: str, kind: str) -> int:
             prev = cur
         return prev[-1]
     raise ValueError(kind)
+
+
+class EditDistanceScratch:
+    """Actor-resident DP row buffers for edit distances — the
+    reference's per-thread ``Levenshtein.Cpool`` row cache
+    (``/root/reference/src/dist/seqs.jl:44-53``) as per-actor state:
+    construct once in an actor's ``__init__``, call per pair; the two
+    rows are reused across calls instead of reallocated (the same
+    no-per-call-allocation rule the scorer follows — BASELINE.md §C.4)."""
+
+    __slots__ = ("_prev", "_cur")
+
+    def __init__(self):
+        self._prev = np.empty(0, dtype=np.int64)
+        self._cur = np.empty(0, dtype=np.int64)
+
+    def _rows(self, width: int):
+        if len(self._prev) < width:
+            self._prev = np.empty(width, dtype=np.int64)
+            self._cur = np.empty(width, dtype=np.int64)
+        return self._prev, self._cur
+
+    def __call__(self, a: str, b: str, kind: str = "levenshtein") -> int:
+        if kind not in ("levenshtein", "lcs"):
+            return string_distance(a, b, kind)
+        sub_cost = 1 if kind == "levenshtein" else 2**30
+        w = len(b) + 1
+        prev, cur = self._rows(w)
+        prev[:w] = np.arange(w)
+        for i, ca in enumerate(a, 1):
+            cur[0] = i
+            for j, cb in enumerate(b, 1):
+                cur[j] = min(
+                    prev[j] + 1,
+                    cur[j - 1] + 1,
+                    prev[j - 1] + (0 if ca == cb else sub_cost),
+                )
+            prev, cur = cur, prev  # reference swap: both buffers persist
+        return int(prev[w - 1])
 
 
 def binary_hamming(a: np.ndarray, b: np.ndarray) -> np.ndarray:

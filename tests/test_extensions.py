@@ -127,6 +127,25 @@ def test_ivf_partial_probe_recall(ray_session):
     assert macrorecall(gl, ol) >= 0.5  # 4/16 lists probed
 
 
+def test_edit_distance_scratch_matches_stateless():
+    """Actor-reusable DP rows (the reference's Cpool, seqs.jl:44-53)
+    compute identical distances to the stateless kernel."""
+    import random
+
+    from similaritysearch_jl_ray.functions.distances import (
+        EditDistanceScratch,
+        string_distance,
+    )
+
+    s = EditDistanceScratch()
+    rng = random.Random(17)
+    for _ in range(100):
+        a = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 10)))
+        b = "".join(rng.choice("abcd") for _ in range(rng.randint(0, 10)))
+        for kind in ("levenshtein", "lcs"):
+            assert s(a, b, kind) == string_distance(a, b, kind)
+
+
 def test_tune_ivf(ray_session):
     from similaritysearch_jl_ray.pipelines.tune import MinRecall, tune_ivf
 
