@@ -73,23 +73,31 @@ def _read_matrix(sf_dir: str, max_vec_id: int | None = None):
     return ids[order], mat[order]
 
 
-_CORPUS_REFS: dict[str, object] = {}
+_CORPUS_REFS: dict[tuple, object] = {}
 
 
 def _corpus_ref(sf_dir: str):
     """ObjectRef of the full (ids, mat) — loaded INSIDE a Ray task so
     the driver never materializes the corpus; workers read the arrays
-    zero-copy out of the shared object store. Cached per driver."""
+    zero-copy out of the shared object store. Cached per driver per
+    file STATE (mtime/size fingerprint, mirroring query._index_
+    fingerprint): rewriting embeddings.parquet in place invalidates."""
+    import os
+
     import ray
 
-    ref = _CORPUS_REFS.get(sf_dir)
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    key = (sf_dir, int(st.st_mtime_ns), int(st.st_size))
+    ref = _CORPUS_REFS.get(key)
     if ref is None:
+        for k in [k for k in _CORPUS_REFS if k[0] == sf_dir]:
+            del _CORPUS_REFS[k]  # let plasma reclaim the stale corpus
 
         @ray.remote
         def _load(d: str):
             return _read_matrix(d)
 
-        ref = _CORPUS_REFS[sf_dir] = _load.remote(sf_dir)
+        ref = _CORPUS_REFS[key] = _load.remote(sf_dir)
     return ref
 
 
@@ -349,7 +357,14 @@ def distsample(sf_dir: str, metric: str = "l2"):
         keep = i != j
         i, j = i[keep], j[keep]
         bmat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)[keep]
-        jmat = all_mat[np.searchsorted(all_ids, j)]
+        # j is a vec_id VALUE: with sparse/non-dense id spaces it may not
+        # exist — drop such pairs (the oracle's JOIN on b.vec_id = j does
+        # the same) instead of gathering whatever searchsorted lands on
+        pos = np.searchsorted(all_ids, j)
+        valid = (pos < len(all_ids)) & (all_ids[np.minimum(pos, len(all_ids) - 1)] == j)
+        if not valid.all():
+            i, pos, bmat = i[valid], pos[valid], bmat[valid]
+        jmat = all_mat[pos]
         d = np.sqrt(((bmat - jmat) ** 2).sum(axis=1))
         return pa.table({"i": pa.array(i, type=pa.int64()),
                          "dist": pa.array(d, type=pa.float64())})

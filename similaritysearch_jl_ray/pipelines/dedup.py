@@ -398,6 +398,7 @@ def dedup_clusters(sf_dir: str, tau: float = 0.5, n: int = 3, max_rounds: int = 
         )
 
     prev_sum = None
+    converged = False
     for _ in range(max_rounds):
         msgs = edges.map_batches(edge_msgs, batch_format="pyarrow").union(
             labels.map_batches(label_msgs, batch_format="pyarrow")
@@ -412,8 +413,16 @@ def dedup_clusters(sf_dir: str, tau: float = 0.5, n: int = 3, max_rounds: int = 
         total = new_labels.sum("label")
         labels = new_labels
         if prev_sum is not None and total == prev_sum:
+            converged = True
             break
         prev_sum = total
+    if not converged:
+        # labels would be silently wrong (mid-propagation) — fail loudly;
+        # rounds needed = cluster diameter, so max_rounds is the lever
+        raise RuntimeError(
+            f"dedup_clusters did not converge in {max_rounds} rounds "
+            "(cluster diameter exceeds max_rounds; raise max_rounds)"
+        )
 
     def rename(batch: pa.Table) -> pa.Table:
         return pa.table(

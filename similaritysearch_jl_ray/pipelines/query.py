@@ -581,6 +581,14 @@ class Bm25Scorer:
             ps = []
             for (ids_i, imp_i), mx in zip(impacts, maxes):
                 c_t = max(theta - (summax - mx), theta / T)
+                # summation-rounding slack: exact(d) and the cutoff are
+                # float sums evaluated in different orders, so a doc
+                # whose true score ties the frontier can land a few ulps
+                # under the real-arithmetic cutoff. Relax by ~1e-12
+                # relative (≫ any n-term f64 summation error here, ≪ any
+                # score gap that matters) — admissibility stays robust,
+                # the prefix grows by at most a handful of ties.
+                c_t -= abs(c_t) * 1e-12
                 ps.append(int(np.searchsorted(-imp_i, -c_t, side="right")))
             return ps
 
