@@ -144,13 +144,14 @@ def _index_export(sf_dir: str):
 
 
 def _bm25_phrase(sf_dir: str):
-    """Phrase top-k (contiguous token match, BM25-scored)."""
+    """Phrase top-k (contiguous token match, BM25-scored) — served
+    from the positional index alone; the corpus is never re-read."""
     from similaritysearch_jl_ray.functions.rounding import round6
     from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index
     from similaritysearch_jl_ray.pipelines.query import phrase_search
 
     index_dir = ensure_index(sf_dir)
-    res = phrase_search(sf_dir, index_dir, k=K).to_pandas()
+    res = phrase_search(index_dir, k=K).to_pandas()
     res = res[["query_id", "rank", "doc_id", "score"]].astype(
         {"query_id": "int64", "rank": "int64", "doc_id": "int64", "score": "float64"}
     )

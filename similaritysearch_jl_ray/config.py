@@ -52,4 +52,4 @@ SCORE_ROUND_DECIMALS = 6
 # On-disk segment layout version: bump on any change to RUN_SCHEMA /
 # stats.json shape so cached indexes from older code are rebuilt, not
 # misread (entry_helpers keys its /tmp cache by this).
-INDEX_LAYOUT_VERSION = 3  # v3: run_first/run_last scalar span columns
+INDEX_LAYOUT_VERSION = 4  # v4: optional positions sidecar (pos_payload)

@@ -59,30 +59,55 @@ def tokenize(text: str) -> list[str]:
     return TOKEN_RE.findall(text.lower())
 
 
-def batch_token_counts(texts: list[str]) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+def batch_token_counts(
+    texts: list[str], with_positions: bool = False
+) -> tuple[np.ndarray, ...]:
     """Per-document term frequencies for a batch of texts, vectorized
     after the (unavoidable) per-doc regex scan.
 
     Returns ``(doc_idx, terms, tfs, doclens)`` where ``doc_idx`` maps
     each (term, tf) row to its position in ``texts``, ``doclens`` has
-    one entry per text. The per-(doc, term) aggregation runs as one
-    ``np.unique`` over codes — no Python loop over tokens.
+    one entry per text. Factorization runs through Arrow's
+    ``dictionary_encode`` (C hashing) — the ``np.unique`` over an
+    object array it replaced sorted tokens with Python-level string
+    compares and copied every token into a fixed-width U-array, the
+    measured hot spot of the build's tokenize stage.
+
+    ``with_positions=True`` appends a fifth array: the 0-based token
+    positions of every occurrence, grouped by (doc, term) row in row
+    order (``tfs`` gives each row's segment length), ascending within
+    a row — the positional-postings feed (segment layout v4).
     """
+    import pyarrow as pa
+
     toks_per_doc = [TOKEN_RE.findall(t.lower()) for t in texts]
     doclens = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64, count=len(texts))
     total = int(doclens.sum())
     if total == 0:
-        return (np.empty(0, np.int64), np.empty(0, object), np.empty(0, np.int64), doclens)
-    flat = np.empty(total, dtype=object)
-    pos = 0
+        empty = (np.empty(0, np.int64), np.empty(0, object), np.empty(0, np.int64), doclens)
+        return empty + ((np.empty(0, np.int64),) if with_positions else ())
+    flat: list[str] = []
     for toks in toks_per_doc:
-        flat[pos : pos + len(toks)] = toks
-        pos += len(toks)
+        flat.extend(toks)
+    enc = pa.array(flat, type=pa.string()).dictionary_encode()
+    codes = enc.indices.to_numpy().astype(np.int64)
+    vocab = enc.dictionary
+    nvocab = len(vocab)
     doc_of_token = np.repeat(np.arange(len(texts), dtype=np.int64), doclens)
-    # factorize terms, then count (doc, term) pairs in one unique pass
-    uniq_terms, codes = np.unique(flat.astype("U"), return_inverse=True)
-    pair = doc_of_token * len(uniq_terms) + codes
-    pair_u, tfs = np.unique(pair, return_counts=True)
-    doc_idx = pair_u // len(uniq_terms)
-    term_idx = pair_u % len(uniq_terms)
-    return doc_idx, uniq_terms[term_idx], tfs.astype(np.int64), doclens
+    # group (doc, term) pairs with one stable argsort over a packed key;
+    # stability keeps each group's occurrences in token order
+    pair = doc_of_token * nvocab + codes
+    order = np.argsort(pair, kind="stable")
+    pair_s = pair[order]
+    bounds = np.flatnonzero(np.r_[True, pair_s[1:] != pair_s[:-1], True])
+    tfs = np.diff(bounds).astype(np.int64)
+    pair_u = pair_s[bounds[:-1]]
+    doc_idx = pair_u // nvocab
+    term_idx = pair_u % nvocab
+    terms = vocab.take(pa.array(term_idx, type=pa.int64())).to_numpy(zero_copy_only=False)
+    if not with_positions:
+        return doc_idx, terms, tfs, doclens
+    doc_starts = np.zeros(len(texts), dtype=np.int64)
+    np.cumsum(doclens[:-1], out=doc_starts[1:])
+    tokpos = np.arange(total, dtype=np.int64) - doc_starts[doc_of_token]
+    return doc_idx, terms, tfs, doclens, tokpos[order]

@@ -51,10 +51,25 @@ from ..config import (
     POSTING_BLOCK_SIZE,
     Bm25Params,
 )
-from ..stages.tokenize import extract_batch, tokenize_batch
+from ..stages.tokenize import extract_batch, tokenize_batch, tokenize_batch_positions
 from ..state.segment import encode_postings
 
 __all__ = ["build_index", "term_part", "IndexBuildError"]
+
+
+def _seg_gather(flat: np.ndarray, starts: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Gather variable-length segments ``flat[starts[i] : starts[i] +
+    lens[i]]`` concatenated, fully vectorized (repeat + arange) — the
+    positions analog of a take over a list column."""
+    tot = int(lens.sum())
+    if tot == 0:
+        return flat[:0]
+    seg_starts = np.zeros(len(lens), dtype=np.int64)
+    np.cumsum(lens[:-1], out=seg_starts[1:])
+    idx = np.repeat(starts, lens) + (
+        np.arange(tot, dtype=np.int64) - np.repeat(seg_starts, lens)
+    )
+    return flat[idx]
 
 
 class IndexBuildError(RuntimeError):
@@ -69,6 +84,7 @@ RUN_SCHEMA = pa.schema(
         ("run_first", pa.int64()),
         ("run_last", pa.int64()),
         ("payload", pa.binary()),
+        ("pos_payload", pa.binary()),
         ("block_first", pa.list_(pa.int64())),
         ("block_last", pa.list_(pa.int64())),
         ("block_count", pa.list_(pa.int32())),
@@ -111,6 +127,7 @@ def build_index(
     params: Bm25Params = DEFAULT_BM25,
     tokenize_batch_size: int = 1024,
     on_part_complete=None,
+    with_positions: bool = True,
 ) -> dict:
     """Build (or resume) the index; returns the stats dict.
 
@@ -123,6 +140,12 @@ def build_index(
     here): invoked on the driver as each merge task's lineage/metrics
     dict is committed — progress logging, metrics export, external
     checkpoint registration.
+
+    ``with_positions`` (default True, the Lucene-style index): encode
+    each posting's token positions into the layout-v4 sidecar stream so
+    phrase queries run off the index alone (query.phrase_search) —
+    ``False`` drops the sidecar for position-free workloads (≈cf extra
+    varints per term is the cost).
     """
     import ray.data as rd
 
@@ -217,10 +240,20 @@ def build_index(
             doc_ids = batch["doc_id"].to_numpy()
             tf = batch["tf"].to_numpy()
             dl = batch["dl"].to_numpy()
+            if with_positions:
+                pos_col = batch["pos"].combine_chunks()
+                pos_flat = pos_col.values.to_numpy(zero_copy_only=True).astype(
+                    np.int64, copy=False
+                )
+                pos_starts = pos_col.offsets.to_numpy().astype(np.int64)[:-1]
+            else:
+                pos_flat = pos_starts = None
             keep = keep_code[codes]
+            rows_idx = np.arange(len(codes), dtype=np.int64)
             if not keep.all():
                 codes = codes[keep]
                 doc_ids, tf, dl = doc_ids[keep], tf[keep], dl[keep]
+                rows_idx = rows_idx[keep]
             salt = np.where(head_of_code[codes], doc_ids // salt_div, 0).astype(np.int64)
             # sort by (code, salt, doc) directly — a packed single key
             # would collide when salt >= salt_factor (legal for sparse
@@ -235,7 +268,14 @@ def build_index(
                 sl = order[a:b]
                 code = int(codes[sl[0]])
                 t = vocab[code]
-                enc = encode_postings(doc_ids[sl], tf[sl], dl[sl], block_size=block_size)
+                pos = (
+                    _seg_gather(pos_flat, pos_starts[rows_idx[sl]], tf[sl])
+                    if with_positions
+                    else None
+                )
+                enc = encode_postings(
+                    doc_ids[sl], tf[sl], dl[sl], block_size=block_size, positions=pos
+                )
                 row = enc.to_row(t)
                 row["salt"] = int(salt[sl[0]])
                 row["part"] = int(part_of_code[code])
@@ -255,9 +295,10 @@ def build_index(
 
         runs_dir = os.path.join(index_dir, "runs_tmp")
         shutil.rmtree(runs_dir, ignore_errors=True)
+        tok = tokenize_batch_positions if with_positions else tokenize_batch
         (
             pages_ds.map_batches(extract_batch, batch_format="pyarrow")
-            .map_batches(tokenize_batch, batch_format="pyarrow", batch_size=tokenize_batch_size)
+            .map_batches(tok, batch_format="pyarrow", batch_size=tokenize_batch_size)
             .map_batches(encode_local, batch_format="pyarrow", batch_size=None)
             .write_parquet(runs_dir, partition_cols=["part"], compression="zstd")
         )
@@ -273,7 +314,7 @@ def build_index(
             import pyarrow.dataset as pads
             import pyarrow.parquet as pqw
 
-            from ..state.segment import EncodedPostings, decode_all
+            from ..state.segment import EncodedPostings, decode_all, decode_positions
 
             part_in = os.path.join(runs_dir, f"part={part}")
             part_out = os.path.join(postings_dir, f"part={part}")
@@ -306,14 +347,27 @@ def build_index(
                 merged_rows = []
                 for g in np.flatnonzero(~single):
                     idxs = order[bounds[g] : bounds[g + 1]]
-                    decoded = [
-                        decode_all(EncodedPostings.from_arrow_row(tbl, int(i))) for i in idxs
-                    ]
+                    encs = [EncodedPostings.from_arrow_row(tbl, int(i)) for i in idxs]
+                    decoded = [decode_all(e) for e in encs]
                     ids = np.concatenate([d[0] for d in decoded])
                     tf = np.concatenate([d[1] for d in decoded])
                     dl = np.concatenate([d[2] for d in decoded])
                     o = np.argsort(ids, kind="stable")
-                    enc = encode_postings(ids[o], tf[o], dl[o], block_size=block_size)
+                    pos = None
+                    if with_positions:
+                        # positions re-interleave with their postings:
+                        # per-posting segments are atomic (a doc's tokens
+                        # live in one batch → one run), so a vectorized
+                        # segment gather in the new doc order suffices
+                        pos_flat = np.concatenate(
+                            [decode_positions(e, d[1]) for e, d in zip(encs, decoded)]
+                        )
+                        starts = np.zeros(len(tf), dtype=np.int64)
+                        np.cumsum(tf[:-1], out=starts[1:])
+                        pos = _seg_gather(pos_flat, starts[o], tf[o])
+                    enc = encode_postings(
+                        ids[o], tf[o], dl[o], block_size=block_size, positions=pos
+                    )
                     row = enc.to_row(tbl.column("term")[int(idxs[0])].as_py())
                     row["salt"] = tbl.column("salt")[int(idxs[0])].as_py()
                     row["part"] = part
@@ -374,6 +428,7 @@ def build_index(
             "num_parts": num_parts,
             "salt_factor": salt_factor,
             "head_df_fraction": head_df_fraction,
+            "with_positions": bool(with_positions),
             "head_terms": sketch["head_terms"],
         }
         tmp = stats_path + ".tmp"

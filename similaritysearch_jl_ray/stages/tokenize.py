@@ -12,7 +12,7 @@ import pyarrow as pa
 
 from ..functions.text import batch_token_counts, extract_text
 
-__all__ = ["extract_batch", "tokenize_batch"]
+__all__ = ["extract_batch", "tokenize_batch", "tokenize_batch_positions"]
 
 
 def extract_batch(batch: pa.Table) -> pa.Table:
@@ -46,5 +46,32 @@ def tokenize_batch(batch: pa.Table) -> pa.Table:
             "doc_id": pa.array(doc_ids[doc_idx], type=pa.int64()),
             "tf": pa.array(tfs, type=pa.int64()),
             "dl": pa.array(doclens[doc_idx], type=pa.int64()),
+        }
+    )
+
+
+def tokenize_batch_positions(batch: pa.Table) -> pa.Table:
+    """Positional variant: posting triples plus a ``pos`` list column —
+    each row's tf token positions (0-based, ascending), the feed for
+    the layout-v4 positions sidecar. The flat positions ride as one
+    zero-copy ListArray (offsets = cumsum(tf)), never per-row Python
+    lists."""
+    import numpy as np
+
+    texts = batch["text"].to_pylist()
+    doc_idx, terms, tfs, doclens, flat_pos = batch_token_counts(texts, with_positions=True)
+    doc_ids = batch["doc_id"].to_numpy()
+    offsets = np.zeros(len(tfs) + 1, dtype=np.int64)
+    np.cumsum(tfs, out=offsets[1:])
+    pos_col = pa.LargeListArray.from_arrays(
+        pa.array(offsets, type=pa.int64()), pa.array(flat_pos, type=pa.int64())
+    )
+    return pa.table(
+        {
+            "term": pa.array(terms.tolist(), type=pa.string()),
+            "doc_id": pa.array(doc_ids[doc_idx], type=pa.int64()),
+            "tf": pa.array(tfs, type=pa.int64()),
+            "dl": pa.array(doclens[doc_idx], type=pa.int64()),
+            "pos": pos_col,
         }
     )

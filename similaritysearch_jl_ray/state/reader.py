@@ -33,7 +33,7 @@ import os
 import numpy as np
 
 from ..functions.bm25 import idf as _idf
-from ..state.segment import EncodedPostings, decode_all, decode_blocks
+from ..state.segment import EncodedPostings, decode_all, decode_blocks, decode_positions
 
 __all__ = ["IndexReader"]
 
@@ -152,6 +152,27 @@ class IndexReader:
             np.concatenate([p[0] for p in parts]),
             np.concatenate([p[1] for p in parts]),
             np.concatenate([p[2] for p in parts]),
+        )
+
+    def postings_with_positions(
+        self, term: str
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]:
+        """Full decode including the v4 positions sidecar:
+        (doc_ids, tfs, dls, flat_positions) — ``flat_positions`` holds
+        each posting's tf token positions consecutively in doc order
+        (offsets = cumsum(tfs)). Raises if the index was built with
+        ``with_positions=False``."""
+        runs = self.runs(term)
+        if not runs:
+            e = np.empty(0, np.int64)
+            return e, e, e, e.copy()
+        parts = [decode_all(r) for r in runs]
+        pos = [decode_positions(r, p[1]) for r, p in zip(runs, parts)]
+        return (
+            np.concatenate([p[0] for p in parts]),
+            np.concatenate([p[1] for p in parts]),
+            np.concatenate([p[2] for p in parts]),
+            np.concatenate(pos),
         )
 
     def postings_cached(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:

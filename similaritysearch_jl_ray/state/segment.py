@@ -43,7 +43,14 @@ import numpy as np
 from ..config import POSTING_BLOCK_SIZE
 from ..functions.varint import decode_varints, encode_varints, varint_sizes
 
-__all__ = ["EncodedPostings", "encode_postings", "concat_runs", "decode_all", "decode_blocks"]
+__all__ = [
+    "EncodedPostings",
+    "encode_postings",
+    "concat_runs",
+    "decode_all",
+    "decode_blocks",
+    "decode_positions",
+]
 
 
 @dataclasses.dataclass
@@ -60,6 +67,12 @@ class EncodedPostings:
     block_vstart: np.ndarray    # int64, varint count before block
     block_max_tf: np.ndarray    # int64, max tf in block
     block_min_dl: np.ndarray    # int64, min dl in block
+    # OPTIONAL positions sidecar (layout v4): per posting, its tf token
+    # positions delta-encoded (first absolute, then gaps), postings in
+    # doc order, one varint stream for the whole run — cf varints total.
+    # b"" = built without positions (all non-positional paths ignore it;
+    # the payload/block arithmetic above is untouched by this field).
+    pos_payload: bytes = b""
 
     def to_row(self, term: str) -> dict:
         return {
@@ -73,6 +86,7 @@ class EncodedPostings:
             "run_first": int(self.block_first[0]) if len(self.block_first) else -1,
             "run_last": int(self.block_last[-1]) if len(self.block_last) else -1,
             "payload": self.payload,
+            "pos_payload": self.pos_payload,
             "block_first": self.block_first.tolist(),
             "block_last": self.block_last.tolist(),
             "block_count": self.block_count.tolist(),
@@ -93,6 +107,8 @@ class EncodedPostings:
         def arr(name, dtype):
             return tbl.column(name)[i].values.to_numpy(zero_copy_only=True).astype(dtype, copy=False)
 
+        names = set(tbl.schema.names)  # v3 segments have no pos_payload
+        pos = tbl.column("pos_payload")[i].as_buffer() if "pos_payload" in names else b""
         return cls(
             df=tbl.column("df")[i].as_py(),
             cf=tbl.column("cf")[i].as_py(),
@@ -104,6 +120,7 @@ class EncodedPostings:
             block_vstart=arr("block_vstart", np.int64),
             block_max_tf=arr("block_max_tf", np.int64),
             block_min_dl=arr("block_min_dl", np.int64),
+            pos_payload=pos if pos is not None else b"",
         )
 
     @classmethod
@@ -119,6 +136,7 @@ class EncodedPostings:
             block_vstart=np.asarray(row["block_vstart"], dtype=np.int64),
             block_max_tf=np.asarray(row["block_max_tf"], dtype=np.int64),
             block_min_dl=np.asarray(row["block_min_dl"], dtype=np.int64),
+            pos_payload=bytes(row.get("pos_payload") or b""),
         )
 
 
@@ -127,8 +145,16 @@ def encode_postings(
     tfs: np.ndarray,
     dls: np.ndarray,
     block_size: int = POSTING_BLOCK_SIZE,
+    positions: np.ndarray | None = None,
 ) -> EncodedPostings:
-    """Encode one term's postings (must be sorted by doc_id, unique)."""
+    """Encode one term's postings (must be sorted by doc_id, unique).
+
+    ``positions`` (optional, layout v4): flat int64 array of the term's
+    token positions, grouped per posting in ``doc_ids`` order
+    (``tfs[i]`` values per posting, ascending within a posting) —
+    encoded as an independent delta+varint sidecar stream so every
+    non-positional path is byte-identical with or without it.
+    """
     doc_ids = np.asarray(doc_ids, dtype=np.int64)
     tfs = np.asarray(tfs, dtype=np.int64)
     dls = np.asarray(dls, dtype=np.int64)
@@ -138,6 +164,20 @@ def encode_postings(
         return EncodedPostings(0, 0, b"", z64, z64, np.empty(0, np.int32), z64, z64, z64, z64.copy())
     if n > 1 and not (np.diff(doc_ids) > 0).all():
         raise ValueError("postings must be strictly increasing by doc_id")
+    pos_payload = b""
+    if positions is not None:
+        positions = np.asarray(positions, dtype=np.int64)
+        if len(positions) != int(tfs.sum()):
+            raise ValueError("positions length must equal sum(tfs)")
+        seg_starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(tfs[:-1], out=seg_starts[1:])
+        deltas = np.empty(len(positions), dtype=np.int64)
+        deltas[0] = positions[0]
+        deltas[1:] = positions[1:] - positions[:-1]
+        deltas[seg_starts] = positions[seg_starts]  # absolute first per posting
+        if (deltas < 0).any():
+            raise ValueError("positions must be ascending within each posting")
+        pos_payload = encode_varints(deltas.astype(np.uint64))
 
     starts = np.arange(0, n, block_size, dtype=np.int64)
     ends = np.minimum(starts + block_size, n)
@@ -194,6 +234,7 @@ def encode_postings(
         block_vstart=val_starts,
         block_max_tf=np.maximum.reduceat(tfs, starts),
         block_min_dl=np.minimum.reduceat(dls, starts),
+        pos_payload=pos_payload,
     )
 
 
@@ -214,6 +255,13 @@ def concat_runs(runs: list[EncodedPostings]) -> EncodedPostings:
         raise ValueError("sub-runs overlap in doc_id space; range salting broken")
     byte_shift = np.cumsum([0] + [len(r.payload) for r in runs[:-1]])
     v_shift = np.cumsum([0] + [int(r.block_vstart[-1] + 3 * r.block_count[-1] - 1) for r in runs[:-1]])
+    # position sidecars concatenate too (per-posting deltas are self-
+    # contained); mixed positional/non-positional runs drop positions
+    pos = (
+        b"".join(bytes(r.pos_payload) for r in runs)
+        if all(len(r.pos_payload) for r in runs)
+        else b""
+    )
     return EncodedPostings(
         df=sum(r.df for r in runs),
         cf=sum(r.cf for r in runs),
@@ -225,6 +273,7 @@ def concat_runs(runs: list[EncodedPostings]) -> EncodedPostings:
         block_vstart=np.concatenate([r.block_vstart + int(s) for r, s in zip(runs, v_shift)]),
         block_max_tf=np.concatenate([r.block_max_tf for r in runs]),
         block_min_dl=np.concatenate([r.block_min_dl for r in runs]),
+        pos_payload=pos,
     )
 
 
@@ -268,3 +317,30 @@ def decode_blocks(enc: EncodedPostings, bidx: np.ndarray) -> tuple[np.ndarray, n
 def decode_all(enc: EncodedPostings) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode the full posting list: (doc_ids, tfs, dls)."""
     return decode_blocks(enc, np.arange(len(enc.block_count), dtype=np.int64))
+
+
+def decode_positions(enc: EncodedPostings, tfs: np.ndarray) -> np.ndarray:
+    """Decode the positions sidecar back to absolute token positions.
+
+    ``tfs`` must be the run's full decoded tf array (``decode_all``) —
+    it carries the per-posting segment lengths the delta stream was
+    encoded under. Returns a flat int64 array of length ``sum(tfs)``,
+    grouped per posting in doc order, ascending within a posting.
+    """
+    tfs = np.asarray(tfs, dtype=np.int64)
+    total = int(tfs.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    if len(enc.pos_payload) == 0:
+        raise ValueError(
+            "segment has no positions sidecar (index built with with_positions=False)"
+        )
+    deltas = decode_varints(
+        np.frombuffer(enc.pos_payload, dtype=np.uint8), count=total
+    ).astype(np.int64)
+    c = np.cumsum(deltas)
+    seg_starts = np.zeros(len(tfs), dtype=np.int64)
+    np.cumsum(tfs[:-1], out=seg_starts[1:])
+    corr = np.zeros(len(tfs), dtype=np.int64)
+    corr[1:] = c[seg_starts[1:] - 1]  # running total before each posting
+    return c - np.repeat(corr, tfs)

@@ -306,8 +306,17 @@ def test_phrase_search_contiguity(ray_session, tmp_path):
     )
     idx = str(tmp_path / "phraseidx")
     build_index(pages, idx, num_parts=2, salt_factor=2)
-    out = phrase_search(sf, idx, k=10, queries=[(0, "alpha beta")]).to_pandas()
+    out = phrase_search(idx, k=10, queries=[(0, "alpha beta")]).to_pandas()
     assert sorted(out["doc_id"].astype(int)) == [0, 3]
+    # the corpus-scan fallback agrees exactly
+    from similaritysearch_jl_ray.pipelines.query import phrase_search_scan
+
+    scan = phrase_search_scan(sf, idx, k=10, queries=[(0, "alpha beta")]).to_pandas()
+    a = out.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    b = scan.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert a[["query_id", "rank", "doc_id", "score"]].equals(
+        b[["query_id", "rank", "doc_id", "score"]]
+    )
 
 
 def test_build_callback_fires_per_part(ray_session, tmp_path):
