@@ -319,6 +319,52 @@ def test_phrase_search_contiguity(ray_session, tmp_path):
     )
 
 
+def test_phrase_search_never_reads_corpus(ray_session, tmp_path):
+    """The positional phrase path must serve from the index ALONE: the
+    corpus is DELETED after the build and phrase queries still answer
+    (file-level proof no stage re-reads documents.parquet — the round-2
+    scale-killer). Includes a repeated-token phrase, which stresses the
+    position-key intersection (same term at two phrase slots)."""
+    import shutil
+
+    import pyarrow as pa
+    import ray.data as rd
+
+    from similaritysearch_jl_ray.pipelines.query import phrase_search
+    from similaritysearch_jl_ray.sources.pages import pages_from_documents
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "stop go stop now",     # "stop go stop" contiguous ✓
+                    "stop go go stop",      # ✗ (stop go [go] stop)
+                    "go stop go stop go",   # contains "stop go stop" ✓
+                    "stop stop go",         # ✗
+                ]
+            ),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["s"] * 4),
+        }
+    )
+    corpus = str(tmp_path / "corpus")
+    import os
+
+    os.makedirs(corpus)
+    import pyarrow.parquet as pq
+
+    pq.write_table(docs, f"{corpus}/documents.parquet")
+    pages = rd.from_arrow(docs).map_batches(
+        lambda b: pages_from_documents(b), batch_format="pyarrow", batch_size=None
+    )
+    idx = str(tmp_path / "noreadidx")
+    build_index(pages, idx, num_parts=2, salt_factor=2)
+    shutil.rmtree(corpus)  # corpus gone — only the index remains
+    out = phrase_search(idx, k=10, queries=[(0, "stop go stop")]).to_pandas()
+    assert sorted(out["doc_id"].astype(int)) == [0, 2]
+
+
 def test_build_callback_fires_per_part(ray_session, tmp_path):
     """§2.9 build-callback hook: on_part_complete sees every part's
     lineage/metrics dict exactly once, at commit time."""
