@@ -334,8 +334,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_bool": _bm25_bool,
         # -- dedup suite (SURVEY §2.6 neardup + task brief) ---------------
         "exact_dedup": dedup.exact_dedup,
-        "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(sf, tau=0.5, n=3),
-        "dedup_clusters": lambda sf: dedup.dedup_clusters(sf, tau=0.5, n=3),
+        # max_df=None pins the EXACT mode (matches the SQL oracle); the
+        # library default is the bounded production path
+        "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(
+            sf, tau=0.5, n=3, max_df=None
+        ),
+        "dedup_clusters": lambda sf: dedup.dedup_clusters(
+            sf, tau=0.5, n=3, edge_source="ngram", max_df=None
+        ),
         "minhash_lsh_pairs": lambda sf: dedup.minhash_lsh_pairs(sf, tau=0.5, n=3),
         "simhash_pairs": lambda sf: dedup.simhash_pairs(sf, max_hamming=3),
         "embedding_neardup_pairs": lambda sf: dedup.embedding_neardup_pairs(sf, tau=0.3),

@@ -63,11 +63,29 @@ def _documents(sf_dir: str):
 
 # ---------------------------------------------------------------------------
 def exact_dedup(sf_dir: str):
-    """(keeper_doc_id, group_size) per distinct text; keeper = min id."""
+    """(keeper_doc_id, group_size) per distinct text; keeper = min id.
+
+    The shuffle key is a VECTORIZED 128-bit content hash (two
+    independently-seeded 64-bit xxhash passes over the text column —
+    polars' native kernel, no per-row Python): 16 B/doc moves through
+    the groupby instead of the text, and collision probability at 10¹²
+    docs is ~10⁻¹⁵. Only (keeper, size) leaves the group, so the hash
+    never appears in the result — the DuckDB oracle groups by raw text.
+    """
 
     def key_batch(batch: pa.Table) -> pa.Table:
-        keys = [hashlib.md5(t.encode()).hexdigest() for t in batch["text"].to_pylist()]
-        return pa.table({"text_key": pa.array(keys), "doc_id": batch["doc_id"]})
+        import polars as pl
+
+        s = pl.from_arrow(batch["text"].combine_chunks())
+        h1 = s.hash(seed=0x9E3779B9).to_numpy().view(np.int64)
+        h2 = s.hash(seed=0x85EBCA6B).to_numpy().view(np.int64)
+        return pa.table(
+            {
+                "h1": pa.array(h1, type=pa.int64()),
+                "h2": pa.array(h2, type=pa.int64()),
+                "doc_id": batch["doc_id"],
+            }
+        )
 
     def keep_first(group: pa.Table) -> pa.Table:
         ids = group["doc_id"].to_numpy()
@@ -81,7 +99,7 @@ def exact_dedup(sf_dir: str):
     return (
         _documents(sf_dir)
         .map_batches(key_batch, batch_format="pyarrow")
-        .groupby("text_key")
+        .groupby(["h1", "h2"])
         .map_groups(keep_first, batch_format="pyarrow")
     )
 
@@ -103,13 +121,21 @@ def _shingle_rows(batch: pa.Table, n: int) -> pa.Table:
     )
 
 
-def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.5, n: int = 3, max_df: int | None = None):
-    """EXACT pairs (doc_a < doc_b, jaccard ≥ τ) over token n-gram sets.
+def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.5, n: int = 3, max_df: int | None = 256):
+    """Pairs (doc_a < doc_b, jaccard ≥ τ) over token n-gram sets.
 
     inverted shingle index → per-shingle pair emission → pair-count
-    groupby = |A∩B| → J = inter / (|A| + |B| − inter). ``max_df``
-    (None = exact) drops shingles shared by more than max_df docs —
-    the scale knob; leaving it None keeps the oracle exact.
+    groupby = |A∩B| → J = inter / (|A| + |B| − inter).
+
+    ``max_df`` bounds per-shingle pair emission at O(max_df²) rows —
+    without it one hot shingle (boilerplate n-gram shared by df docs)
+    emits df² pair rows, quadratic in the corpus at web scale. The
+    DEFAULT is therefore bounded; shingles above it are dropped from
+    candidate generation (near-dup pairs share many shingles, so a pair
+    is only lost if ALL its shared shingles are hot — and its measured
+    intersection can undercount, making τ conservative). Pass
+    ``max_df=None`` for the EXACT mode — the DuckDB-oracle entry in
+    ``__ray_entry__`` pins that, production dedup should not.
     """
 
     def pairs_of_group(group: pa.Table) -> pa.Table:
@@ -326,13 +352,30 @@ def minhash_lsh_pairs(sf_dir: str, tau: float = 0.5, n: int = 3, bands: int = MI
 
 
 # ---------------------------------------------------------------------------
-def dedup_clusters(sf_dir: str, tau: float = 0.5, n: int = 3, max_rounds: int = 50):
+def dedup_clusters(
+    sf_dir: str,
+    tau: float = 0.5,
+    n: int = 3,
+    max_rounds: int = 50,
+    edge_source: str = "minhash",
+    max_df: int | None = 256,
+    edges=None,
+):
     """Connected-components grouping of the verified near-dup pair
     graph — the operator a training-data pipeline actually runs:
     "keep one doc per duplicate *cluster*", not pairs. Returns one row
     per document: (doc_id, keeper_doc_id) where keeper is the minimum
-    doc_id reachable through ngram-Jaccard ≥ τ edges (singletons keep
+    doc_id reachable through Jaccard ≥ τ edges (singletons keep
     themselves).
+
+    ``edge_source`` picks the pair generator: ``"minhash"`` (default —
+    :func:`minhash_lsh_pairs`, the bounded production path: banded LSH
+    candidates, exact verify, never quadratic in a hot shingle) or
+    ``"ngram"`` (:func:`ngram_jaccard_pairs` with ``max_df``;
+    ``max_df=None`` is the exact mode the DuckDB recursive-CTE oracle
+    pins). ``edges`` overrides both with a caller-supplied Dataset of
+    ``doc_a``/``doc_b`` rows (any near-dup generator — simhash,
+    embedding-cosine — plugs in).
 
     Distributed min-label propagation over Ray Data (the classic
     BSP/Pregel shape): each round co-groups the label table with the
@@ -348,11 +391,14 @@ def dedup_clusters(sf_dir: str, tau: float = 0.5, n: int = 3, max_rounds: int = 
     import pyarrow.compute as pc
     from ray.data.aggregate import Min
 
-    edges = (
-        ngram_jaccard_pairs(sf_dir, tau=tau, n=n)
-        .select_columns(["doc_a", "doc_b"])
-        .materialize()
-    )
+    if edges is None:
+        if edge_source == "minhash":
+            edges = minhash_lsh_pairs(sf_dir, tau=tau, n=n)
+        elif edge_source == "ngram":
+            edges = ngram_jaccard_pairs(sf_dir, tau=tau, n=n, max_df=max_df)
+        else:
+            raise ValueError(f"unknown edge_source {edge_source!r}")
+    edges = edges.select_columns(["doc_a", "doc_b"]).materialize()
 
     def init_labels(batch: pa.Table) -> pa.Table:
         return pa.table({"node": batch["doc_id"], "label": batch["doc_id"]})

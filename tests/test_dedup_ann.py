@@ -39,7 +39,7 @@ def _brute_jaccard_pairs(docs, tau, n=3):
 def test_ngram_jaccard_exact(ray_session):
     from similaritysearch_jl_ray.pipelines.dedup import ngram_jaccard_pairs
 
-    got = ngram_jaccard_pairs(SF_DIR, tau=0.5).to_pandas()
+    got = ngram_jaccard_pairs(SF_DIR, tau=0.5, max_df=None).to_pandas()
     want = _brute_jaccard_pairs(_docs(), 0.5)
     got_pairs = {(int(r.doc_a), int(r.doc_b)): r.jaccard for r in got.itertuples()}
     assert set(got_pairs) == set(want)
@@ -53,7 +53,7 @@ def test_dedup_clusters_match_union_find(ray_session):
     (transitive closure, not just direct pairs)."""
     from similaritysearch_jl_ray.pipelines.dedup import dedup_clusters
 
-    got = dedup_clusters(SF_DIR, tau=0.5).to_pandas()
+    got = dedup_clusters(SF_DIR, tau=0.5, edge_source="ngram", max_df=None).to_pandas()
     docs = _docs()
     parent = {d: d for d in docs}
 
@@ -73,6 +73,33 @@ def test_dedup_clusters_match_union_find(ray_session):
     assert got_map == want
     # sanity: the fixture actually contains a non-trivial cluster
     assert any(k != d for d, k in want.items())
+
+
+def test_dedup_clusters_from_lsh_edges(ray_session):
+    """The default (production) cluster path takes its edges from
+    MinHash-LSH: labels must equal union-find over exactly the pairs
+    the LSH generator emits — the clusters operator composes with any
+    edge generator, not just the quadratic exact one."""
+    from similaritysearch_jl_ray.pipelines.dedup import dedup_clusters, minhash_lsh_pairs
+
+    got = dedup_clusters(SF_DIR, tau=0.5, edge_source="minhash").to_pandas()
+    pairs = minhash_lsh_pairs(SF_DIR, tau=0.5).to_pandas()
+    docs = _docs()
+    parent = {d: d for d in docs}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in zip(pairs["doc_a"].astype(int), pairs["doc_b"].astype(int)):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {d: find(d) for d in docs}
+    got_map = dict(zip(got["doc_id"].astype(int), got["keeper_doc_id"].astype(int)))
+    assert got_map == want
 
 
 def test_minhash_lsh_precision_and_recall(ray_session):
