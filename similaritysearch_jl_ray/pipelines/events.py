@@ -29,6 +29,25 @@ def _events(sf_dir: str, columns):
     return rd.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
 
 
+def _group_type_window(etype_col, wstart: np.ndarray, vals: np.ndarray):
+    """In-batch (event_type, window_start) pre-aggregation, fully
+    vectorized: Arrow dictionary-encodes the type column (C hashing, no
+    per-row Python), a stable lexsort groups (code, window) pairs, and
+    reduceat folds counts/sums per group. Returns (types StringArray,
+    wstarts, n, sum_vals) — one row per group, float adds in sorted-run
+    order (deterministic)."""
+    enc = etype_col.combine_chunks().dictionary_encode()
+    codes = enc.indices.to_numpy().astype(np.int64)
+    order = np.lexsort((wstart, codes))
+    c_s, w_s = codes[order], wstart[order]
+    bounds = np.flatnonzero(np.r_[True, (c_s[1:] != c_s[:-1]) | (w_s[1:] != w_s[:-1]), True])
+    firsts = order[bounds[:-1]]
+    n = np.diff(bounds).astype(np.int64)
+    sv = np.add.reduceat(vals[order], bounds[:-1]) if len(vals) else np.empty(0, np.float64)
+    types = enc.dictionary.take(pa.array(codes[firsts], type=pa.int64()))
+    return types, wstart[firsts], n, sv
+
+
 def windowed_event_counts(sf_dir: str, window_s: int = 3600):
     """Tumbling window per event_type: (event_type, window_start, n,
     sum_value). Pre-aggregated per batch, then one tiny shuffle."""
@@ -37,19 +56,11 @@ def windowed_event_counts(sf_dir: str, window_s: int = 3600):
     def partial(batch: pa.Table) -> pa.Table:
         epoch = pc.cast(batch["ts"], pa.int64()).to_numpy() // 1_000_000
         wstart = (epoch // window_s) * window_s
-        etype = np.asarray(batch["event_type"].to_pylist(), dtype=object)
         vals = batch["value"].to_numpy()
-        key = np.array([f"{t}\x00{w}" for t, w in zip(etype, wstart)], dtype=object)
-        u, inv = np.unique(key, return_inverse=True)
-        n = np.bincount(inv)
-        sv = np.zeros(len(u), dtype=np.float64)
-        np.add.at(sv, inv, vals)
-        types = [k.split("\x00")[0] for k in u]
-        ws = [int(k.split("\x00")[1]) for k in u]
+        types, ws, n, sv = _group_type_window(batch["event_type"], wstart, vals)
         return pa.table(
             {
-                "gkey": pa.array(u.tolist()),
-                "event_type": pa.array(types),
+                "event_type": types,
                 "window_start": pa.array(ws, type=pa.int64()),
                 "n_partial": pa.array(n, type=pa.int64()),
                 "sum_partial": pa.array(sv, type=pa.float64()),
@@ -71,7 +82,7 @@ def windowed_event_counts(sf_dir: str, window_s: int = 3600):
     return (
         _events(sf_dir, ["ts", "event_type", "value"])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("gkey")
+        .groupby(["event_type", "window_start"])
         .map_groups(finalize, batch_format="pyarrow")
     )
 
@@ -89,23 +100,19 @@ def sliding_event_counts(sf_dir: str, window_s: int = 3600, slide_s: int = 900):
 
     def partial(batch: pa.Table) -> pa.Table:
         epoch = pc.cast(batch["ts"], pa.int64()).to_numpy() // 1_000_000
-        etype = np.asarray(batch["event_type"].to_pylist(), dtype=object)
         vals = batch["value"].to_numpy()
-        # vectorized window fanout: k = 0..fanout-1
+        # vectorized window fanout: k = 0..fanout-1; the type column
+        # fans out via an index take (dictionary codes tile with it)
         base = epoch // slide_s
         wstart = ((base[None, :] - np.arange(fanout)[:, None]) * slide_s).ravel()
-        etype_f = np.tile(etype, fanout)
+        idx = np.tile(np.arange(batch.num_rows, dtype=np.int64), fanout)
+        etype_f = batch["event_type"].take(pa.array(idx, type=pa.int64()))
         vals_f = np.tile(vals, fanout)
-        key = np.array([f"{t}\x00{w}" for t, w in zip(etype_f, wstart)], dtype=object)
-        u, inv = np.unique(key, return_inverse=True)
-        n = np.bincount(inv)
-        sv = np.zeros(len(u), dtype=np.float64)
-        np.add.at(sv, inv, vals_f)
+        types, ws, n, sv = _group_type_window(etype_f, wstart, vals_f)
         return pa.table(
             {
-                "gkey": pa.array(u.tolist()),
-                "event_type": pa.array([k.split("\x00")[0] for k in u]),
-                "window_start": pa.array([int(k.split("\x00")[1]) for k in u], type=pa.int64()),
+                "event_type": types,
+                "window_start": pa.array(ws, type=pa.int64()),
                 "n_partial": pa.array(n, type=pa.int64()),
                 "sum_partial": pa.array(sv, type=pa.float64()),
             }
@@ -126,7 +133,7 @@ def sliding_event_counts(sf_dir: str, window_s: int = 3600, slide_s: int = 900):
     return (
         _events(sf_dir, ["ts", "event_type", "value"])
         .map_batches(partial, batch_format="pyarrow")
-        .groupby("gkey")
+        .groupby(["event_type", "window_start"])
         .map_groups(finalize, batch_format="pyarrow")
     )
 
@@ -141,27 +148,24 @@ def late_event_stats(sf_dir: str, watermark_s: int = 7200):
     import ray
     from ray.data.aggregate import Sum
 
+    def max_partial(b: pa.Table) -> pa.Table:
+        epoch = pc.cast(b["ts"], pa.int64()).to_numpy() // 1_000_000
+        enc = b["event_type"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        order = np.argsort(codes, kind="stable")
+        c_s = codes[order]
+        bounds = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])
+        mx = np.maximum.reduceat(epoch[order], bounds)
+        return pa.table(
+            {
+                "event_type": enc.dictionary.take(pa.array(c_s[bounds], type=pa.int64())),
+                "mx": pa.array(mx, type=pa.int64()),
+            }
+        )
+
     maxes = (
         _events(sf_dir, ["ts", "event_type"])
-        .map_batches(
-            lambda b: pa.table(
-                {
-                    "event_type": pa.array(
-                        np.unique(np.asarray(b["event_type"].to_pylist(), dtype=object)).tolist()
-                    ),
-                    "mx": pa.array(
-                        [
-                            int((pc.cast(b["ts"], pa.int64()).to_numpy() // 1_000_000)[
-                                np.asarray(b["event_type"].to_pylist(), dtype=object) == t
-                            ].max())
-                            for t in np.unique(np.asarray(b["event_type"].to_pylist(), dtype=object))
-                        ],
-                        type=pa.int64(),
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-        )
+        .map_batches(max_partial, batch_format="pyarrow")
         .groupby("event_type")
         .max("mx")
         .to_pandas()
@@ -172,15 +176,17 @@ def late_event_stats(sf_dir: str, watermark_s: int = 7200):
     def partial(batch: pa.Table) -> pa.Table:
         mx = ray.get(mref)
         epoch = pc.cast(batch["ts"], pa.int64()).to_numpy() // 1_000_000
-        etype = np.asarray(batch["event_type"].to_pylist(), dtype=object)
-        u, inv = np.unique(etype, return_inverse=True)
-        n = np.bincount(inv)
-        late = np.zeros(len(u), dtype=np.int64)
-        for j, t in enumerate(u):
-            late[j] = int((epoch[inv == j] < mx[t] - watermark_s).sum())
+        enc = batch["event_type"].combine_chunks().dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        vocab = enc.dictionary.to_pylist()  # one small list per batch, not per row
+        cutoff = np.array([mx[t] - watermark_s for t in vocab], dtype=np.int64)
+        n = np.bincount(codes, minlength=len(vocab)).astype(np.int64)
+        late = np.bincount(
+            codes, weights=(epoch < cutoff[codes]).astype(np.float64), minlength=len(vocab)
+        ).astype(np.int64)
         return pa.table(
             {
-                "event_type": pa.array(u.tolist()),
+                "event_type": enc.dictionary,
                 "n_partial": pa.array(n, type=pa.int64()),
                 "late_partial": pa.array(late, type=pa.int64()),
             }
@@ -217,22 +223,18 @@ def sessionize(sf_dir: str, gap_s: int = 1800):
         e = epoch[order]
         new_sess = np.ones(len(e), dtype=bool)
         new_sess[1:] = (e[1:] - e[:-1]) > gap_s
-        sid = np.cumsum(new_sess)
-        out = {"user_id": [], "session_id": [], "n_events": [], "start_s": [], "end_s": []}
-        for s in np.unique(sid):
-            m = sid == s
-            out["user_id"].append(uid)
-            out["session_id"].append(int(s))
-            out["n_events"].append(int(m.sum()))
-            out["start_s"].append(int(e[m].min()))
-            out["end_s"].append(int(e[m].max()))
+        # e is ascending, so each session is a contiguous run: reduceat
+        # boundaries are exactly the new-session flags
+        bounds = np.flatnonzero(new_sess)
+        n_ev = np.diff(np.r_[bounds, len(e)]).astype(np.int64)
+        nsess = len(bounds)
         return pa.table(
             {
-                "user_id": pa.array(out["user_id"], type=pa.int64()),
-                "session_id": pa.array(out["session_id"], type=pa.int64()),
-                "n_events": pa.array(out["n_events"], type=pa.int64()),
-                "start_s": pa.array(out["start_s"], type=pa.int64()),
-                "end_s": pa.array(out["end_s"], type=pa.int64()),
+                "user_id": pa.array(np.full(nsess, uid, dtype=np.int64)),
+                "session_id": pa.array(np.arange(1, nsess + 1, dtype=np.int64)),
+                "n_events": pa.array(n_ev, type=pa.int64()),
+                "start_s": pa.array(e[bounds], type=pa.int64()),
+                "end_s": pa.array(e[np.r_[bounds[1:], len(e)] - 1], type=pa.int64()),
             }
         )
 
