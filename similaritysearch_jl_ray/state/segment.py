@@ -85,8 +85,11 @@ class EncodedPostings:
             # reading every run's payload (-1 sentinel for empty runs)
             "run_first": int(self.block_first[0]) if len(self.block_first) else -1,
             "run_last": int(self.block_last[-1]) if len(self.block_last) else -1,
-            "payload": self.payload,
-            "pos_payload": self.pos_payload,
+            # bytes() is identity on bytes and materializes pyarrow
+            # Buffers (runs that came straight from from_arrow_row —
+            # e.g. compaction passthrough rows) for from_pylist
+            "payload": bytes(self.payload),
+            "pos_payload": bytes(self.pos_payload),
             "block_first": self.block_first.tolist(),
             "block_last": self.block_last.tolist(),
             "block_count": self.block_count.tolist(),
