@@ -55,8 +55,16 @@ class IndexReader:
         for name in sorted(os.listdir(index_dir)):
             if name.startswith("delta="):
                 dirs.append(os.path.join(index_dir, name))
-        self.terms: dict[str, list[EncodedPostings]] = {}
-        self._df: dict[str, int] = {}
+        # Arrow-native term dictionary (no per-term Python at load):
+        # each loaded (segment, part) keeps its Arrow table plus a
+        # term-sorted row order; lookups binary-search the sorted term
+        # view and construct EncodedPostings runs LAZILY (only queried
+        # terms ever materialize Python objects — at web vocab the
+        # per-actor dict of every term was the startup/RAM hog).
+        self._tables: list[tuple[object, np.ndarray, np.ndarray]] = []  # (tbl, sorted_terms, order)
+        self._dfs: list[tuple[np.ndarray, np.ndarray]] = []  # (uniq sorted terms, df sums)
+        self._runs_cache: dict[str, list[EncodedPostings]] = {}
+        self._terms_dict: dict[str, list[EncodedPostings]] | None = None
         n_docs = total_tokens = 0
         max_doc = -1
         self.stats: dict = {}
@@ -109,8 +117,13 @@ class IndexReader:
                 tbl = ds.to_table(
                     filter=(pads.field("run_last") >= lo) & (pads.field("run_first") < hi)
                 ).combine_chunks()
-            for t, v in zip(df_terms.tolist(), df_vals.tolist()):
-                self._df[t] = self._df.get(t, 0) + int(v)
+            # per-unique-term df sums, vectorized (sort + reduceat) —
+            # df stays GLOBAL under doc_range (meta projection above)
+            if len(df_terms):
+                d_ord = np.argsort(df_terms, kind="stable")
+                t_s = df_terms[d_ord]
+                bnd = np.flatnonzero(np.r_[True, t_s[1:] != t_s[:-1]])
+                self._dfs.append((t_s[bnd], np.add.reduceat(df_vals[d_ord], bnd)))
             if tbl.num_rows == 0:
                 continue
             t_col = tbl.column("term").to_numpy(zero_copy_only=False)
@@ -119,27 +132,67 @@ class IndexReader:
             # unreliable on object (string) arrays, so compose argsorts
             order = np.argsort(s_col, kind="stable")
             order = order[np.argsort(t_col[order], kind="stable")]
-            for i in order:
-                self.terms.setdefault(t_col[i], []).append(
-                    EncodedPostings.from_arrow_row(tbl, int(i))
-                )
+            self._tables.append((tbl, t_col[order], order))
         return st
 
     def __contains__(self, term: str) -> bool:
-        return term in self.terms
+        if term in self._runs_cache:
+            return bool(self._runs_cache[term])
+        for _, sorted_terms, _ in self._tables:
+            i = np.searchsorted(sorted_terms, term, side="left")
+            if i < len(sorted_terms) and sorted_terms[i] == term:
+                return True
+        return False
 
     def df(self, term: str) -> int:
-        return self._df.get(term, 0)
+        total = 0
+        for uniq, sums in self._dfs:
+            i = np.searchsorted(uniq, term, side="left")
+            if i < len(uniq) and uniq[i] == term:
+                total += int(sums[i])
+        return total
 
     def term_dfs(self) -> dict[str, int]:
         """Public snapshot of the term dictionary: {term: global df}."""
-        return dict(self._df)
+        out: dict[str, int] = {}
+        for uniq, sums in self._dfs:
+            for t, v in zip(uniq.tolist(), sums.tolist()):
+                out[t] = out.get(t, 0) + int(v)
+        return out
 
     def idf(self, term: str) -> float:
         return float(_idf(self.df(term), self.n_docs))
 
     def runs(self, term: str) -> list[EncodedPostings]:
-        return self.terms.get(term, [])
+        """A term's runs across segments, base→deltas, salt-ascending
+        within a segment part — binary search + lazy construction
+        (cached; only queried terms ever materialize)."""
+        hit = self._runs_cache.get(term)
+        if hit is not None:
+            return hit
+        out: list[EncodedPostings] = []
+        for tbl, sorted_terms, order in self._tables:
+            lo = np.searchsorted(sorted_terms, term, side="left")
+            hi = np.searchsorted(sorted_terms, term, side="right")
+            for j in range(lo, hi):
+                out.append(EncodedPostings.from_arrow_row(tbl, int(order[j])))
+        self._runs_cache[term] = out
+        return out
+
+    @property
+    def terms(self) -> dict[str, list[EncodedPostings]]:
+        """Whole-dictionary view {term: runs} — materialized on first
+        access ONLY (pack building / tests iterate everything anyway;
+        query serving never touches this)."""
+        if self._terms_dict is None:
+            d: dict[str, list[EncodedPostings]] = {}
+            for tbl, sorted_terms, order in self._tables:
+                for j in range(len(order)):
+                    d.setdefault(sorted_terms[j], []).append(
+                        EncodedPostings.from_arrow_row(tbl, int(order[j]))
+                    )
+            self._terms_dict = d
+        return self._terms_dict
 
     def postings(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
         """Full decode: (doc_ids, tfs, dls) across runs, doc_id ascending."""
@@ -189,4 +242,4 @@ class IndexReader:
         return hit
 
     def decode_run_blocks(self, term: str, run_idx: int, bidx: np.ndarray):
-        return decode_blocks(self.terms[term][run_idx], bidx)
+        return decode_blocks(self.runs(term)[run_idx], bidx)

@@ -46,6 +46,34 @@ def _rows_from_scorer(scorer):
     return rows
 
 
+def test_reader_lazy_lookup_parity(index_dir):
+    """The Arrow-native lazy term lookup (binary search + on-demand run
+    construction) must agree exactly with the materialized whole-
+    dictionary view: same terms, same df, same decoded postings —
+    including a term that does not exist."""
+    from similaritysearch_jl_ray.state.reader import IndexReader
+
+    lazy = IndexReader(index_dir)
+    full = IndexReader(index_dir).terms  # materialized {term: runs}
+    dfs = IndexReader(index_dir).term_dfs()
+    for t, want_runs in full.items():
+        assert t in lazy
+        got = lazy.runs(t)
+        assert len(got) == len(want_runs)
+        assert lazy.df(t) == dfs[t] == sum(r.df for r in want_runs)
+        import numpy as np
+
+        ga, gb, gc = lazy.postings(t)
+        from similaritysearch_jl_ray.state.segment import decode_all
+
+        parts = [decode_all(r) for r in want_runs]
+        np.testing.assert_array_equal(ga, np.concatenate([p[0] for p in parts]))
+        np.testing.assert_array_equal(gb, np.concatenate([p[1] for p in parts]))
+    assert "zzz_not_a_term" not in lazy
+    assert lazy.df("zzz_not_a_term") == 0
+    assert lazy.runs("zzz_not_a_term") == []
+
+
 def test_index_layout_and_meta(index_dir):
     stats = json.load(open(os.path.join(index_dir, "stats.json")))
     from similaritysearch_jl_ray.state.reader import IndexReader
