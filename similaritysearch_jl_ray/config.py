@@ -53,3 +53,15 @@ SCORE_ROUND_DECIMALS = 6
 # stats.json shape so cached indexes from older code are rebuilt, not
 # misread (entry_helpers keys its /tmp cache by this).
 INDEX_LAYOUT_VERSION = 4  # v4: optional positions sidecar (pos_payload)
+
+# Per-node budget for the decoded broadcast serving pack. search() with
+# broadcast=None (the default) broadcasts only while the estimated
+# decoded size fits this budget; above it, serving auto-routes to the
+# doc-sharded pinned path (each actor holds ~1/n_shards of the index) —
+# "every node holds the whole index" must never be an implicit
+# assumption at scale. Override via GRAFT_PACK_BUDGET_BYTES.
+import os as _os
+
+BROADCAST_PACK_BUDGET_BYTES = int(
+    _os.environ.get("GRAFT_PACK_BUDGET_BYTES", 2 << 30)
+)

@@ -114,12 +114,14 @@ def build_serving_pack(
         ids, tfs, dls = rdr.postings(term)
         partial = rdr.idf(term) * tf_norm(tfs, dls, rdr.avgdl, p)
         terms[term] = (ids, partial)
-        # impact-ordered view (impact desc, doc_id asc) for the pruned
-        # mode — computed once here, shared zero-copy by every actor
-        o = np.lexsort((ids, -partial))
-        imp[term] = (ids[o], partial[o])
-        # dense rescore array for head terms (see Bm25Scorer._term_dense)
+        # head terms only ship the derived sections: the impact-ordered
+        # copy (impact desc, doc_id asc) and the dense rescore array.
+        # Tail terms derive impact order in-actor on first touch
+        # (Bm25Scorer._impact_cache — short lists, trivial lexsort), so
+        # the pack stops carrying 2-3 copies of every tail posting list
         if span > 0 and len(ids) >= max(64, span // 20) and doc_range is None:
+            o = np.lexsort((ids, -partial))
+            imp[term] = (ids[o], partial[o])
             arr = np.zeros(span, dtype=np.float64)
             arr[ids - base] = partial
             dense[term] = arr
@@ -750,6 +752,28 @@ class Bm25Scorer:
         return pa.Table.from_pydict(out, schema=RESULT_SCHEMA)
 
 
+def estimated_pack_bytes(index_dir: str) -> int:
+    """Decoded-pack size estimate from part metas alone (no index I/O
+    beyond the tiny json files): ids+partials are 16 B/posting; head
+    terms add an impact-ordered copy and a dense span array — ~40 B per
+    posting covers the lot on Zipf-shaped corpora."""
+    import json as _json
+    import os as _os
+
+    total = 0
+    seg_dirs = [index_dir] + [
+        _os.path.join(index_dir, n)
+        for n in sorted(_os.listdir(index_dir))
+        if n.startswith("delta=")
+    ]
+    for seg in seg_dirs:
+        meta_dir = _os.path.join(seg, "meta")
+        for name in _os.listdir(meta_dir):
+            with open(_os.path.join(meta_dir, name)) as f:
+                total += int(_json.load(f).get("postings", 0))
+    return total * 40
+
+
 def search(
     queries_ds,
     index_dir: str,
@@ -758,20 +782,41 @@ def search(
     mode: str = "wand",
     concurrency: int | tuple = 4,
     batch_size: int = 256,
-    broadcast: bool = True,
+    broadcast: bool | None = None,
     lang: str | None = None,
     cache_size: int = 0,
 ):
     """queries (query_id, text) → results Dataset (long format).
 
-    ``broadcast=True`` pre-decodes the index once on the driver and
-    ships it through the object store (zero-copy per node); actors
-    start warm. ``False`` keeps the decode-in-actor path (the shape
-    used when each actor pins only its own index parts). ``lang``
-    restricts scoring to docs with that docmap lang (field query).
+    ``broadcast=None`` (default) AUTO-ROUTES on index size: while the
+    estimated decoded pack fits ``config.BROADCAST_PACK_BUDGET_BYTES``
+    per node it broadcasts (pre-decode once, zero-copy per node, actors
+    start warm); above the budget it serves DOC-SHARDED instead
+    (:func:`sharded_search` with enough shards that each actor pins
+    ~one budget's worth) — "every node holds the whole index" is never
+    an implicit assumption. ``True``/``False`` force the respective
+    path (``False`` = decode-in-actor reader path). ``lang`` restricts
+    scoring to docs with that docmap lang (field query).
     ``mode="phrase"`` (positional contiguous match) always uses the
     reader path — the positions sidecar is decoded per actor, never
     broadcast."""
+    if broadcast is None and mode != "phrase":
+        from ..config import BROADCAST_PACK_BUDGET_BYTES
+
+        est = estimated_pack_bytes(index_dir)
+        if est > BROADCAST_PACK_BUDGET_BYTES:
+            n_shards = -(-est // BROADCAST_PACK_BUDGET_BYTES)  # ceil
+            return sharded_search(
+                queries_ds,
+                index_dir,
+                k=k,
+                n_shards=int(n_shards),
+                mode=mode,
+                concurrency=concurrency,
+                batch_size=batch_size,
+                lang=lang,
+            )
+        broadcast = True
     if mode == "phrase":
         broadcast = False
     kwargs = {"k": k, "mode": mode}
@@ -861,7 +906,24 @@ def sharded_search(
                 batch_size=batch_size,
                 concurrency=concurrency,
                 **extra,
-            ).select_columns(["query_id", "doc_id", "score"])
+            )
+            .select_columns(
+                [
+                    "query_id",
+                    "doc_id",
+                    "score",
+                    "postings_scored",
+                    "blocks_decoded",
+                    "latency_us",
+                    "actor_seq",
+                ]
+            )
+            .map_batches(
+                lambda b, tag=lo: b.append_column(
+                    "shard", pa.array(np.full(b.num_rows, tag, dtype=np.int64))
+                ),
+                batch_format="pyarrow",
+            )
         )
 
     def merge(group: pa.Table) -> pa.Table:
@@ -870,12 +932,26 @@ def sharded_search(
         for d, s in zip(group["doc_id"].to_numpy(), group["score"].to_numpy()):
             heap.push_score(float(s), int(d))
         rows = heap.result()
+        n = len(rows)
+        # cost columns aggregate once per shard (every row of a shard
+        # repeats that shard's per-query cost): work sums across shards,
+        # latency is the slowest shard (they run concurrently)
+        sh = group["shard"].to_numpy()
+        _, first = np.unique(sh, return_index=True)  # one row per shard, any row order
+        npost = int(group["postings_scored"].to_numpy()[first].sum())
+        nblk = int(group["blocks_decoded"].to_numpy()[first].sum())
+        lat = int(group["latency_us"].to_numpy().max()) if group.num_rows else 0
+        seq = int(group["actor_seq"].to_numpy().max()) if group.num_rows else 0
         return pa.table(
             {
-                "query_id": pa.array([qid] * len(rows), type=pa.int64()),
-                "rank": pa.array(np.arange(1, len(rows) + 1, dtype=np.int32), type=pa.int32()),
+                "query_id": pa.array([qid] * n, type=pa.int64()),
+                "rank": pa.array(np.arange(1, n + 1, dtype=np.int32), type=pa.int32()),
                 "doc_id": pa.array([d for d, _ in rows], type=pa.int64()),
                 "score": pa.array([s for _, s in rows], type=pa.float64()),
+                "postings_scored": pa.array([npost] * n, type=pa.int64()),
+                "blocks_decoded": pa.array([nblk] * n, type=pa.int64()),
+                "latency_us": pa.array([lat] * n, type=pa.int64()),
+                "actor_seq": pa.array([seq] * n, type=pa.int64()),
             }
         )
 

@@ -46,6 +46,34 @@ def _rows_from_scorer(scorer):
     return rows
 
 
+def test_search_auto_routes_by_pack_budget(ray_session, index_dir, monkeypatch):
+    """search(broadcast=None) must stop assuming every node holds the
+    whole index: with the pack-budget forced below the index's
+    estimated decoded size it auto-routes to doc-sharded pinned actors,
+    with rank- AND score-identical results and the same result schema
+    (cost columns aggregate across shards)."""
+    import ray.data as rd
+
+    import similaritysearch_jl_ray.config as cfg
+    from similaritysearch_jl_ray.pipelines.query import estimated_pack_bytes, search
+
+    def qds():
+        return rd.from_items(
+            [{"query_id": q, "text": t} for q, t in REFERENCE_QUERIES]
+        )
+
+    a = search(qds(), index_dir, k=10, mode="exhaustive").to_pandas()  # auto → broadcast
+    est = estimated_pack_bytes(index_dir)
+    assert est > 0
+    monkeypatch.setattr(cfg, "BROADCAST_PACK_BUDGET_BYTES", max(1, est // 3))
+    b = search(qds(), index_dir, k=10, mode="exhaustive").to_pandas()  # auto → sharded
+    cols = ["query_id", "rank", "doc_id", "score"]
+    pa_ = a[cols].sort_values(["query_id", "rank"]).reset_index(drop=True)
+    pb_ = b[cols].sort_values(["query_id", "rank"]).reset_index(drop=True)
+    assert pa_.equals(pb_)
+    assert set(b.columns) == set(a.columns)
+
+
 def test_reader_lazy_lookup_parity(index_dir):
     """The Arrow-native lazy term lookup (binary search + on-demand run
     construction) must agree exactly with the materialized whole-
