@@ -211,6 +211,57 @@ ORDER BY query_id, rank
 """
 
 
+def _bm25_tree(sf_dir: str):
+    """Nested boolean trees (and/or/not, phrase leaves) + BM25 ranking
+    over each tree's positive terms — beyond-DNF BooleanQuery."""
+    from similaritysearch_jl_ray.functions.rounding import round6
+    from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index
+    from similaritysearch_jl_ray.pipelines.query import tree_search
+
+    res = tree_search(ensure_index(sf_dir), k=K, concurrency=2).to_pandas()
+    res = res[["query_id", "rank", "doc_id", "score"]].astype(
+        {"query_id": "int64", "rank": "int64", "doc_id": "int64", "score": "float64"}
+    )
+    res["score"] = round6(res["score"].to_numpy())
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _tree_sql() -> str:
+    from similaritysearch_jl_ray.pipelines.queryset import (
+        tree_matched_sql,
+        tree_values_sql,
+    )
+
+    return f"""
+WITH {_TOK_CTES},
+docstr AS (
+  SELECT doc_id,
+         ' ' || array_to_string(regexp_extract_all(lower(text), '[a-z0-9]+'), ' ') || ' ' AS s
+  FROM documents
+),
+q AS (SELECT * FROM {tree_values_sql()}),
+matched AS ({tree_matched_sql()}),
+scores AS (
+  SELECT m.query_id, m.doc_id, {_BM25_SUM} AS fscore
+  FROM matched m
+  JOIN q ON q.query_id = m.query_id
+  JOIN tf ON tf.term = q.term AND tf.doc_id = m.doc_id
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s
+  GROUP BY m.query_id, m.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, fscore,
+         row_number() OVER (PARTITION BY query_id ORDER BY fscore DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(fscore, {_ROUND}) AS score
+FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
 def _bm25_sharded(sf_dir: str):
     """Doc-sharded serving path — exact, shares the BM25 oracle."""
     from similaritysearch_jl_ray.functions.rounding import round6
@@ -332,6 +383,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_lang_en": lambda sf: _bm25_query(sf, "wand", lang="en"),
         "bm25_topk_phrase": _bm25_phrase,
         "bm25_topk_bool": _bm25_bool,
+        "bm25_topk_tree": _bm25_tree,
         # -- dedup suite (SURVEY §2.6 neardup + task brief) ---------------
         "exact_dedup": dedup.exact_dedup,
         # max_df=None pins the EXACT mode (matches the SQL oracle); the
@@ -473,6 +525,7 @@ FROM tf JOIN dl ON dl.doc_id = tf.doc_id
         ),
         "bm25_topk_phrase": _phrase_sql(),
         "bm25_topk_bool": _bool_sql(),
+        "bm25_topk_tree": _tree_sql(),
         # -- dedup ---------------------------------------------------------
         "exact_dedup": (
             "SELECT min(doc_id)::BIGINT AS keeper_doc_id, count(*)::BIGINT AS group_size"

@@ -496,6 +496,23 @@ class Bm25Scorer:
         shared ``_rescore`` (term-major adds → bit-identical to the
         other serving modes and the DuckDB oracle)."""
         terms = sorted(set(toks))
+        cand, npost = self._phrase_candidates(toks)
+        if len(cand) == 0:
+            return [], int(npost), 1
+        exact = self._rescore(terms, cand)
+        idx = topk_indices(exact, cand, self.k)
+        return (
+            [(int(cand[j]), float(exact[j])) for j in idx],
+            int(npost),
+            1,
+        )
+
+    def _phrase_candidates(self, toks: list[str]) -> tuple[np.ndarray, int]:
+        """Sorted doc_ids containing the contiguous phrase (+ postings
+        touched) — the candidate half of :meth:`_score_phrase`, shared
+        with phrase leaves of boolean trees."""
+        if any(not self._has_term(t) for t in toks):
+            return np.empty(0, np.int64), 0
         npost = 0
         if len(toks) == 1:
             ids, _, _ = self._term_positions(toks[0])
@@ -527,13 +544,60 @@ class Bm25Scorer:
                 if keys is not None and len(keys)
                 else np.empty(0, np.int64)
             )
-        if len(cand) == 0:
-            return [], int(npost), 1
+        return cand, int(npost)
+
+    def _eval_tree(self, node: dict) -> np.ndarray:
+        """Sorted doc_ids matching a nested boolean tree (queryset.py
+        ``TREE_QUERIES`` grammar): and=intersect (not-children subtract,
+        Lucene MUST_NOT), or=union, leaves are term posting-id arrays or
+        positional phrase candidates. Unknown terms match nothing."""
+        if "term" in node:
+            t = node["term"]
+            return self._term_arrays(t)[0] if self._has_term(t) else np.empty(0, np.int64)
+        if "phrase" in node:
+            toks = tokenize(node["phrase"])
+            if not toks:
+                return np.empty(0, np.int64)
+            return self._phrase_candidates(toks)[0]
+        if "or" in node:
+            if any("not" in c for c in node["or"]):
+                raise ValueError("'not' directly under 'or' has no bounded universe")
+            out = np.empty(0, np.int64)
+            for c in node["or"]:
+                out = np.union1d(out, self._eval_tree(c))
+            return out
+        if "and" in node:
+            pos = [c for c in node["and"] if "not" not in c]
+            neg = [c["not"] for c in node["and"] if "not" in c]
+            if not pos:
+                raise ValueError("'and' needs at least one positive child")
+            out = self._eval_tree(pos[0])
+            for c in pos[1:]:
+                if len(out) == 0:
+                    return out
+                out = np.intersect1d(out, self._eval_tree(c), assume_unique=True)
+            for c in neg:
+                if len(out) == 0:
+                    return out
+                out = np.setdiff1d(out, self._eval_tree(c), assume_unique=True)
+            return out
+        raise ValueError(f"unknown tree node: {node!r}")
+
+    def score_tree(self, tree: dict) -> tuple[list[tuple[int, float]], int, int]:
+        """Nested boolean tree filter + BM25 ranking over the tree's
+        positive leaf terms — the beyond-DNF Lucene BooleanQuery shape
+        (``score_bool`` covers the flat OR-of-ANDs special case)."""
+        from .queryset import tree_positive_terms
+
+        cand = self._eval_tree(tree)
+        terms = sorted(t for t in tree_positive_terms(tree) if self._has_term(t))
+        if len(cand) == 0 or not terms:
+            return [], 0, 0
         exact = self._rescore(terms, cand)
         idx = topk_indices(exact, cand, self.k)
         return (
             [(int(cand[j]), float(exact[j])) for j in idx],
-            int(npost),
+            int(len(cand) * len(terms)),
             1,
         )
 
@@ -1009,6 +1073,55 @@ def bool_search(
     return rd.from_items(items).map_batches(
         BoolScorer,
         fn_constructor_kwargs=kwargs,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+    )
+
+
+def tree_search(
+    index_dir: str,
+    tree_queries=None,
+    *,
+    k: int = 10,
+    concurrency: int | tuple = 2,
+):
+    """Nested boolean tree queries (arbitrary and/or/not nesting,
+    phrase leaves) as a Dataset pipeline — the beyond-DNF surface of
+    :func:`bool_search`. Trees ride as JSON rows; a reader-backed actor
+    pool evaluates :meth:`Bm25Scorer.score_tree` (reader path: phrase
+    leaves need the positions sidecar, never broadcast). Long-format
+    result schema (query_id, rank, doc_id, score)."""
+    import json as _json
+
+    import ray.data as rd
+
+    from .queryset import TREE_QUERIES
+
+    tree_queries = tree_queries if tree_queries is not None else TREE_QUERIES
+    items = [{"query_id": qid, "tree": _json.dumps(t)} for qid, t in tree_queries]
+
+    class TreeScorer(Bm25Scorer):
+        def __call__(self, batch: pa.Table) -> pa.Table:
+            out = {"query_id": [], "rank": [], "doc_id": [], "score": []}
+            for qid, tr in zip(batch["query_id"].to_pylist(), batch["tree"].to_pylist()):
+                hits, _, _ = self.score_tree(_json.loads(tr))
+                for rank, (doc_id, score) in enumerate(hits, start=1):
+                    out["query_id"].append(qid)
+                    out["rank"].append(rank)
+                    out["doc_id"].append(doc_id)
+                    out["score"].append(score)
+            return pa.table(
+                {
+                    "query_id": pa.array(out["query_id"], type=pa.int64()),
+                    "rank": pa.array(out["rank"], type=pa.int64()),
+                    "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                    "score": pa.array(out["score"], type=pa.float64()),
+                }
+            )
+
+    return rd.from_items(items).map_batches(
+        TreeScorer,
+        fn_constructor_kwargs={"index_dir": index_dir, "k": k},
         batch_format="pyarrow",
         concurrency=concurrency,
     )

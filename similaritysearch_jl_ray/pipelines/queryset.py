@@ -88,3 +88,94 @@ def phrase_values_sql() -> str:
         if toks:
             rows.append(f"({qid}, ' {' '.join(toks)} ')")
     return "(VALUES " + ", ".join(rows) + ") AS p(query_id, pat)"
+
+
+# Nested boolean TREE queries (beyond DNF): a node is one of
+#   {"term": t}            — docs containing t
+#   {"phrase": "a b c"}    — docs containing the contiguous phrase
+#   {"and": [children]}    — intersection; children may be {"not": sub}
+#                            (subtracted — Lucene MUST_NOT; at least one
+#                            positive child required)
+#   {"or": [children]}     — union (no direct "not" children: a pure
+#                            negation has no bounded universe)
+# Matching docs rank by BM25 over the query's distinct POSITIVE leaf
+# terms (phrase tokens included; anything under a "not" never scores),
+# ties (score desc, doc_id asc) — the shared serving contract.
+TREE_QUERIES: list[tuple[int, dict]] = [
+    (0, {"and": [{"term": "merge"}, {"or": [{"term": "fast"}, {"term": "join"}]}]}),
+    (1, {"and": [{"term": "data"}, {"not": {"term": "stream"}}]}),
+    (2, {"or": [
+        {"phrase": "big data"},
+        {"and": [{"term": "group"}, {"not": {"or": [{"term": "filter"}, {"term": "scan"}]}}]},
+    ]}),
+    (3, {"and": [
+        {"or": [{"term": "window"}, {"term": "agg"}]},
+        {"not": {"phrase": "table scan"}},
+    ]}),
+    (4, {"and": [{"term": "zzzunknown"}]}),  # unknown term → empty result
+    (5, {"or": [
+        {"term": "batch"},
+        {"and": [{"term": "row"}, {"not": {"term": "zzzunknown"}}]},
+    ]}),
+]
+
+
+def tree_positive_terms(node: dict) -> set[str]:
+    """Distinct scoring terms of a tree: every term/phrase-token leaf
+    NOT under a ``not`` (negated content filters but never scores)."""
+    if "term" in node:
+        return {node["term"]}
+    if "phrase" in node:
+        return set(tokenize(node["phrase"]))
+    if "not" in node:
+        return set()
+    kids = node.get("and") or node.get("or") or []
+    out: set[str] = set()
+    for c in kids:
+        out |= tree_positive_terms(c)
+    return out
+
+
+def tree_values_sql() -> str:
+    """``(query_id, term)`` VALUES rows of each tree's positive terms."""
+    rows = []
+    for qid, tree in TREE_QUERIES:
+        for t in sorted(tree_positive_terms(tree)):
+            rows.append(f"({qid}, '{t}')")
+    return "(VALUES " + ", ".join(rows) + ") AS q(query_id, term)"
+
+
+def tree_set_sql(node: dict) -> str:
+    """Recursive SQL set expression for a tree's matching doc_ids,
+    against the shared ``tf`` and ``docstr`` CTEs — INTERSECT/UNION/
+    EXCEPT mirror and/or/not exactly."""
+    if "term" in node:
+        return f"SELECT doc_id FROM tf WHERE term = '{node['term']}'"
+    if "phrase" in node:
+        toks = tokenize(node["phrase"])
+        pat = " " + " ".join(toks) + " "
+        return f"SELECT doc_id FROM docstr WHERE contains(s, '{pat}')"
+    if "or" in node:
+        if any("not" in c for c in node["or"]):
+            raise ValueError("'not' directly under 'or' has no bounded universe")
+        return " UNION ".join(f"({tree_set_sql(c)})" for c in node["or"])
+    if "and" in node:
+        pos = [c for c in node["and"] if "not" not in c]
+        neg = [c["not"] for c in node["and"] if "not" in c]
+        if not pos:
+            raise ValueError("'and' needs at least one positive child")
+        expr = " INTERSECT ".join(f"({tree_set_sql(c)})" for c in pos)
+        if neg:
+            negexpr = " UNION ".join(f"({tree_set_sql(c)})" for c in neg)
+            expr = f"({expr}) EXCEPT ({negexpr})"
+        return expr
+    raise ValueError(f"unknown tree node: {node!r}")
+
+
+def tree_matched_sql() -> str:
+    """UNION ALL of per-query matched-doc set expressions."""
+    parts = [
+        f"SELECT {qid} AS query_id, doc_id FROM ({tree_set_sql(tree)})"
+        for qid, tree in TREE_QUERIES
+    ]
+    return " UNION ALL ".join(parts)

@@ -421,6 +421,61 @@ def test_phrase_search_never_reads_corpus(ray_session, tmp_path):
     assert sorted(out["doc_id"].astype(int)) == [0, 2]
 
 
+def test_tree_search_nested_semantics(ray_session, tmp_path):
+    """Nested boolean trees: and/or/not nesting and phrase leaves
+    against a hand-checkable corpus; NOT subtracts (never scores),
+    pure-negative shapes raise."""
+    import pyarrow as pa
+    import pytest
+    import ray.data as rd
+
+    from similaritysearch_jl_ray.pipelines.query import Bm25Scorer, tree_search
+    from similaritysearch_jl_ray.sources.pages import pages_from_documents
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], type=pa.int64()),
+            "text": pa.array(
+                [
+                    "alpha beta gamma",   # t1: ¬gamma kills it; t2 phrase ✓
+                    "alpha delta",        # t1: alpha∧(beta∨delta), no gamma ✓
+                    "beta gamma alpha",   # t2: phrase "beta gamma" ✓
+                    "gamma beta",         # t2: out of order ✗
+                ]
+            ),
+            "lang": pa.array(["en"] * 4),
+            "source": pa.array(["s"] * 4),
+        }
+    )
+    pages = rd.from_arrow(docs).map_batches(
+        lambda b: pages_from_documents(b), batch_format="pyarrow", batch_size=None
+    )
+    idx = str(tmp_path / "treeidx")
+    build_index(pages, idx, num_parts=2, salt_factor=2)
+    t1 = {
+        "and": [
+            {"term": "alpha"},
+            {"or": [{"term": "beta"}, {"term": "delta"}]},
+            {"not": {"term": "gamma"}},
+        ]
+    }
+    t2 = {"phrase": "beta gamma"}
+    out = tree_search(idx, [(0, t1), (1, t2)], k=10).to_pandas()
+    by_q = {q: sorted(g["doc_id"].astype(int)) for q, g in out.groupby("query_id")}
+    assert by_q == {0: [1], 1: [0, 2]}
+    s = Bm25Scorer(idx, k=10, mode="exhaustive")
+    with pytest.raises(ValueError, match="positive"):
+        s.score_tree({"and": [{"not": {"term": "alpha"}}]})
+    with pytest.raises(ValueError, match="universe"):
+        s.score_tree({"or": [{"not": {"term": "alpha"}}, {"term": "beta"}]})
+    # scoring uses only positive terms: doc 1's score for t1 must equal
+    # the plain BM25 of "alpha beta delta" on doc 1 (gamma excluded)
+    hits, _, _ = Bm25Scorer(idx, k=10, mode="exhaustive").score_query("alpha beta delta")
+    want = {d: sc for d, sc in hits}
+    got = dict(zip(out[out.query_id == 0]["doc_id"].astype(int), out[out.query_id == 0]["score"]))
+    assert got[1] == want[1]
+
+
 def test_build_callback_fires_per_part(ray_session, tmp_path):
     """§2.9 build-callback hook: on_part_complete sees every part's
     lineage/metrics dict exactly once, at commit time."""
