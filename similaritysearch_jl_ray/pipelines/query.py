@@ -275,6 +275,15 @@ class Bm25Scorer:
         # transient buffers turned the first fallback query of every
         # actor into a ~1-3 s outlier.)
         self._acc: np.ndarray | None = None
+        # more actor-resident scratch (same allocation-stall rationale):
+        # _mark dedupes candidate unions without a sort, _buf receives
+        # per-term dense gathers in _rescore, _neg_cache pins the
+        # negated impact arrays cutoffs binary-search (negating inline
+        # allocated a multi-MB copy per term per query — the measured
+        # top cost of 2M-doc wand serving)
+        self._mark: np.ndarray | None = None
+        self._buf: np.ndarray | None = None
+        self._neg_cache: dict[str, np.ndarray] = {}
         self._n_served = 0
 
     def _has_term(self, term: str) -> bool:
@@ -436,6 +445,18 @@ class Bm25Scorer:
                 o = np.lexsort((ids, -partial))
                 hit = (ids[o], partial[o])
             self._impact_cache[term] = hit
+        return hit
+
+    def _neg_impacts(self, term: str) -> np.ndarray:
+        """Negated impact array (ascending) for the cutoff binary
+        search — cached per actor: negating inline allocated a
+        multi-MB copy per term per query (a measured top cost of
+        2M-doc wand serving; this host stalls hard on fresh multi-MB
+        allocations — see BASELINE.md §C.4)."""
+        hit = self._neg_cache.get(term)
+        if hit is None:
+            hit = -self._term_impacts(term)[1]
+            self._neg_cache[term] = hit
         return hit
 
     def _score_and(self, terms):
@@ -671,13 +692,20 @@ class Bm25Scorer:
     def _rescore(self, terms, cand: np.ndarray) -> np.ndarray:
         """EXACT scores of sorted candidate doc_ids: term-major adds
         with 0.0 for absent terms — bit-identical to ``_accumulate``
-        (x + 0.0 == x for the positive partials involved)."""
+        (x + 0.0 == x for the positive partials involved). Dense
+        gathers land in a reused actor buffer (no per-term temp)."""
         base, _ = self._span
-        exact = np.zeros(len(cand))
+        n = len(cand)
+        exact = np.zeros(n)
+        idx = cand - base if base else cand
+        if self._buf is None or len(self._buf) < n:
+            self._buf = np.empty(max(n, 4096), dtype=np.float64)
+        buf = self._buf[:n]
         for t in terms:
             dense = self._term_dense(t)
             if dense is not None:
-                exact += dense[cand - base]
+                np.take(dense, idx, out=buf)
+                exact += buf
                 continue
             ids_d, part_d = self._term_arrays(t)
             if len(ids_d) == 0:
@@ -687,6 +715,29 @@ class Bm25Scorer:
             valid = ids_d[pos_c] == cand
             exact += np.where(valid, part_d[pos_c], 0.0)
         return exact
+
+    def _union_sorted(self, arrays: list[np.ndarray]) -> np.ndarray:
+        """Sorted-unique union of id arrays — identical to
+        ``np.unique(concatenate(...))``. Large unions over a bounded
+        span dedupe through the reused mark scratch (one linear scan,
+        no O(P log P) sort — the candidate-union sort was a top-3 cost
+        of 2M-doc wand serving)."""
+        arrays = [a for a in arrays if len(a)]
+        if not arrays:
+            return np.empty(0, np.int64)
+        base, hi = self._span
+        span = hi - base
+        tot = sum(map(len, arrays))
+        if 0 < span <= self._MAX_SCRATCH_SPAN and tot >= span // 64:
+            if self._mark is None or len(self._mark) < span:
+                self._mark = np.zeros(span, dtype=bool)
+            m = self._mark
+            for a in arrays:
+                m[a - base if base else a] = True
+            nz = np.flatnonzero(m[:span])
+            m[nz] = False  # reset only touched slots
+            return nz + base if base else nz
+        return np.unique(np.concatenate(arrays))
 
     def _score_wand(self, terms):
         """Impact-ordered MaxScore pruning; rank-identical to exhaustive.
@@ -722,6 +773,7 @@ class Bm25Scorer:
             heap.costblk += 1
             return [(int(ids_i[j]), float(imp_i[j])) for j in range(n)], n, 1
         impacts = [self._term_impacts(t) for t in terms]
+        negs = [self._neg_impacts(t) for t in terms]
         total = sum(len(i[0]) for i in impacts)
         T = len(terms)
         maxes = [float(imp[0]) if len(imp) else 0.0 for _, imp in impacts]
@@ -729,7 +781,7 @@ class Bm25Scorer:
 
         def cutoffs(theta: float) -> list[int]:
             ps = []
-            for (ids_i, imp_i), mx in zip(impacts, maxes):
+            for neg_i, mx in zip(negs, maxes):
                 c_t = max(theta - (summax - mx), theta / T)
                 # summation-rounding slack: exact(d) and the cutoff are
                 # float sums evaluated in different orders, so a doc
@@ -739,13 +791,13 @@ class Bm25Scorer:
                 # score gap that matters) — admissibility stays robust,
                 # the prefix grows by at most a handful of ties.
                 c_t -= abs(c_t) * 1e-12
-                ps.append(int(np.searchsorted(-imp_i, -c_t, side="right")))
+                ps.append(int(np.searchsorted(neg_i, -c_t, side="right")))
             return ps
 
         # phase 0: seed θ̂ from the tiny top-m union
         m0 = max(2 * k, self.prefix0 // 16)
         cur_prefix = [min(m0, len(i[0])) for i in impacts]
-        cand = np.unique(np.concatenate([ids_i[:p] for (ids_i, _), p in zip(impacts, cur_prefix)]))
+        cand = self._union_sorted([ids_i[:p] for (ids_i, _), p in zip(impacts, cur_prefix)])
         exact = self._rescore(terms, cand)
         scanned = len(cand) * T
         phases = 1
@@ -772,8 +824,8 @@ class Bm25Scorer:
                     min(max(p, cp), cap if cap is not None else len(i[0]))
                     for p, cp, i in zip(ps, cur_prefix, impacts)
                 ]
-                cand = np.unique(
-                    np.concatenate([ids_i[:p] for (ids_i, _), p in zip(impacts, nxt)])
+                cand = self._union_sorted(
+                    [ids_i[:p] for (ids_i, _), p in zip(impacts, nxt)]
                 )
                 exact = self._rescore(terms, cand)
                 scanned += len(cand) * T

@@ -75,3 +75,28 @@ def test_wand_equals_exhaustive_on_pure_stopword_query(skew_index):
     w_hits, _, _ = wand.score_query("the data")
     e_hits, _, _ = exh.score_query("the data")
     assert [d for d, _ in w_hits] == [d for d, _ in e_hits]
+
+
+def test_union_sorted_matches_np_unique_both_paths(skew_index):
+    """The mark-scratch union (actor-reused, sort-free) must be
+    id-identical to np.unique(concatenate(...)) on both its branches:
+    dense inputs (mark path) and sparse inputs (unique fallback)."""
+    sc = Bm25Scorer(skew_index, k=10, mode="wand")
+    base, hi = sc._span
+    rng = np.random.default_rng(7)
+    # dense: total >= span//64 → mark path
+    dense = [
+        np.unique(rng.integers(base, hi, size=(hi - base) // 8)) for _ in range(3)
+    ]
+    got = sc._union_sorted(dense)
+    np.testing.assert_array_equal(got, np.unique(np.concatenate(dense)))
+    # scratch reset check: a second, different union must be unpolluted
+    dense2 = [np.unique(rng.integers(base, hi, size=(hi - base) // 8))]
+    got2 = sc._union_sorted(dense2)
+    np.testing.assert_array_equal(got2, np.unique(np.concatenate(dense2)))
+    # sparse: tiny total → np.unique fallback
+    sparse = [np.array([base, hi - 1], dtype=np.int64), np.array([base], dtype=np.int64)]
+    np.testing.assert_array_equal(
+        sc._union_sorted(sparse), np.unique(np.concatenate(sparse))
+    )
+    assert len(sc._union_sorted([])) == 0
