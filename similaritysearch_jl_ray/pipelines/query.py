@@ -277,13 +277,9 @@ class Bm25Scorer:
         self._acc: np.ndarray | None = None
         # more actor-resident scratch (same allocation-stall rationale):
         # _mark dedupes candidate unions without a sort, _buf receives
-        # per-term dense gathers in _rescore, _neg_cache pins the
-        # negated impact arrays cutoffs binary-search (negating inline
-        # allocated a multi-MB copy per term per query — the measured
-        # top cost of 2M-doc wand serving)
+        # per-term dense gathers in _rescore
         self._mark: np.ndarray | None = None
         self._buf: np.ndarray | None = None
-        self._neg_cache: dict[str, np.ndarray] = {}
         self._n_served = 0
 
     def _has_term(self, term: str) -> bool:
@@ -445,18 +441,6 @@ class Bm25Scorer:
                 o = np.lexsort((ids, -partial))
                 hit = (ids[o], partial[o])
             self._impact_cache[term] = hit
-        return hit
-
-    def _neg_impacts(self, term: str) -> np.ndarray:
-        """Negated impact array (ascending) for the cutoff binary
-        search — cached per actor: negating inline allocated a
-        multi-MB copy per term per query (a measured top cost of
-        2M-doc wand serving; this host stalls hard on fresh multi-MB
-        allocations — see BASELINE.md §C.4)."""
-        hit = self._neg_cache.get(term)
-        if hit is None:
-            hit = -self._term_impacts(term)[1]
-            self._neg_cache[term] = hit
         return hit
 
     def _score_and(self, terms):
@@ -747,12 +731,14 @@ class Bm25Scorer:
         1. *Seed θ̂*: exact-rescore the union of each term's top-m
            impacts; θ̂ = k-th best — a LOWER bound on the final k-th
            score (k-th best of a subset).
-        2. *Admissible cutoffs*: any doc d with exact(d) ≥ θ̂ has, for
-           its highest-impact term t*, ``imp_{t*}(d) ≥ max(θ̂ − Σ_{s≠t*}
-           max_s, θ̂/T)`` (MaxScore inequality + pigeonhole), so the
-           union of each term's impacts-≥-cutoff prefix contains every
-           possible top-k member, ties included. One exact rescore of
-           that union + ``topk_indices`` finalizes.
+        2. *Admissible cutoffs with an essential-list split*: terms
+           whose ascending-max prefix sums below θ̂ cannot alone reach
+           it and generate no candidates; every other (essential) term
+           e contributes its impacts-≥-cutoff prefix with ``c_e =
+           max(θ̂ − Σ_{s≠e} max_s, (θ̂ − NE)/E)`` (see ``cutoffs``), so
+           the union contains every possible top-k member, ties
+           included. One exact rescore of that union + ``topk_indices``
+           finalizes.
 
         θ̂ plays precisely the ``covradius``/θ role of the reference's
         beam pruning (``/root/reference/src/searchgraph/beamsearch.jl:30-97``);
@@ -773,16 +759,33 @@ class Bm25Scorer:
             heap.costblk += 1
             return [(int(ids_i[j]), float(imp_i[j])) for j in range(n)], n, 1
         impacts = [self._term_impacts(t) for t in terms]
-        negs = [self._neg_impacts(t) for t in terms]
+        # ascending zero-copy views for the cutoff binary search —
+        # neither a negated copy per call (12 MB/term at 2M docs) nor
+        # a pinned per-term cache (31 fresh multi-MB first-touch
+        # stalls per actor on this host, BASELINE.md §C.4): a reversed
+        # view allocates nothing at all
+        revs = [imp[::-1] for _, imp in impacts]
         total = sum(len(i[0]) for i in impacts)
         T = len(terms)
         maxes = [float(imp[0]) if len(imp) else 0.0 for _, imp in impacts]
         summax = sum(maxes)
 
+        by_max = sorted(range(T), key=lambda i: maxes[i])  # ascending max impact
+
         def cutoffs(theta: float) -> list[int]:
-            ps = []
-            for neg_i, mx in zip(negs, maxes):
-                c_t = max(theta - (summax - mx), theta / T)
+            """MaxScore essential-list split + per-essential cutoffs.
+
+            Terms whose ascending-max prefix sums strictly below θ̂ are
+            *non-essential*: a doc containing only those cannot reach
+            θ̂, so their lists generate NO candidates (they still score
+            in the rescore). Each essential term e keeps the classic
+            bound θ̂ − Σ_{s≠e} max_s plus the averaged bound
+            (θ̂ − NE)/E — for a top-k doc d whose highest-impact
+            ESSENTIAL term is e*, exact(d) ≤ E·imp_{e*}(d) + NE. (The
+            θ̂/T pigeonhole is only valid for d's GLOBAL argmax term,
+            which may be non-essential, so it does not apply here.)
+            """
+            def prefix(i: int, c_t: float) -> int:
                 # summation-rounding slack: exact(d) and the cutoff are
                 # float sums evaluated in different orders, so a doc
                 # whose true score ties the frontier can land a few ulps
@@ -791,8 +794,38 @@ class Bm25Scorer:
                 # score gap that matters) — admissibility stays robust,
                 # the prefix grows by at most a handful of ties.
                 c_t -= abs(c_t) * 1e-12
-                ps.append(int(np.searchsorted(neg_i, -c_t, side="right")))
-            return ps
+                # count of impacts ≥ c_t in the descending array, ties
+                # included — equals the old searchsorted(-imp, -c, right)
+                return len(revs[i]) - int(np.searchsorted(revs[i], c_t, side="left"))
+
+            # scheme A — every list generates; d is covered by its
+            # GLOBAL argmax term, so the θ̂/T pigeonhole applies. Short
+            # prefixes on dense flat-impact corpora (θ̂/T dominates).
+            ps_a = [
+                prefix(i, max(theta - (summax - maxes[i]), theta / T)) for i in range(T)
+            ]
+            # scheme B — essential split; weak lists generate nothing,
+            # but essentials only get the averaged (θ̂−NE)/E floor
+            # (d's global argmax may be non-essential, so θ̂/T is NOT
+            # admissible here). Wins on skewed rare+stopword queries.
+            ps_b = [0] * T
+            ne_sum = 0.0
+            split = 0
+            # strict-< with relative slack: exact(d) is a float sum, so
+            # a doc that ties θ̂ in real arithmetic must not be dropped
+            for j, i in enumerate(by_max[: T - 1]):  # ≥1 essential always
+                if ne_sum + maxes[i] < theta * (1.0 - 1e-12):
+                    ne_sum += maxes[i]
+                    split = j + 1
+                else:
+                    break
+            n_ess = T - split
+            for i in by_max[split:]:
+                ps_b[i] = prefix(
+                    i, max(theta - (summax - maxes[i]), (theta - ne_sum) / n_ess)
+                )
+            # both unions are admissible — take the cheaper one
+            return ps_a if sum(ps_a) <= sum(ps_b) else ps_b
 
         # phase 0: seed θ̂ from the tiny top-m union
         m0 = max(2 * k, self.prefix0 // 16)
@@ -813,9 +846,13 @@ class Bm25Scorer:
                 ps = cutoffs(theta)
                 if all(p <= cp for p, cp in zip(ps, cur_prefix)):
                     break  # cand ⊇ every possible top-k member — done
-                if cap is not None and sum(ps) <= total // 6:
+                # cost model: the final rescore touches len(union)×T
+                # cells (dense gathers) vs one exhaustive pass touching
+                # `total` postings at a comparable per-element cost;
+                # sum(ps) upper-bounds the union
+                if cap is not None and sum(ps) * T <= total // 6:
                     continue  # already cheap: go straight to the final gather
-                if cap is None and sum(ps) > total // 3:
+                if cap is None and sum(ps) * T > int(total * 0.9):
                     hits, npost, _ = self._score_exhaustive(terms)
                     heap.costdist += scanned + npost
                     heap.costblk += phases
@@ -849,23 +886,46 @@ class Bm25Scorer:
 
         qids = batch["query_id"].to_pylist()
         texts = batch["text"].to_pylist()
-        out = {name: [] for name in RESULT_SCHEMA.names}
+        # per-QUERY metadata rows, broadcast to per-hit columns at the
+        # end with one repeat per column — no per-hit Python appends
+        hits_per_q: list[list[tuple[int, float]]] = []
+        meta = {k: [] for k in ("query_id", "postings_scored", "blocks_decoded", "latency_us", "actor_seq")}
         for qid, text in zip(qids, texts):
             t0 = time.perf_counter()
             hits, npost, nblk = self.score_query(text)
             lat_us = int((time.perf_counter() - t0) * 1e6)
-            seq = self._n_served
+            hits_per_q.append(hits)
+            meta["query_id"].append(qid)
+            meta["postings_scored"].append(npost)
+            meta["blocks_decoded"].append(nblk)
+            meta["latency_us"].append(lat_us)
+            meta["actor_seq"].append(self._n_served)
             self._n_served += 1
-            for rank, (doc_id, score) in enumerate(hits, start=1):
-                out["query_id"].append(qid)
-                out["rank"].append(rank)
-                out["doc_id"].append(doc_id)
-                out["score"].append(score)
-                out["postings_scored"].append(npost)
-                out["blocks_decoded"].append(nblk)
-                out["latency_us"].append(lat_us)
-                out["actor_seq"].append(seq)
-        return pa.Table.from_pydict(out, schema=RESULT_SCHEMA)
+        counts = np.fromiter(map(len, hits_per_q), np.int64, len(hits_per_q))
+        total = int(counts.sum())
+        doc_ids = np.empty(total, np.int64)
+        scores = np.empty(total, np.float64)
+        ranks = np.empty(total, np.int32)
+        at = 0
+        for hits in hits_per_q:
+            for r, (d, s) in enumerate(hits):
+                doc_ids[at] = d
+                scores[at] = s
+                ranks[at] = r + 1
+                at += 1
+        cols = {"rank": ranks, "doc_id": doc_ids, "score": scores}
+        arrays = []
+        for name in RESULT_SCHEMA.names:
+            if name in cols:
+                arrays.append(pa.array(cols[name], type=RESULT_SCHEMA.field(name).type))
+            else:
+                arrays.append(
+                    pa.array(
+                        np.repeat(np.asarray(meta[name], dtype=np.int64), counts),
+                        type=RESULT_SCHEMA.field(name).type,
+                    )
+                )
+        return pa.Table.from_arrays(arrays, schema=RESULT_SCHEMA)
 
 
 def estimated_pack_bytes(index_dir: str) -> int:

@@ -11,7 +11,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.hashing import stable_u64
-from ..functions.text import tokenize
+from ..functions.text import batch_token_counts, tokenize
 from ..functions.rounding import round6
 
 __all__ = ["lang_dist", "token_totals_by_lang", "quality_scores", "lang_id", "doc_fingerprint"]
@@ -60,7 +60,7 @@ def token_totals_by_lang(sf_dir: str):
 
     def partial(batch: pa.Table) -> pa.Table:
         langs = np.asarray(batch["lang"].to_pylist(), dtype=object)
-        dls = np.fromiter((len(tokenize(t)) for t in batch["text"].to_pylist()), dtype=np.int64)
+        dls = batch_token_counts(batch["text"])[3]  # doclens, Arrow kernels
         u, inv = np.unique(langs, return_inverse=True)
         sums = np.zeros(len(u), dtype=np.int64)
         np.add.at(sums, inv, dls)
@@ -79,21 +79,23 @@ def quality_scores(sf_dir: str):
     uniq_ratio, stop_ratio) — ratios rounded to 6dp, 0.0 for empty."""
 
     def score(batch: pa.Table) -> pa.Table:
-        out = {"doc_id": batch["doc_id"], "n_chars": [], "n_tokens": [], "uniq_ratio": [], "stop_ratio": []}
-        for text in batch["text"].to_pylist():
-            toks = tokenize(text)
-            n = len(toks)
-            out["n_chars"].append(len(text))
-            out["n_tokens"].append(n)
-            out["uniq_ratio"].append(round6(len(set(toks)) / n) if n else 0.0)
-            out["stop_ratio"].append(round6(sum(t in STOPWORDS for t in toks) / n) if n else 0.0)
+        import pyarrow.compute as pc
+
+        nrows = batch.num_rows
+        doc_idx, terms, tfs, doclens = batch_token_counts(batch["text"])
+        n_chars = pc.utf8_length(batch["text"].combine_chunks()).to_numpy().astype(np.int64)
+        uniq = np.bincount(doc_idx, minlength=nrows).astype(np.int64)  # one row per (doc, term)
+        stop_mask = np.isin(terms, np.asarray(STOPWORDS, dtype=object))
+        stops = np.zeros(nrows, dtype=np.int64)
+        np.add.at(stops, doc_idx[stop_mask], tfs[stop_mask])
+        safe = np.maximum(doclens, 1).astype(np.float64)  # empty docs → 0.0 ratios
         return pa.table(
             {
-                "doc_id": out["doc_id"],
-                "n_chars": pa.array(out["n_chars"], type=pa.int64()),
-                "n_tokens": pa.array(out["n_tokens"], type=pa.int64()),
-                "uniq_ratio": pa.array(out["uniq_ratio"], type=pa.float64()),
-                "stop_ratio": pa.array(out["stop_ratio"], type=pa.float64()),
+                "doc_id": batch["doc_id"],
+                "n_chars": pa.array(n_chars, type=pa.int64()),
+                "n_tokens": pa.array(doclens, type=pa.int64()),
+                "uniq_ratio": pa.array(round6(uniq / safe), type=pa.float64()),
+                "stop_ratio": pa.array(round6(stops / safe), type=pa.float64()),
             }
         )
 
@@ -107,20 +109,21 @@ def lang_id(sf_dir: str):
     (doc_id, pred_lang)."""
 
     def classify(batch: pa.Table) -> pa.Table:
-        preds = []
-        for text in batch["text"].to_pylist():
-            toks = set(tokenize(text))
-            # best_score starts at 0 so zero-evidence docs keep the
-            # documented deterministic 'en' fallback (strict > means
-            # the first language to reach a score owns it; ties break
-            # by sorted language order)
-            best, best_score = "en", 0
-            for lang in sorted(_LANG_MARKERS):
-                score = sum(m in toks for m in _LANG_MARKERS[lang])
-                if score > best_score:
-                    best, best_score = lang, score
-            preds.append(best)
-        return pa.table({"doc_id": batch["doc_id"], "pred_lang": pa.array(preds)})
+        nrows = batch.num_rows
+        doc_idx, terms, _, _ = batch_token_counts(batch["text"])
+        # per-(doc,term) rows are unique, so marker membership per doc
+        # is a bincount of matching rows; langs vote in sorted order
+        # with strict > and an 'en' zero-evidence fallback — same tie
+        # rule as the scalar loop this replaces
+        best = np.full(nrows, "en", dtype=object)
+        best_score = np.zeros(nrows, dtype=np.int64)
+        for lang in sorted(_LANG_MARKERS):
+            mask = np.isin(terms, np.asarray(_LANG_MARKERS[lang], dtype=object))
+            score = np.bincount(doc_idx[mask], minlength=nrows).astype(np.int64)
+            win = score > best_score
+            best[win] = lang
+            best_score[win] = score[win]
+        return pa.table({"doc_id": batch["doc_id"], "pred_lang": pa.array(best.tolist())})
 
     return _documents(sf_dir, ["doc_id", "text"]).map_batches(classify, batch_format="pyarrow")
 

@@ -100,3 +100,21 @@ def test_union_sorted_matches_np_unique_both_paths(skew_index):
         sc._union_sorted(sparse), np.unique(np.concatenate(sparse))
     )
     assert len(sc._union_sorted([])) == 0
+
+
+def test_wand_rank_identity_randomized_queries(skew_index):
+    """Seeded stress over mixed rare/common multi-term queries: the
+    essential-list MaxScore must stay bit-identical to exhaustive on
+    every query (ids AND scores), including all-stopword and
+    unknown-term mixes."""
+    wand = Bm25Scorer(skew_index, k=10, mode="wand")
+    exh = Bm25Scorer(skew_index, k=10, mode="exhaustive")
+    vocab = ["the", "data", "join", "scan", "merge", "table", "row", "batch",
+             "zyzzyva", "notaterm"]
+    rng = np.random.default_rng(29)
+    for _ in range(40):
+        q = " ".join(rng.choice(vocab, size=int(rng.integers(1, 6))))
+        w_hits, _, _ = wand.score_query(q)
+        e_hits, _, _ = exh.score_query(q)
+        assert [d for d, _ in w_hits] == [d for d, _ in e_hits], q
+        assert [s for _, s in w_hits] == [s for _, s in e_hits], q
