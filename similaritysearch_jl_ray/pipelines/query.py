@@ -122,9 +122,14 @@ def build_serving_pack(
         if span > 0 and len(ids) >= max(64, span // 20) and doc_range is None:
             o = np.lexsort((ids, -partial))
             imp[term] = (ids[o], partial[o])
-            arr = np.zeros(span, dtype=np.float64)
+            # f32 on purpose: halves the rescore's gather traffic (the
+            # measured bound of multi-M-doc serving) and the pack's
+            # dense footprint; exactness is restored by the margin +
+            # f64 refine in Bm25Scorer._refine, so served scores stay
+            # bit-identical to the f64 exhaustive path
+            arr = np.zeros(span, dtype=np.float32)
             arr[ids - base] = partial
-            dense[term] = arr
+            dense[term] = (arr, float(partial.max()) if len(partial) else 0.0)
         w = rdr.idf(term)
         runs = rdr.runs(term)
         blocks[term] = (
@@ -276,10 +281,11 @@ class Bm25Scorer:
         # actor into a ~1-3 s outlier.)
         self._acc: np.ndarray | None = None
         # more actor-resident scratch (same allocation-stall rationale):
-        # _mark dedupes candidate unions without a sort, _buf receives
-        # per-term dense gathers in _rescore
+        # _mark dedupes candidate unions without a sort, _buf (f32)
+        # receives per-term dense gathers in _rescore_approx
         self._mark: np.ndarray | None = None
         self._buf: np.ndarray | None = None
+        self._pmax_cache: dict[str, float] = {}
         self._n_served = 0
 
     def _has_term(self, term: str) -> bool:
@@ -498,13 +504,14 @@ class Bm25Scorer:
         slots — the classic positional-postings phrase AND, vectorized
         as chained ``np.intersect1d`` over uint64 keys. Matching docs
         are exact-rescored over the phrase's distinct terms with the
-        shared ``_rescore`` (term-major adds → bit-identical to the
+        shared approx-then-refine path (term-major adds → bit-identical to the
         other serving modes and the DuckDB oracle)."""
         terms = sorted(set(toks))
         cand, npost = self._phrase_candidates(toks)
         if len(cand) == 0:
             return [], int(npost), 1
-        exact = self._rescore(terms, cand)
+        approx, err = self._rescore_approx(terms, cand)
+        cand, exact = self._refine(terms, cand, approx, err)
         idx = topk_indices(exact, cand, self.k)
         return (
             [(int(cand[j]), float(exact[j])) for j in idx],
@@ -598,7 +605,8 @@ class Bm25Scorer:
         terms = sorted(t for t in tree_positive_terms(tree) if self._has_term(t))
         if len(cand) == 0 or not terms:
             return [], 0, 0
-        exact = self._rescore(terms, cand)
+        approx, err = self._rescore_approx(terms, cand)
+        cand, exact = self._refine(terms, cand, approx, err)
         idx = topk_indices(exact, cand, self.k)
         return (
             [(int(cand[j]), float(exact[j])) for j in idx],
@@ -649,12 +657,15 @@ class Bm25Scorer:
         )
 
     def _term_dense(self, term: str):
-        """Dense partial-score array over the actor's doc-id span
-        (``dense[doc - base] = impact``, 0.0 where absent) — turns the
-        candidate rescore into a pure gather. Built only for terms
-        dense enough to amortize the span (head terms; rare terms stay
-        on the binary-search path — their lists are short anyway).
-        Served zero-copy from the broadcast pack when available."""
+        """``(f32 dense partial-score array over the actor's doc-id
+        span, max_partial)`` — ``dense[doc - base] = impact``, 0.0
+        where absent — turns the candidate rescore into a pure gather.
+        Built only for terms dense enough to amortize the span (head
+        terms; rare terms stay on the binary-search path — their lists
+        are short anyway). Served zero-copy from the broadcast pack
+        when available. f32 halves gather traffic (the 2M-doc serving
+        bound); ``max_partial`` feeds the rounding-error bound that
+        lets :meth:`_refine` restore exact f64 scores."""
         if term in self._dense_cache:
             return self._dense_cache[term]
         if self.pack is not None and self.doc_range is None and self._allowed is None:
@@ -667,30 +678,29 @@ class Bm25Scorer:
         span = hi - base
         hit = None
         if span > 0 and len(ids) >= max(64, span // 20):
-            arr = np.zeros(span, dtype=np.float64)
+            arr = np.zeros(span, dtype=np.float32)
             arr[ids - base] = partial
-            hit = arr
+            hit = (arr, float(partial.max()) if len(partial) else 0.0)
         self._dense_cache[term] = hit
         return hit
 
-    def _rescore(self, terms, cand: np.ndarray) -> np.ndarray:
-        """EXACT scores of sorted candidate doc_ids: term-major adds
-        with 0.0 for absent terms — bit-identical to ``_accumulate``
-        (x + 0.0 == x for the positive partials involved). Dense
-        gathers land in a reused actor buffer (no per-term temp)."""
-        base, _ = self._span
-        n = len(cand)
-        exact = np.zeros(n)
-        idx = cand - base if base else cand
-        if self._buf is None or len(self._buf) < n:
-            self._buf = np.empty(max(n, 4096), dtype=np.float64)
-        buf = self._buf[:n]
+    def _pmax(self, term: str) -> float:
+        """Max partial score of a term (cached) — feeds the f64
+        accumulation-order slack in the approx-rescore error bound."""
+        hit = self._pmax_cache.get(term)
+        if hit is None:
+            _, partial = self._term_arrays(term)
+            hit = self._pmax_cache[term] = float(partial.max()) if len(partial) else 0.0
+        return hit
+
+    def _rescore_exact(self, terms, cand: np.ndarray) -> np.ndarray:
+        """EXACT f64 scores of sorted candidate doc_ids: term-major
+        adds with 0.0 for absent terms — bit-identical to
+        ``_accumulate`` (x + 0.0 == x for the positive partials
+        involved; same summation order). Binary-search only — never
+        touches the f32 dense arrays."""
+        exact = np.zeros(len(cand))
         for t in terms:
-            dense = self._term_dense(t)
-            if dense is not None:
-                np.take(dense, idx, out=buf)
-                exact += buf
-                continue
             ids_d, part_d = self._term_arrays(t)
             if len(ids_d) == 0:
                 continue
@@ -699,6 +709,66 @@ class Bm25Scorer:
             valid = ids_d[pos_c] == cand
             exact += np.where(valid, part_d[pos_c], 0.0)
         return exact
+
+    def _rescore_approx(self, terms, cand: np.ndarray) -> tuple[np.ndarray, float]:
+        """Scores of sorted candidate doc_ids via f32 dense gathers
+        (head terms) + exact f64 binary-search adds (tail terms),
+        with a GUARANTEED error bound.
+
+        Returns ``(approx, err)`` with ``|approx[d] − exact[d]| ≤ err``
+        for every candidate: each f32-rounded partial is off by at most
+        ``max_t·2⁻²⁴`` (half-ulp, values well inside normal range), and
+        the two f64 term-major accumulations (of slightly different
+        sequences) differ by at most ``T·2⁻⁵²·Σ max_t``. ``err == 0.0``
+        iff no dense term contributed — then the add sequence is
+        IDENTICAL to :meth:`_rescore_exact` and approx IS exact."""
+        base, _ = self._span
+        n = len(cand)
+        approx = np.zeros(n)
+        idx = cand - base if base else cand
+        if self._buf is None or len(self._buf) < n:
+            self._buf = np.empty(max(n, 4096), dtype=np.float32)
+        buf = self._buf[:n]
+        mx_dense = 0.0
+        mx_all = 0.0
+        for t in terms:
+            dense = self._term_dense(t)
+            if dense is not None:
+                arr, mx = dense
+                np.take(arr, idx, out=buf)
+                approx += buf
+                mx_dense += mx
+                mx_all += mx
+                continue
+            ids_d, part_d = self._term_arrays(t)
+            if len(ids_d) == 0:
+                continue
+            pos = np.searchsorted(ids_d, cand)
+            pos_c = np.minimum(pos, len(ids_d) - 1)
+            valid = ids_d[pos_c] == cand
+            approx += np.where(valid, part_d[pos_c], 0.0)
+            mx_all += self._pmax(t)
+        if mx_dense == 0.0:
+            return approx, 0.0
+        err = mx_dense * 2.0**-24 + mx_all * len(terms) * 2.0**-52
+        return approx, err
+
+    def _refine(self, terms, cand: np.ndarray, approx: np.ndarray, err: float):
+        """Collapse an approx-rescored candidate set to the provably
+        sufficient subset and its EXACT f64 scores.
+
+        Any true top-k member d satisfies ``approx[d] ≥ approx_kth −
+        2·err`` (both sides off by ≤ err), so the kept subset contains
+        every possible top-k member, ties included; the kept docs are
+        then exact-rescored with :meth:`_rescore_exact` — final ids
+        AND scores stay bit-identical to the all-f64 path."""
+        if err == 0.0:
+            return cand, approx
+        if len(cand) > self.k:
+            kth = float(np.partition(approx, -self.k)[-self.k])
+            keep = approx >= kth - 2.0 * err
+            cand = cand[keep]
+        return cand, self._rescore_exact(terms, cand)
 
     def _union_sorted(self, arrays: list[np.ndarray]) -> np.ndarray:
         """Sorted-unique union of id arrays — identical to
@@ -827,15 +897,18 @@ class Bm25Scorer:
             # both unions are admissible — take the cheaper one
             return ps_a if sum(ps_a) <= sum(ps_b) else ps_b
 
-        # phase 0: seed θ̂ from the tiny top-m union
+        # phase 0: seed θ̂ from the tiny top-m union. Phases rescore
+        # APPROX (f32 dense gathers, error bound err) — θ̂ keeps its
+        # lower-bound role by subtracting err; only the final _refine
+        # pays for exact f64 scores, on the provably sufficient subset
         m0 = max(2 * k, self.prefix0 // 16)
         cur_prefix = [min(m0, len(i[0])) for i in impacts]
         cand = self._union_sorted([ids_i[:p] for (ids_i, _), p in zip(impacts, cur_prefix)])
-        exact = self._rescore(terms, cand)
+        approx, err = self._rescore_approx(terms, cand)
         scanned = len(cand) * T
         phases = 1
         if len(cand) >= k:
-            theta = float(np.partition(exact, -k)[-k])
+            theta = float(np.partition(approx, -k)[-k]) - err
             # progressive tightening: θ̂ only grows as the rescored
             # subset grows, so each round's cutoffs shrink toward the
             # true-θ prefixes (measured 3-6× smaller than the seed-θ̂
@@ -864,13 +937,14 @@ class Bm25Scorer:
                 cand = self._union_sorted(
                     [ids_i[:p] for (ids_i, _), p in zip(impacts, nxt)]
                 )
-                exact = self._rescore(terms, cand)
+                approx, err = self._rescore_approx(terms, cand)
                 scanned += len(cand) * T
                 phases += 1
                 cur_prefix = nxt
-                theta = max(theta, float(np.partition(exact, -k)[-k]))
+                theta = max(theta, float(np.partition(approx, -k)[-k]) - err)
             heap.costdist += scanned
             heap.costblk += phases
+            cand, exact = self._refine(terms, cand, approx, err)
             idx = topk_indices(exact, cand, k)
             return [(int(cand[j]), float(exact[j])) for j in idx], scanned, phases
         # fewer than k docs seen and nothing to tighten against —
@@ -931,8 +1005,9 @@ class Bm25Scorer:
 def estimated_pack_bytes(index_dir: str) -> int:
     """Decoded-pack size estimate from part metas alone (no index I/O
     beyond the tiny json files): ids+partials are 16 B/posting; head
-    terms add an impact-ordered copy and a dense span array — ~40 B per
-    posting covers the lot on Zipf-shaped corpora."""
+    terms add an impact-ordered copy (16 B) and an f32 dense span
+    array (4 B/slot amortized) — ~36 B per posting covers the lot on
+    Zipf-shaped corpora (kept at 40 for headroom)."""
     import json as _json
     import os as _os
 

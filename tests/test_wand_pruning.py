@@ -118,3 +118,47 @@ def test_wand_rank_identity_randomized_queries(skew_index):
         e_hits, _, _ = exh.score_query(q)
         assert [d for d, _ in w_hits] == [d for d, _ in e_hits], q
         assert [s for _, s in w_hits] == [s for _, s in e_hits], q
+
+
+def test_f32_approx_error_within_bound_and_refine_is_exact(skew_index):
+    """The f32-dense approx rescore must honor its published error
+    bound, and _refine must recover the bit-exact f64 top-k (ids AND
+    scores) from the approx scores — the admissibility contract that
+    lets the hot path gather f32."""
+    from similaritysearch_jl_ray.functions.topk import topk_indices
+
+    sc = Bm25Scorer(skew_index, k=10, mode="wand")
+    terms = ["the", "data", "join"]
+    cand = sc._union_sorted([sc._term_arrays(t)[0] for t in terms])
+    approx, err = sc._rescore_approx(terms, cand)
+    exact = sc._rescore_exact(terms, cand)
+    # the fixture's head terms are dense → the f32 path must engage,
+    # otherwise this test exercises nothing
+    assert err > 0.0
+    assert float(np.max(np.abs(approx - exact))) <= err
+    sub, ref = sc._refine(terms, cand, approx, err)
+    i_full = topk_indices(exact, cand, 10)
+    i_sub = topk_indices(ref, sub, 10)
+    assert [int(cand[j]) for j in i_full] == [int(sub[j]) for j in i_sub]
+    assert [float(exact[j]) for j in i_full] == [float(ref[j]) for j in i_sub]
+
+
+def test_refine_keeps_ties_inside_margin(skew_index):
+    """Synthetic near-tie stress: scores packed within the error
+    bound around the k-th frontier must ALL survive _refine's margin
+    cut (no true top-k member can be dropped)."""
+    sc = Bm25Scorer(skew_index, k=10, mode="wand")
+    rng = np.random.default_rng(7)
+    cand = np.arange(200, dtype=np.int64)
+    base = 5.0
+    err = 1e-6
+    # 50 docs whose approx scores sit within ±err of the k-th value
+    approx = np.concatenate([
+        np.full(50, base) + rng.uniform(-err, err, 50),
+        rng.uniform(0.0, base - 10 * err, 150),
+    ])
+    rng.shuffle(approx)
+    kth = float(np.partition(approx, -10)[-10])
+    keep = approx >= kth - 2.0 * err
+    # every doc within err of the frontier is kept by the margin rule
+    assert keep[np.abs(approx - kth) <= err].all()
