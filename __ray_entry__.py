@@ -23,22 +23,30 @@ _K1, _B = 1.2, 0.75
 
 # Shared SQL CTE prelude: tokenization, tf, dl, stats, df — the
 # relational restatement of the engine's tokenize/stats stages.
-_TOK_CTES = """
+# ``docs_src`` parameterizes the corpus (the purged-index oracle uses a
+# filtered corpus: stats/df/avgdl all shift, mirroring purge_tombstones).
+
+
+def _tok_ctes(docs_src: str = "documents") -> str:
+    return f"""
 toks AS (
   SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term
-  FROM documents
+  FROM {docs_src}
 ),
 tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
 dl AS (
   SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS dl
-  FROM documents
+  FROM {docs_src}
 ),
 stats AS (
-  SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
-         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM documents) AS avgdl
+  SELECT (SELECT count(*) FROM {docs_src})::DOUBLE AS n,
+         (SELECT sum(dl) FROM dl)::DOUBLE / (SELECT count(*) FROM {docs_src}) AS avgdl
 ),
 df AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term)
 """
+
+
+_TOK_CTES = _tok_ctes()
 
 
 def _queries_sql() -> str:
@@ -52,14 +60,16 @@ _BM25_SUM = f"""sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
               / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / s.avgdl)) )"""
 
 
-def _bm25_sql(doc_join: str = "", conjunctive: bool = False) -> str:
+def _bm25_sql(
+    doc_join: str = "", conjunctive: bool = False, docs_src: str = "documents"
+) -> str:
     having = (
         "HAVING count(*) = (SELECT count(*) FROM q q2 WHERE q2.query_id = q.query_id)"
         if conjunctive
         else ""
     )
     return f"""
-WITH {_TOK_CTES},
+WITH {_tok_ctes(docs_src)},
 q AS (SELECT * FROM {_queries_sql()}),
 scores AS (
   SELECT q.query_id, tf.doc_id, {_BM25_SUM} AS fscore
@@ -127,6 +137,69 @@ def _bm25_query(sf_dir: str, mode: str, lang: str | None = None):
     res = search(
         queries_dataset(), index_dir, k=K, mode=mode, concurrency=2, lang=lang
     ).to_pandas()
+    res = res[["query_id", "rank", "doc_id", "score"]].astype(
+        {"query_id": "int64", "rank": "int64", "doc_id": "int64", "score": "float64"}
+    )
+    res["score"] = round6(res["score"].to_numpy())
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _tombstone_variant(sf_dir: str, tag: str, purge: bool) -> str:
+    """Mutated index copy with docs ``doc_id % 7 == 3`` deleted —
+    tombstoned only (``purge=False``: Lucene live-docs masking, build
+    stats intact) or physically purged (``purge=True``: stats/df
+    identical to a rebuild over the survivors)."""
+    from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index_variant
+
+    def mutate(d: str) -> None:
+        import os
+
+        import pyarrow.dataset as pads
+
+        from similaritysearch_jl_ray.pipelines.lifecycle import (
+            delete_docs,
+            purge_tombstones,
+        )
+
+        ids = (
+            pads.dataset(os.path.join(d, "docmap"), format="parquet")
+            .to_table(columns=["doc_id"])["doc_id"]
+            .to_numpy()
+        )
+        delete_docs(d, ids[ids % 7 == 3])
+        if purge:
+            purge_tombstones(d)
+
+    return ensure_index_variant(sf_dir, tag, mutate)
+
+
+def _bm25_deleted(sf_dir: str):
+    """Serving over a tombstoned index: deleted docs invisible, df/idf/
+    avgdl keep build-time values (Lucene live-docs) — the oracle scores
+    over the FULL corpus and only filters the result set."""
+    from similaritysearch_jl_ray.functions.rounding import round6
+    from similaritysearch_jl_ray.pipelines.query import search
+    from similaritysearch_jl_ray.pipelines.queryset import queries_dataset
+
+    index_dir = _tombstone_variant(sf_dir, "tomb", purge=False)
+    res = search(queries_dataset(), index_dir, k=K, mode="wand", concurrency=2).to_pandas()
+    res = res[["query_id", "rank", "doc_id", "score"]].astype(
+        {"query_id": "int64", "rank": "int64", "doc_id": "int64", "score": "float64"}
+    )
+    res["score"] = round6(res["score"].to_numpy())
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _bm25_purged(sf_dir: str):
+    """Serving after purge_tombstones: postings rewritten, stats
+    re-derived — the oracle recomputes BM25 over the survivor corpus
+    (df, N and avgdl all shift, unlike the tombstone-mask entry)."""
+    from similaritysearch_jl_ray.functions.rounding import round6
+    from similaritysearch_jl_ray.pipelines.query import search
+    from similaritysearch_jl_ray.pipelines.queryset import queries_dataset
+
+    index_dir = _tombstone_variant(sf_dir, "purged", purge=True)
+    res = search(queries_dataset(), index_dir, k=K, mode="wand", concurrency=2).to_pandas()
     res = res[["query_id", "rank", "doc_id", "score"]].astype(
         {"query_id": "int64", "rank": "int64", "doc_id": "int64", "score": "float64"}
     )
@@ -384,6 +457,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_phrase": _bm25_phrase,
         "bm25_topk_bool": _bm25_bool,
         "bm25_topk_tree": _bm25_tree,
+        "bm25_topk_deleted": _bm25_deleted,
+        "bm25_topk_purged": _bm25_purged,
         # -- dedup suite (SURVEY §2.6 neardup + task brief) ---------------
         "exact_dedup": dedup.exact_dedup,
         # max_df=None pins the EXACT mode (matches the SQL oracle); the
@@ -526,6 +601,16 @@ FROM tf JOIN dl ON dl.doc_id = tf.doc_id
         "bm25_topk_phrase": _phrase_sql(),
         "bm25_topk_bool": _bool_sql(),
         "bm25_topk_tree": _tree_sql(),
+        # tombstone mask: stats over the FULL corpus, only the result
+        # set filtered (Lucene live-docs — mirrors Bm25Scorer._deleted)
+        "bm25_topk_deleted": _bm25_sql(
+            doc_join="JOIN documents dd ON dd.doc_id = tf.doc_id AND dd.doc_id % 7 <> 3"
+        ),
+        # purge: stats/df recomputed over the survivor corpus (mirrors
+        # purge_tombstones ≡ rebuild-on-survivors, proven in tests)
+        "bm25_topk_purged": _bm25_sql(
+            docs_src="(SELECT * FROM documents WHERE doc_id % 7 <> 3)"
+        ),
         # -- dedup ---------------------------------------------------------
         "exact_dedup": (
             "SELECT min(doc_id)::BIGINT AS keeper_doc_id, count(*)::BIGINT AS group_size"

@@ -15,7 +15,12 @@ import os
 
 from ..config import INDEX_LAYOUT_VERSION, SCORE_ROUND_DECIMALS
 
-__all__ = ["cached_index_dir", "ensure_index", "SCORE_ROUND_DECIMALS"]
+__all__ = [
+    "cached_index_dir",
+    "ensure_index",
+    "ensure_index_variant",
+    "SCORE_ROUND_DECIMALS",
+]
 
 _CACHE_ROOT = "/tmp/ssjr_cache"
 
@@ -34,4 +39,22 @@ def ensure_index(sf_dir: str, **build_kwargs) -> str:
 
     d = cached_index_dir(sf_dir)
     build_index(pages_dataset(sf_dir), d, **build_kwargs)
+    return d
+
+
+def ensure_index_variant(sf_dir: str, tag: str, mutate) -> str:
+    """A mutated COPY of the cached base index (deletion entries must
+    not tombstone the index every other ``queries()`` entry shares).
+    ``mutate(dir)`` runs once; the result is cached like the base."""
+    import shutil
+
+    base = ensure_index(sf_dir)
+    d = cached_index_dir(sf_dir) + f"_{tag}"
+    marker = os.path.join(d, "_variant_done")
+    if not os.path.exists(marker):
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.copytree(base, d)
+        mutate(d)
+        with open(marker, "w") as f:
+            f.write("ok")
     return d

@@ -21,7 +21,16 @@ import json
 import os
 import shutil
 
-__all__ = ["rebuild", "append_pages", "delta_dirs", "maybe_compact", "compact_deltas"]
+__all__ = [
+    "rebuild",
+    "append_pages",
+    "delta_dirs",
+    "maybe_compact",
+    "compact_deltas",
+    "delete_docs",
+    "deleted_ids",
+    "purge_tombstones",
+]
 
 from .build_index import build_index
 
@@ -205,6 +214,225 @@ def compact_deltas(index_dir: str) -> dict:
     for d in deltas:
         shutil.rmtree(d, ignore_errors=True)
     return merged
+
+
+def delete_docs(index_dir: str, doc_ids) -> int:
+    """Tombstone deletion — the missing half of the index lifecycle
+    next to ``append_pages`` (the reference mutates via ``push_item!``
+    only, ``/root/reference/src/searchgraph/insertions.jl:123-142``;
+    deletion is engine-native, modeled on Lucene live-docs).
+
+    Appends a sorted tombstone file under ``index_dir/tombstones/``;
+    nothing else is touched. Serving applies tombstones as a
+    VISIBILITY mask: deleted docs never appear in results, while
+    df/idf/avgdl/N keep their build-time values until
+    :func:`purge_tombstones` physically rewrites the postings
+    (exactly Lucene's deleted-docs-until-merge semantics — surviving
+    docs' scores are unchanged by a delete, tested). The mask is read
+    per actor via a pushdown scan (doc-range-pinned actors read only
+    their range's tombstones), so the deleted set is never broadcast
+    through the driver."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pqw
+
+    ids = np.unique(np.asarray(list(doc_ids), dtype=np.int64))
+    tomb_dir = os.path.join(index_dir, "tombstones")
+    os.makedirs(tomb_dir, exist_ok=True)
+    n = len([f for f in os.listdir(tomb_dir) if f.endswith(".parquet")])
+    tmp = os.path.join(tomb_dir, f".tomb-{n + 1}.parquet.tmp")
+    pqw.write_table(pa.table({"doc_id": pa.array(ids, type=pa.int64())}), tmp)
+    os.replace(tmp, os.path.join(tomb_dir, f"tomb-{n + 1}.parquet"))
+    return int(len(ids))
+
+
+def deleted_ids(index_dir: str, doc_range: tuple[int, int] | None = None):
+    """Sorted unique tombstoned doc_ids (``None`` when there are none).
+    With ``doc_range`` the range filter is pushed into the parquet scan
+    so a doc-sharded actor materializes only its shard's tombstones."""
+    import numpy as np
+    import pyarrow.dataset as pads
+
+    tomb_dir = os.path.join(index_dir, "tombstones")
+    if not os.path.isdir(tomb_dir):
+        return None
+    files = [os.path.join(tomb_dir, f) for f in os.listdir(tomb_dir) if f.endswith(".parquet")]
+    if not files:
+        return None
+    ds = pads.dataset(files, format="parquet")
+    filt = None
+    if doc_range is not None:
+        lo, hi = doc_range
+        filt = (pads.field("doc_id") >= lo) & (pads.field("doc_id") < hi)
+    t = ds.to_table(columns=["doc_id"], filter=filt)
+    arr = np.unique(t["doc_id"].to_numpy().astype(np.int64))
+    return arr if len(arr) else None
+
+
+def purge_tombstones(index_dir: str) -> dict:
+    """Physically remove tombstoned docs — the Lucene-merge analog.
+
+    Per (segment, part), one Ray task decodes only runs whose
+    ``[run_first, run_last]`` span contains a tombstone (all other
+    rows pass through untouched, payload bytes zero-copy), drops the
+    deleted postings (positions sidecar filtered alongside when the
+    layout carries one), re-encodes, and atomically replaces the part.
+    Runs left empty are dropped and surviving salts renumbered in
+    run_first order (preserving the reader's (term, salt)-sort ⇒
+    doc-order invariant, as in :func:`compact_deltas`). Each segment's
+    docmap is rewritten without the deleted rows and its stats
+    recomputed from the new part metadata the same way the build's
+    stage E does (n_docs from docmap, total_tokens = Σcf) — so after a
+    purge df/idf/avgdl/N are IDENTICAL to a fresh build over the
+    surviving corpus, and serving is rank- AND score-bit-identical to
+    that rebuild (tested) without ever touching raw pages."""
+    import numpy as np
+    import ray
+
+    tomb = deleted_ids(index_dir)
+    if tomb is None:
+        with open(os.path.join(index_dir, "stats.json")) as f:
+            return json.load(f)
+    tomb_ref = ray.put(tomb)
+    seg_dirs = [index_dir] + delta_dirs(index_dir)
+
+    @ray.remote
+    def _purge_part(seg_dir: str, p: int, deleted) -> dict:
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pqw
+
+        from ..state.segment import (
+            EncodedPostings,
+            decode_all,
+            decode_positions,
+            encode_postings,
+        )
+        from .build_index import RUN_SCHEMA
+
+        with open(os.path.join(seg_dir, "stats.json")) as f:
+            block_size = json.load(f).get("block_size", 128)
+        part_dir = os.path.join(seg_dir, "postings", f"part={p}")
+        tbl = pads.dataset(part_dir, format="parquet").to_table().combine_chunks()
+        t_col = tbl.column("term").to_numpy(zero_copy_only=False)
+        rf = tbl.column("run_first").to_numpy()
+        rl = tbl.column("run_last").to_numpy()
+        # a run needs rewriting iff some tombstone falls inside its span
+        touched = np.searchsorted(deleted, rf, side="left") < np.searchsorted(
+            deleted, rl, side="right"
+        )
+        rows_by_term: dict[str, list] = {}
+        for i in range(tbl.num_rows):
+            run = EncodedPostings.from_arrow_row(tbl, int(i))
+            if touched[i]:
+                ids, tfs, dls = decode_all(run)
+                d_pos = np.searchsorted(deleted, ids)
+                d_pos = np.minimum(d_pos, len(deleted) - 1)
+                keep = deleted[d_pos] != ids
+                if not keep.all():
+                    if not keep.any():
+                        continue  # run emptied: drop it
+                    pos = decode_positions(run, tfs) if len(run.pos_payload) else None
+                    if pos is not None:
+                        pos = pos[np.repeat(keep, tfs)]
+                    ids, tfs, dls = ids[keep], tfs[keep], dls[keep]
+                    run = encode_postings(
+                        ids, tfs, dls, block_size=block_size, positions=pos
+                    )
+            rows_by_term.setdefault(t_col[i], []).append(run)
+        out_rows = []
+        for t in sorted(rows_by_term):
+            runs = sorted(
+                rows_by_term[t],
+                key=lambda r: int(r.block_first[0]) if len(r.block_first) else -1,
+            )
+            for salt, r in enumerate(runs):
+                row = r.to_row(t)
+                row["salt"] = salt
+                row["part"] = p
+                out_rows.append(row)
+        schema = RUN_SCHEMA.remove(RUN_SCHEMA.get_field_index("skey"))
+        out_tbl = pa.Table.from_pylist(out_rows, schema=schema)
+        tmp_out = part_dir + ".purge_tmp"
+        shutil.rmtree(tmp_out, ignore_errors=True)
+        os.makedirs(tmp_out)
+        pqw.write_table(out_tbl, os.path.join(tmp_out, "purged.parquet"), compression="zstd")
+        shutil.rmtree(part_dir)
+        os.rename(tmp_out, part_dir)
+        cf = out_tbl.column("cf").to_numpy()
+        rl_new = out_tbl.column("run_last").to_numpy()
+        return {
+            "part": p,
+            "terms": len(rows_by_term),
+            "runs": out_tbl.num_rows,
+            "postings": int(out_tbl.column("df").to_numpy().sum()),
+            "tokens": int(cf.sum()),
+            "max_doc": int(rl_new.max()) if len(rl_new) else -1,
+        }
+
+    @ray.remote
+    def _purge_docmap(seg_dir: str, deleted) -> int:
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pqw
+
+        dm_dir = os.path.join(seg_dir, "docmap")
+        files = sorted(
+            f for f in os.listdir(dm_dir) if f.endswith(".parquet")
+        )
+        kept = 0
+        for name in files:
+            path = os.path.join(dm_dir, name)
+            t = pads.dataset(path, format="parquet").to_table()
+            mask = pc.invert(pc.is_in(t.column("doc_id"), value_set=pa.array(deleted)))
+            t2 = t.filter(mask)
+            if t2.num_rows != t.num_rows:
+                tmp = path + ".purge_tmp"
+                pqw.write_table(t2, tmp, compression="zstd")
+                os.replace(tmp, path)
+            kept += t2.num_rows
+        return kept
+
+    total_purged = 0
+    combined = None
+    for seg in seg_dirs:
+        with open(os.path.join(seg, "stats.json")) as f:
+            st = json.load(f)
+        metas = ray.get(
+            [_purge_part.remote(seg, p, tomb_ref) for p in range(st["num_parts"])]
+        )
+        n_docs = ray.get(_purge_docmap.remote(seg, tomb_ref))
+        total_purged += st["n_docs"] - n_docs
+        total_tokens = sum(m["tokens"] for m in metas)
+        st.update(
+            {
+                "n_docs": int(n_docs),
+                "total_tokens": int(total_tokens),
+                "avgdl": total_tokens / max(1, n_docs),
+                "max_doc": max((m["max_doc"] for m in metas), default=-1),
+                "deletes_purged": int(st.get("deletes_purged", 0)) + int(len(tomb)),
+            }
+        )
+        meta_dir = os.path.join(seg, "meta")
+        for m in metas:
+            path = os.path.join(meta_dir, f"part={m['part']}.json")
+            with open(path) as f:
+                old = json.load(f)
+            old.update(m)
+            tmp = path + ".tmp"
+            with open(tmp, "w") as f:
+                json.dump(old, f)
+            os.replace(tmp, path)
+        tmp = os.path.join(seg, "stats.json.tmp")
+        with open(tmp, "w") as f:
+            json.dump(st, f)
+        os.replace(tmp, os.path.join(seg, "stats.json"))
+        if seg == index_dir:
+            combined = st
+    shutil.rmtree(os.path.join(index_dir, "tombstones"), ignore_errors=True)
+    combined["docs_purged"] = int(total_purged)
+    return combined
 
 
 def maybe_compact(full_pages_ds, index_dir: str, max_deltas: int = 4, **build_kwargs):

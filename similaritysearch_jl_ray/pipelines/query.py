@@ -247,6 +247,15 @@ class Bm25Scorer:
                 _os.path.join(index_dir, "docmap"), format="parquet"
             ).to_table(columns=["doc_id"], filter=pads.field("lang") == lang)
             self._allowed = np.sort(t["doc_id"].to_numpy().astype(np.int64))
+        # tombstone visibility mask (lifecycle.delete_docs): deleted
+        # docs never surface; build-time df/idf/avgdl are kept until a
+        # purge — Lucene live-docs semantics. Pushdown read: a
+        # doc-range-pinned actor loads only its range's tombstones.
+        self._deleted = None
+        if index_dir is not None:
+            from .lifecycle import deleted_ids
+
+            self._deleted = deleted_ids(index_dir, doc_range)
         if pack_ref is not None:
             self.pack = _resolve_pack(pack_ref)
             st = self.pack["stats"]
@@ -362,6 +371,12 @@ class Bm25Scorer:
                 pos_c = np.minimum(pos, len(self._allowed) - 1)
                 keep = self._allowed[pos_c] == ids
                 ids, partial = ids[keep], partial[keep]
+        if self._deleted is not None and len(ids):
+            pos = np.searchsorted(self._deleted, ids)
+            pos_c = np.minimum(pos, len(self._deleted) - 1)
+            drop = self._deleted[pos_c] == ids
+            if drop.any():
+                ids, partial = ids[~drop], partial[~drop]
         self._scores_cache[term] = (ids, partial)
         return ids, partial
 
@@ -439,6 +454,7 @@ class Bm25Scorer:
                 self.pack is not None
                 and self.doc_range is None
                 and self._allowed is None
+                and self._deleted is None
                 and term in self.pack.get("imp", {})
             ):
                 hit = self.pack["imp"][term]
@@ -491,6 +507,14 @@ class Bm25Scorer:
             offs = np.zeros(len(tfs) + 1, dtype=np.int64)
             np.cumsum(tfs, out=offs[1:])
             ids, tfs, pos = ids[a:b], tfs[a:b], pos[offs[a] : offs[b]]
+        if self._deleted is not None and len(ids):
+            di = np.searchsorted(self._deleted, ids)
+            di_c = np.minimum(di, len(self._deleted) - 1)
+            drop = self._deleted[di_c] == ids
+            if drop.any():
+                keep = ~drop
+                pos = pos[np.repeat(keep, tfs)]
+                ids, tfs = ids[keep], tfs[keep]
         hit = (ids, tfs, pos)
         self._pos_cache[term] = hit
         return hit
@@ -668,7 +692,12 @@ class Bm25Scorer:
         lets :meth:`_refine` restore exact f64 scores."""
         if term in self._dense_cache:
             return self._dense_cache[term]
-        if self.pack is not None and self.doc_range is None and self._allowed is None:
+        if (
+            self.pack is not None
+            and self.doc_range is None
+            and self._allowed is None
+            and self._deleted is None
+        ):
             hit = self.pack.get("dense", {}).get(term)
             if hit is not None:
                 self._dense_cache[term] = hit
@@ -1070,16 +1099,16 @@ def search(
         broadcast = True
     if mode == "phrase":
         broadcast = False
-    kwargs = {"k": k, "mode": mode}
+    # index_dir always rides along (even with a broadcast pack): the
+    # actor reads sidecar state — docmap lang filters, tombstones —
+    # straight from the index directory, never through the pack
+    kwargs = {"k": k, "mode": mode, "index_dir": index_dir}
     if cache_size:
         kwargs["cache_size"] = cache_size
     if lang is not None:
         kwargs["lang"] = lang
-        kwargs["index_dir"] = index_dir
     if broadcast:
         kwargs["pack_ref"] = _pack_ref(index_dir)
-    elif "index_dir" not in kwargs:
-        kwargs["index_dir"] = index_dir
     return queries_ds.map_batches(
         Bm25Scorer,
         fn_constructor_kwargs=kwargs,
@@ -1252,11 +1281,9 @@ def bool_search(
                 }
             )
 
-    kwargs = {"k": k}
+    kwargs = {"k": k, "index_dir": index_dir}  # sidecar state (tombstones)
     if broadcast:
         kwargs["pack_ref"] = _pack_ref(index_dir)
-    else:
-        kwargs["index_dir"] = index_dir
     return rd.from_items(items).map_batches(
         BoolScorer,
         fn_constructor_kwargs=kwargs,

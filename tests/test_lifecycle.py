@@ -156,3 +156,144 @@ def test_rebuild_resets_and_matches(ray_session, tmp_path):
     assert delta_dirs(d) == []
     full = Bm25Scorer(d, k=10, mode="exhaustive")
     assert full.stats["n_docs"] == 500
+
+
+# ---------------------------------------------------------------------------
+# deletion: tombstones (Lucene live-docs semantics) + physical purge
+# ---------------------------------------------------------------------------
+
+
+def _build_full(ray_session, tmp_path, name):
+    d = str(tmp_path / name)
+    build_index(pages_dataset(SF_DIR), d, num_parts=2, salt_factor=2)
+    return d
+
+
+def test_delete_masks_results_scores_unchanged(ray_session, tmp_path):
+    """Tombstoned docs vanish from every serving mode, while the
+    surviving docs' scores are BIT-identical to pre-delete scores
+    (build stats unchanged until purge — the Lucene contract)."""
+    from similaritysearch_jl_ray.pipelines.lifecycle import delete_docs, deleted_ids
+
+    d = _build_full(ray_session, tmp_path, "del")
+    pre = Bm25Scorer(d, k=50, mode="exhaustive")
+    before = {t: pre.score_query(t)[0] for _, t in REFERENCE_QUERIES}
+    dead = set()
+    for t, hits in before.items():
+        dead.update(doc for doc, _ in hits[:3])  # kill every query's top-3
+    delete_docs(d, sorted(dead))
+    assert set(deleted_ids(d).tolist()) == dead
+    ex = Bm25Scorer(d, k=50, mode="exhaustive")
+    wd = Bm25Scorer(d, k=50, mode="wand")
+    for _, text in REFERENCE_QUERIES:
+        expect = [(doc, s) for doc, s in before[text] if doc not in dead][:50]
+        got = ex.score_query(text)[0]
+        # exact equality: partial impacts are untouched by a tombstone
+        assert got[: len(expect)] == expect[: len(got)]
+        assert not dead.intersection(doc for doc, _ in got)
+        assert [x[0] for x in wd.score_query(text)[0]] == [x[0] for x in got]
+
+
+def test_delete_masks_phrase_and_sharded(ray_session, tmp_path):
+    """The mask composes with positional phrase serving and with
+    doc-range-pinned shard actors (range-filtered tombstone read)."""
+    from similaritysearch_jl_ray.pipelines.lifecycle import delete_docs
+
+    d = _build_full(ray_session, tmp_path, "delp")
+    phrase_q = REFERENCE_QUERIES[0][1]
+    ph_before = Bm25Scorer(d, k=20, mode="phrase").score_query(phrase_q)[0]
+    assert ph_before, "fixture phrase must match something"
+    dead = [doc for doc, _ in ph_before[:2]]
+    delete_docs(d, dead)
+    ph_after = Bm25Scorer(d, k=20, mode="phrase").score_query(phrase_q)[0]
+    expect = [(doc, s) for doc, s in ph_before if doc not in set(dead)]
+    assert ph_after[: len(expect)] == expect[: len(ph_after)]
+    # sharded: two doc-range-pinned scorers agree with the unsharded mask
+    ex = Bm25Scorer(d, k=10, mode="exhaustive")
+    mid = (ex.stats["max_doc"] + 1) // 2
+    lo_s = Bm25Scorer(d, k=10, mode="exhaustive", doc_range=(0, mid))
+    hi_s = Bm25Scorer(d, k=10, mode="exhaustive", doc_range=(mid, ex.stats["max_doc"] + 1))
+    for _, text in REFERENCE_QUERIES[:4]:
+        merged = sorted(
+            lo_s.score_query(text)[0] + hi_s.score_query(text)[0],
+            key=lambda r: (-r[1], r[0]),
+        )[:10]
+        assert merged == ex.score_query(text)[0]
+
+
+def test_purge_equals_rebuild_on_survivors(ray_session, tmp_path):
+    """After purge_tombstones the index is rank- AND score-bit-identical
+    to a from-scratch build over the surviving corpus: df/idf/avgdl/N
+    all adjust exactly, positions survive, and the tombstone dir is
+    gone (served results change from masked-mode scores, which keep
+    build-time stats)."""
+    import os
+
+    from similaritysearch_jl_ray.pipelines.lifecycle import (
+        delete_docs,
+        deleted_ids,
+        purge_tombstones,
+    )
+
+    d = _build_full(ray_session, tmp_path, "purge")
+    dead = list(range(7, 500, 9))  # deterministic spread, 55 docs
+    delete_docs(d, dead)
+    stats = purge_tombstones(d)
+    assert deleted_ids(d) is None and not os.path.isdir(os.path.join(d, "tombstones"))
+    assert stats["n_docs"] == 500 - len(dead)
+    assert stats["docs_purged"] == len(dead)
+
+    ref = str(tmp_path / "purgeref")
+    build_index(
+        _pages_filter(ray_session, dead), ref, num_parts=2, salt_factor=2
+    )
+    a = Bm25Scorer(d, k=20, mode="exhaustive")
+    b = Bm25Scorer(ref, k=20, mode="exhaustive")
+    assert a.stats["n_docs"] == b.stats["n_docs"]
+    assert abs(a.stats["avgdl"] - b.stats["avgdl"]) < 1e-12
+    w = Bm25Scorer(d, k=20, mode="wand")
+    for _, text in REFERENCE_QUERIES:
+        ra, rb = a.score_query(text)[0], b.score_query(text)[0]
+        assert ra == rb  # bit-identical scores, not just ranks
+        assert [x[0] for x in w.score_query(text)[0]] == [x[0] for x in ra]
+    phrase_q = REFERENCE_QUERIES[0][1]
+    assert (
+        Bm25Scorer(d, k=20, mode="phrase").score_query(phrase_q)[0]
+        == Bm25Scorer(ref, k=20, mode="phrase").score_query(phrase_q)[0]
+    )
+
+
+def _pages_filter(ray_session, dead_ids):
+    """pages dataset over sf0.001 documents minus the given doc_ids."""
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet")
+    docs = docs.filter(
+        pc.invert(pc.is_in(docs["doc_id"], value_set=pa.array(dead_ids, type=pa.int64())))
+    )
+    return rd.from_arrow(docs).map_batches(
+        lambda b: pages_from_documents(b), batch_format="pyarrow"
+    )
+
+
+def test_purge_across_deltas(ray_session, tmp_path):
+    """Purge rewrites base AND delta segments; the purged delta-extended
+    index serves identically to a rebuild over the surviving union."""
+    from similaritysearch_jl_ray.pipelines.lifecycle import delete_docs, purge_tombstones
+
+    d = str(tmp_path / "pd")
+    build_index(_pages_slice(ray_session, 0, 300), d, num_parts=2, salt_factor=2)
+    append_pages(_pages_slice(ray_session, 300, 500), d, head_df_fraction=0.01)
+    dead = [5, 17, 299, 301, 450]  # hits both base and delta
+    delete_docs(d, dead)
+    stats = purge_tombstones(d)
+    assert stats["docs_purged"] == len(dead)
+    ref = str(tmp_path / "pdref")
+    build_index(_pages_filter(ray_session, dead), ref, num_parts=2, salt_factor=2)
+    a = Bm25Scorer(d, k=10, mode="exhaustive")
+    b = Bm25Scorer(ref, k=10, mode="exhaustive")
+    assert abs(a.stats["avgdl"] - b.stats["avgdl"]) < 1e-12
+    for _, text in REFERENCE_QUERIES:
+        assert a.score_query(text)[0] == b.score_query(text)[0]
