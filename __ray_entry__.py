@@ -144,6 +144,73 @@ def _bm25_query(sf_dir: str, mode: str, lang: str | None = None):
     return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _bm25_expanded(sf_dir: str, mode: str):
+    """Multi-term rewrite serving (Lucene MultiTermQuery): ``prefix``
+    expands ``tok*`` stems against the sorted term dictionary,
+    ``fuzzy`` expands every token to dictionary terms within
+    Levenshtein 1; the expansion union scores as a standard BM25
+    disjunction on the pruned (wand) path."""
+    from similaritysearch_jl_ray.functions.rounding import round6
+    from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index
+    from similaritysearch_jl_ray.pipelines.query import search
+    from similaritysearch_jl_ray.pipelines.queryset import (
+        fuzzy_queries_dataset,
+        prefix_queries_dataset,
+    )
+
+    qds = prefix_queries_dataset() if mode == "prefix" else fuzzy_queries_dataset()
+    res = search(qds, ensure_index(sf_dir), k=K, mode=mode, concurrency=2).to_pandas()
+    res = res[["query_id", "rank", "doc_id", "score"]].astype(
+        {"query_id": "int64", "rank": "int64", "doc_id": "int64", "score": "float64"}
+    )
+    res["score"] = round6(res["score"].to_numpy())
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _expanded_sql(mode: str) -> str:
+    """Oracle for prefix/fuzzy: expansion happens SQL-side against the
+    df dictionary (LIKE / levenshtein()), proving the engine's
+    dictionary rewrite — not just its scoring — matches."""
+    from similaritysearch_jl_ray.pipelines.queryset import (
+        FUZZY_MAX_EDITS,
+        fuzzy_values_sql,
+        prefix_values_sql,
+    )
+
+    if mode == "prefix":
+        src = f"qp AS (SELECT * FROM {prefix_values_sql()}),\n" + (
+            "qx AS (SELECT DISTINCT qp.query_id, df.term FROM qp JOIN df ON"
+            " (qp.is_prefix AND df.term LIKE qp.pat || '%')"
+            " OR (NOT qp.is_prefix AND df.term = qp.pat))"
+        )
+    else:
+        src = f"qf AS (SELECT * FROM {fuzzy_values_sql()}),\n" + (
+            "qx AS (SELECT DISTINCT qf.query_id, df.term FROM qf"
+            f" JOIN df ON levenshtein(qf.term, df.term) <= {FUZZY_MAX_EDITS})"
+        )
+    return f"""
+WITH {_TOK_CTES},
+{src},
+scores AS (
+  SELECT q.query_id, tf.doc_id, {_BM25_SUM} AS fscore
+  FROM qx q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, fscore,
+         row_number() OVER (PARTITION BY query_id ORDER BY fscore DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(fscore, {_ROUND}) AS score
+FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
 def _tombstone_variant(sf_dir: str, tag: str, purge: bool) -> str:
     """Mutated index copy with docs ``doc_id % 7 == 3`` deleted —
     tombstoned only (``purge=False``: Lucene live-docs masking, build
@@ -459,6 +526,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_tree": _bm25_tree,
         "bm25_topk_deleted": _bm25_deleted,
         "bm25_topk_purged": _bm25_purged,
+        "bm25_topk_prefix": lambda sf: _bm25_expanded(sf, "prefix"),
+        "bm25_topk_fuzzy": lambda sf: _bm25_expanded(sf, "fuzzy"),
         # -- dedup suite (SURVEY §2.6 neardup + task brief) ---------------
         "exact_dedup": dedup.exact_dedup,
         # max_df=None pins the EXACT mode (matches the SQL oracle); the
@@ -611,6 +680,8 @@ FROM tf JOIN dl ON dl.doc_id = tf.doc_id
         "bm25_topk_purged": _bm25_sql(
             docs_src="(SELECT * FROM documents WHERE doc_id % 7 <> 3)"
         ),
+        "bm25_topk_prefix": _expanded_sql("prefix"),
+        "bm25_topk_fuzzy": _expanded_sql("fuzzy"),
         # -- dedup ---------------------------------------------------------
         "exact_dedup": (
             "SELECT min(doc_id)::BIGINT AS keeper_doc_id, count(*)::BIGINT AS group_size"

@@ -323,7 +323,79 @@ class Bm25Scorer:
             cache[text] = out
         return out
 
+    # -- multi-term expansion (prefix / fuzzy — Lucene MultiTermQuery) ------
+    def _dictionary(self) -> np.ndarray:
+        """Sorted term dictionary of this actor's slice (cached) — the
+        expansion universe for prefix/fuzzy rewrite. Pack path: sorted
+        key array built once per actor; reader path: union of the
+        per-(segment, part) sorted df projections (no posting decode)."""
+        d = getattr(self, "_dict_cache", None)
+        if d is None:
+            if self.pack is not None:
+                d = np.sort(np.asarray(list(self.pack["terms"].keys()), dtype=object))
+            else:
+                parts = [uniq for uniq, _ in self.reader._dfs]
+                d = (
+                    np.unique(np.concatenate(parts))
+                    if parts
+                    else np.empty(0, dtype=object)
+                )
+            self._dict_cache = d
+        return d
+
+    def _expand_prefix(self, stem: str) -> list[str]:
+        """Dictionary terms starting with ``stem`` — binary search on
+        the sorted dictionary (the classic term-dictionary range scan;
+        no vocabulary iteration)."""
+        d = self._dictionary()
+        lo = np.searchsorted(d, stem, side="left")
+        hi = np.searchsorted(d, stem + "￿", side="left")
+        return [str(t) for t in d[lo:hi]]
+
+    def _expand_fuzzy(self, tok: str, max_edits: int) -> list[str]:
+        """Dictionary terms within plain Levenshtein ``max_edits`` of
+        ``tok`` (exact included). Length-pruned linear dictionary scan,
+        cached per (token, d) per actor — right-sized for pinned-shard
+        vocabularies; a web-scale dictionary would swap in a
+        Levenshtein-automaton walk over the same sorted array."""
+        cache = getattr(self, "_fuzzy_cache", None)
+        if cache is None:
+            cache = self._fuzzy_cache = {}
+        hit = cache.get((tok, max_edits))
+        if hit is None:
+            from ..functions.distances import string_distance
+
+            d = self._dictionary()
+            lens = np.fromiter((len(t) for t in d), dtype=np.int64, count=len(d))
+            cand = d[np.abs(lens - len(tok)) <= max_edits]
+            hit = [
+                str(t)
+                for t in cand
+                if string_distance(tok, str(t), "levenshtein") <= max_edits
+            ]
+            cache[(tok, max_edits)] = hit
+        return hit
+
+    def _expanded_terms(self, text: str) -> list[str]:
+        from .queryset import FUZZY_MAX_EDITS, parse_prefix_query
+
+        if self.mode == "prefix":
+            lits, prefs = parse_prefix_query(text)
+            out = {t for t in lits if self._has_term(t)}
+            for p in prefs:
+                out.update(self._expand_prefix(p))
+        else:  # fuzzy
+            out = set()
+            for tok in set(tokenize(text)):
+                out.update(self._expand_fuzzy(tok, FUZZY_MAX_EDITS))
+        return sorted(out)
+
     def _score_query_uncached(self, text: str):
+        if self.mode in ("prefix", "fuzzy"):
+            terms = self._expanded_terms(text)
+            if not terms:
+                return [], 0, 0
+            return self._score_wand(terms)
         if self.mode == "phrase":
             toks = tokenize(text)
             if not toks or any(not self._has_term(t) for t in toks):

@@ -120,6 +120,91 @@ TREE_QUERIES: list[tuple[int, dict]] = [
 ]
 
 
+# PREFIX queries (Lucene PrefixQuery): a token ending in ``*`` expands
+# to every dictionary term with that prefix; plain tokens stay literal.
+# The union of expanded + literal terms scores as a standard BM25
+# disjunction (Lucene's multi-term rewrite SCORING_BOOLEAN_REWRITE,
+# not constant-score) — ties and rounding per the shared contract.
+PREFIX_QUERIES: list[tuple[int, str]] = [
+    (0, "fast mer*"),
+    (1, "da*"),                 # data + anything else starting 'da'
+    (2, "s* join"),             # wide expansion + literal
+    (3, "zz* merge"),           # empty expansion + literal survivor
+    (4, "qu* fil*"),            # two prefixes
+    (5, "data batch*"),         # literal + single-term expansion
+    (6, "*"),                   # bare star: matches nothing (no empty-prefix scan)
+]
+
+
+def parse_prefix_query(text: str) -> tuple[list[str], list[str]]:
+    """(literal_terms, prefixes) — whitespace-split; a token of shape
+    ``<alnum>*`` is a prefix pattern, anything else goes through the
+    standard tokenizer. Both lists deduped + sorted."""
+    import re
+
+    lits: set[str] = set()
+    prefs: set[str] = set()
+    for raw in text.split():
+        m = re.fullmatch(r"([a-z0-9]+)\*", raw.lower())
+        if m:
+            prefs.add(m.group(1))
+        else:
+            lits.update(tokenize(raw))
+    return sorted(lits), sorted(prefs)
+
+
+def prefix_queries_dataset():
+    import ray.data as rd
+
+    return rd.from_items([{"query_id": qid, "text": t} for qid, t in PREFIX_QUERIES])
+
+
+def fuzzy_queries_dataset():
+    import ray.data as rd
+
+    return rd.from_items([{"query_id": qid, "text": t} for qid, t in FUZZY_QUERIES])
+
+
+def prefix_values_sql() -> str:
+    """``(query_id, pat, is_prefix)`` VALUES rows — literal terms with
+    is_prefix=false, prefix stems with is_prefix=true; the oracle
+    expands stems against the df dictionary with LIKE."""
+    rows = []
+    for qid, text in PREFIX_QUERIES:
+        lits, prefs = parse_prefix_query(text)
+        for t in lits:
+            rows.append(f"({qid}, '{t}', false)")
+        for p in prefs:
+            rows.append(f"({qid}, '{p}', true)")
+    return "(VALUES " + ", ".join(rows) + ") AS qp(query_id, pat, is_prefix)"
+
+
+# FUZZY queries (Lucene FuzzyQuery, maxEdits=1): every query token
+# expands to the dictionary terms within plain Levenshtein distance 1
+# (exact match included); scoring is the BM25 disjunction over the
+# union of expansions. DuckDB's levenshtein() is the same plain edit
+# distance, so the oracle expands with it directly.
+FUZZY_QUERIES: list[tuple[int, str]] = [
+    (0, "mergw"),            # merge at d=1
+    (1, "dat"),              # data at d=1 (insertion)
+    (2, "joins stream"),     # joins→join, stream exact
+    (3, "xyzzy"),            # nothing within d=1
+    (4, "sortt orde"),       # two d=1 expansions
+    (5, "ky value"),         # ky→key, value exact
+]
+FUZZY_MAX_EDITS = 1
+
+
+def fuzzy_values_sql() -> str:
+    """``(query_id, term)`` VALUES rows of the raw (tokenized, deduped)
+    fuzzy query tokens — expansion happens SQL-side via levenshtein()."""
+    rows = []
+    for qid, text in FUZZY_QUERIES:
+        for t in sorted(set(tokenize(text))):
+            rows.append(f"({qid}, '{t}')")
+    return "(VALUES " + ", ".join(rows) + ") AS qf(query_id, term)"
+
+
 def tree_positive_terms(node: dict) -> set[str]:
     """Distinct scoring terms of a tree: every term/phrase-token leaf
     NOT under a ``not`` (negated content filters but never scores)."""

@@ -17,6 +17,7 @@ from similaritysearch_jl_ray.pipelines.build_index import build_index
 from similaritysearch_jl_ray.pipelines.query import Bm25Scorer, brute_force_topk, search
 from similaritysearch_jl_ray.pipelines.queryset import REFERENCE_QUERIES, queries_dataset
 from similaritysearch_jl_ray.sources.pages import pages_dataset
+from similaritysearch_jl_ray.state.reader import IndexReader
 
 SF_DIR = "/root/testdata/sf0.001"
 K = 10
@@ -527,3 +528,52 @@ def test_crashed_stage_d_debris_is_cleaned(ray_session, index_dir, tmp_path):
     b = Bm25Scorer(d, k=K, mode="exhaustive")
     for _, text in REFERENCE_QUERIES:
         assert a.score_query(text)[0] == b.score_query(text)[0]
+
+
+# ---------------------------------------------------------------------------
+# multi-term rewrite: prefix + fuzzy expansion (Lucene MultiTermQuery)
+# ---------------------------------------------------------------------------
+
+
+def test_prefix_expansion_matches_dictionary_scan(index_dir):
+    """Binary-search range expansion == brute scan of the dictionary."""
+    scorer = Bm25Scorer(index_dir, k=K, mode="prefix")
+    vocab = sorted(IndexReader(index_dir).term_dfs())
+    for stem in ["s", "da", "mer", "zz", "q", "batch", ""]:
+        got = scorer._expand_prefix(stem) if stem else []
+        want = [t for t in vocab if t.startswith(stem)] if stem else []
+        assert got == want, stem
+
+
+def test_fuzzy_expansion_matches_brute_force(index_dir):
+    from similaritysearch_jl_ray.functions.distances import string_distance
+
+    scorer = Bm25Scorer(index_dir, k=K, mode="fuzzy")
+    vocab = sorted(IndexReader(index_dir).term_dfs())
+    for tok in ["mergw", "dat", "joins", "xyzzy", "ky", "value"]:
+        got = scorer._expand_fuzzy(tok, 1)
+        want = [t for t in vocab if string_distance(tok, t, "levenshtein") <= 1]
+        assert got == want, tok
+
+
+def test_prefix_fuzzy_score_like_expanded_disjunction(index_dir):
+    """An expanded query scores bit-identically to the exhaustive-mode
+    scoring of the same literal term set (wand pruning stays exact on
+    expanded sets too), and zero-expansion queries return nothing."""
+    from similaritysearch_jl_ray.pipelines.queryset import FUZZY_QUERIES, PREFIX_QUERIES
+
+    ex = Bm25Scorer(index_dir, k=K, mode="exhaustive")
+    pf = Bm25Scorer(index_dir, k=K, mode="prefix")
+    fz = Bm25Scorer(index_dir, k=K, mode="fuzzy")
+    for scorer, qs in ((pf, PREFIX_QUERIES), (fz, FUZZY_QUERIES)):
+        saw_nonempty = False
+        for _, text in qs:
+            terms = scorer._expanded_terms(text)
+            got = scorer.score_query(text)[0]
+            if not terms:
+                assert got == []
+                continue
+            saw_nonempty = True
+            assert got == ex._score_exhaustive(terms)[0]
+        assert saw_nonempty
+    assert pf.score_query("*")[0] == []  # bare star: no empty-prefix scan
