@@ -299,6 +299,89 @@ def _bm25_phrase(sf_dir: str):
     return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _bm25_near(sf_dir: str):
+    """Proximity top-k (``t1 t2 ~W``: one position per distinct term
+    within a W-wide window, unordered — Lucene SpanNearQuery) — served
+    from the positional index alone; BM25-ranked per the shared
+    contract."""
+    from similaritysearch_jl_ray.functions.rounding import round6
+    from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index
+    from similaritysearch_jl_ray.pipelines.query import near_search
+
+    index_dir = ensure_index(sf_dir)
+    res = near_search(index_dir, k=K).to_pandas()
+    res = res[["query_id", "rank", "doc_id", "score"]].astype(
+        {"query_id": "int64", "rank": "int64", "doc_id": "int64", "score": "float64"}
+    )
+    res["score"] = round6(res["score"].to_numpy())
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _near_sql() -> str:
+    """Oracle for proximity queries: token positions via
+    ``unnest + generate_subscripts``, one k-way positional self-join
+    per query (``greatest−least ≤ W`` over one chosen position per
+    term), then the shared BM25 scoring/ranking CTE."""
+    from similaritysearch_jl_ray.pipelines.queryset import (
+        NEAR_QUERIES,
+        parse_near_query,
+    )
+
+    branches = []
+    score_rows = []
+    for qid, text in NEAR_QUERIES:
+        terms, w = parse_near_query(text)
+        if not terms:
+            continue
+        for t in terms:
+            score_rows.append(f"({qid}, '{t}')")
+        joins = "".join(
+            f" JOIN posn p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.term = '{t}'"
+            for i, t in enumerate(terms[1:], start=1)
+        )
+        allpos = ", ".join(f"p{i}.pos" for i in range(len(terms)))
+        span = (
+            f"greatest({allpos}) - least({allpos}) <= {w}"
+            if len(terms) > 1
+            else "true"
+        )
+        branches.append(
+            f"SELECT {qid} AS query_id, p0.doc_id FROM posn p0{joins}"
+            f" WHERE p0.term = '{terms[0]}' AND {span}"
+        )
+    m = "\nUNION\n".join(branches)
+    qn = "(VALUES " + ", ".join(score_rows) + ") AS qn(query_id, term)"
+    return f"""
+WITH {_TOK_CTES},
+posn AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+  FROM documents
+),
+m AS ({m}),
+qq AS (SELECT * FROM {qn}),
+scores AS (
+  SELECT m.query_id, m.doc_id, {_BM25_SUM} AS fscore
+  FROM m
+  JOIN qq ON qq.query_id = m.query_id
+  JOIN tf ON tf.term = qq.term AND tf.doc_id = m.doc_id
+  JOIN df ON df.term = qq.term
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s
+  GROUP BY m.query_id, m.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, fscore,
+         row_number() OVER (PARTITION BY query_id ORDER BY fscore DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(fscore, {_ROUND}) AS score
+FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
 def _bm25_bool(sf_dir: str):
     """Boolean DNF filter + BM25 ranking over the fixed group set."""
     from similaritysearch_jl_ray.functions.rounding import round6
@@ -528,6 +611,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_purged": _bm25_purged,
         "bm25_topk_prefix": lambda sf: _bm25_expanded(sf, "prefix"),
         "bm25_topk_fuzzy": lambda sf: _bm25_expanded(sf, "fuzzy"),
+        "bm25_topk_near": _bm25_near,
         # -- dedup suite (SURVEY §2.6 neardup + task brief) ---------------
         "exact_dedup": dedup.exact_dedup,
         # max_df=None pins the EXACT mode (matches the SQL oracle); the
@@ -682,6 +766,7 @@ FROM tf JOIN dl ON dl.doc_id = tf.doc_id
         ),
         "bm25_topk_prefix": _expanded_sql("prefix"),
         "bm25_topk_fuzzy": _expanded_sql("fuzzy"),
+        "bm25_topk_near": _near_sql(),
         # -- dedup ---------------------------------------------------------
         "exact_dedup": (
             "SELECT min(doc_id)::BIGINT AS keeper_doc_id, count(*)::BIGINT AS group_size"

@@ -401,6 +401,13 @@ class Bm25Scorer:
             if not toks or any(not self._has_term(t) for t in toks):
                 return [], 0, 0  # a phrase with an unindexed term matches nothing
             return self._score_phrase(toks)
+        if self.mode == "near":
+            from .queryset import parse_near_query
+
+            terms, w = parse_near_query(text)
+            if not terms or any(not self._has_term(t) for t in terms):
+                return [], 0, 0  # conjunctive: an unindexed term matches nothing
+            return self._score_near(terms, w)
         if self.mode == "and":
             all_terms = sorted(set(tokenize(text)))
             terms = [t for t in all_terms if self._has_term(t)]
@@ -653,6 +660,65 @@ class Bm25Scorer:
                 else np.empty(0, np.int64)
             )
         return cand, int(npost)
+
+    def _near_candidates(self, terms: list[str], w: int) -> tuple[np.ndarray, int]:
+        """Sorted doc_ids where one position per term fits a ``w``-wide
+        window (``max−min ≤ w``), + postings touched.
+
+        Fully vectorized anchor sweep: a minimal valid window starts at
+        an occurrence of SOME term, so a doc matches iff ∃ occurrence
+        key ``κ = doc·M + pos`` (any term) with, for every term t, an
+        occurrence of t in ``[κ, κ+w]``. With ``M > maxpos + w + 1``
+        the probe can't cross a doc boundary, so each per-term check is
+        one ``searchsorted`` over that term's sorted occurrence keys —
+        no per-doc Python, cost O(total_occurrences · T · log)."""
+        streams = []
+        npost = 0
+        maxpos = 0
+        for t in terms:
+            ids, tfs, pos = self._term_positions(t)
+            if len(ids) == 0:
+                return np.empty(0, np.int64), npost
+            npost += len(ids)
+            streams.append((ids, tfs, pos))
+            maxpos = max(maxpos, int(pos.max()) if len(pos) else 0)
+        if len(terms) == 1:
+            return streams[0][0], npost
+        shift = int(maxpos + w + 2).bit_length()
+        M = np.uint64(1) << np.uint64(shift)
+        keys = [
+            np.repeat(ids, tfs).astype(np.uint64) * M + pos.astype(np.uint64)
+            for ids, tfs, pos in streams
+        ]
+        anchors = np.concatenate(keys)
+        ok = np.ones(len(anchors), dtype=bool)
+        W = np.uint64(w)
+        for kt in keys:
+            lo = np.searchsorted(kt, anchors)
+            lo_c = np.minimum(lo, len(kt) - 1)
+            ok &= (lo < len(kt)) & (kt[lo_c] <= anchors + W)
+            if not ok.any():
+                return np.empty(0, np.int64), npost
+        return (
+            np.unique((anchors[ok] // M).astype(np.int64)),
+            npost,
+        )
+
+    def _score_near(self, terms: list[str], w: int):
+        """Proximity match + BM25 ranking, index-only — the unordered
+        SpanNear analog of :meth:`_score_phrase`; same approx-then-
+        refine rescore keeps scores bit-identical to the other modes."""
+        cand, npost = self._near_candidates(terms, w)
+        if len(cand) == 0:
+            return [], int(npost), 1
+        approx, err = self._rescore_approx(terms, cand)
+        cand, exact = self._refine(terms, cand, approx, err)
+        idx = topk_indices(exact, cand, self.k)
+        return (
+            [(int(cand[j]), float(exact[j])) for j in idx],
+            int(npost),
+            1,
+        )
 
     def _eval_tree(self, node: dict) -> np.ndarray:
         """Sorted doc_ids matching a nested boolean tree (queryset.py
@@ -1149,10 +1215,10 @@ def search(
     an implicit assumption. ``True``/``False`` force the respective
     path (``False`` = decode-in-actor reader path). ``lang`` restricts
     scoring to docs with that docmap lang (field query).
-    ``mode="phrase"`` (positional contiguous match) always uses the
+    ``mode="phrase"`` / ``mode="near"`` (positional modes) always use the
     reader path — the positions sidecar is decoded per actor, never
     broadcast."""
-    if broadcast is None and mode != "phrase":
+    if broadcast is None and mode not in ("phrase", "near"):
         from ..config import BROADCAST_PACK_BUDGET_BYTES
 
         est = estimated_pack_bytes(index_dir)
@@ -1169,7 +1235,9 @@ def search(
                 lang=lang,
             )
         broadcast = True
-    if mode == "phrase":
+    if mode in ("phrase", "near"):
+        # positional modes: the positions sidecar is decoded per actor
+        # (reader path), never broadcast
         broadcast = False
     # index_dir always rides along (even with a broadcast pack): the
     # actor reads sidecar state — docmap lang filters, tombstones —
@@ -1448,6 +1516,37 @@ def phrase_search(
         index_dir,
         k=k,
         mode="phrase",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    ).select_columns(["query_id", "rank", "doc_id", "score"])
+
+
+def near_search(
+    index_dir: str,
+    k: int = 10,
+    queries=None,
+    *,
+    concurrency: int | tuple = 2,
+    batch_size: int = 64,
+):
+    """Proximity (unordered slop) top-k BM25 off the positional index:
+    ``"t1 t2 ~W"`` matches docs where one position per distinct term
+    fits a ``W``-wide window (``max−min ≤ W``, Lucene SpanNearQuery
+    unordered); matching docs score with the standard BM25 sum over
+    the distinct terms. Index-only like :func:`phrase_search` — the
+    corpus is never read; cost scales with the terms' occurrence
+    counts, not corpus bytes (``Bm25Scorer._near_candidates``)."""
+    import ray.data as rd
+
+    from .queryset import NEAR_QUERIES
+
+    queries = queries if queries is not None else NEAR_QUERIES
+    qds = rd.from_items([{"query_id": qid, "text": t} for qid, t in queries])
+    return search(
+        qds,
+        index_dir,
+        k=k,
+        mode="near",
         concurrency=concurrency,
         batch_size=batch_size,
     ).select_columns(["query_id", "rank", "doc_id", "score"])

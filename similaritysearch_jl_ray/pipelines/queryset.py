@@ -205,6 +205,41 @@ def fuzzy_values_sql() -> str:
     return "(VALUES " + ", ".join(rows) + ") AS qf(query_id, term)"
 
 
+# NEAR / proximity queries (Lucene SpanNearQuery, unordered): text of
+# shape ``t1 t2 ... ~W``. A doc matches when one position can be chosen
+# per DISTINCT query term with max(pos) − min(pos) ≤ W (order-free;
+# in-query duplicate tokens collapse). Matching docs rank by the
+# standard BM25 sum over the distinct terms — the shared contract. A
+# query containing an unindexed term matches nothing (conjunctive).
+NEAR_QUERIES: list[tuple[int, str]] = [
+    (0, "merge join ~3"),
+    (1, "big data ~1"),            # adjacent-only, either order
+    (2, "sort order key ~6"),      # three terms, mid window
+    (3, "fast scan ~0"),           # W=0: distinct terms can't share a position
+    (4, "data zzzunknown ~5"),     # unknown term → empty
+    (5, "line ~2"),                # single term: trivially matches
+    (6, "group filter slow ~40"),  # wide window ≈ plain AND
+]
+
+
+def parse_near_query(text: str) -> tuple[list[str], int]:
+    """``(distinct_sorted_terms, window)`` from ``"t1 t2 ~W"``; raises
+    on a missing/malformed ``~W`` suffix (near queries are explicit —
+    no default window)."""
+    import re
+
+    m = re.fullmatch(r"(.*?)\s*~(\d+)", text.strip())
+    if not m:
+        raise ValueError(f"near query needs a '~W' suffix: {text!r}")
+    return sorted(set(tokenize(m.group(1)))), int(m.group(2))
+
+
+def near_queries_dataset():
+    import ray.data as rd
+
+    return rd.from_items([{"query_id": qid, "text": t} for qid, t in NEAR_QUERIES])
+
+
 def tree_positive_terms(node: dict) -> set[str]:
     """Distinct scoring terms of a tree: every term/phrase-token leaf
     NOT under a ``not`` (negated content filters but never scores)."""

@@ -13,6 +13,7 @@ import numpy as np
 import pyarrow.parquet as pq
 import pytest
 
+from similaritysearch_jl_ray.functions.text import tokenize
 from similaritysearch_jl_ray.pipelines.build_index import build_index
 from similaritysearch_jl_ray.pipelines.query import Bm25Scorer, brute_force_topk, search
 from similaritysearch_jl_ray.pipelines.queryset import REFERENCE_QUERIES, queries_dataset
@@ -577,3 +578,82 @@ def test_prefix_fuzzy_score_like_expanded_disjunction(index_dir):
             assert got == ex._score_exhaustive(terms)[0]
         assert saw_nonempty
     assert pf.score_query("*")[0] == []  # bare star: no empty-prefix scan
+
+
+# ---------------------------------------------------------------------------
+# proximity (near / slop) queries over the positional sidecar
+# ---------------------------------------------------------------------------
+
+
+def _brute_near(sf_dir: str, terms: list[str], w: int) -> list[int]:
+    """Corpus-scan reference: doc matches iff some choice of one
+    position per term spans ≤ w (checked via the same anchor sweep
+    argument, but per doc in plain Python over tokenized text)."""
+    import itertools
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = []
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        toks = tokenize(text)
+        posmap = {tm: [i for i, x in enumerate(toks) if x == tm] for tm in terms}
+        if any(not v for v in posmap.values()):
+            continue
+        best = min(
+            max(c) - min(c) for c in itertools.product(*(posmap[tm] for tm in terms))
+        )
+        if best <= w:
+            out.append(doc_id)
+    return sorted(out)
+
+
+def test_near_candidates_match_corpus_scan(index_dir):
+    from similaritysearch_jl_ray.pipelines.queryset import NEAR_QUERIES, parse_near_query
+
+    scorer = Bm25Scorer(index_dir, k=K, mode="near")
+    saw_nonempty = 0
+    for _, text in NEAR_QUERIES:
+        terms, w = parse_near_query(text)
+        if not terms or any(not scorer._has_term(t) for t in terms):
+            assert scorer.score_query(text)[0] == []
+            continue
+        got, _ = scorer._near_candidates(terms, w)
+        want = _brute_near(SF_DIR, terms, w)
+        assert list(got) == want, (text, len(got), len(want))
+        saw_nonempty += 1 if len(got) else 0
+    assert saw_nonempty >= 3
+
+
+def test_near_scores_match_exhaustive_restriction(index_dir):
+    """Matched docs score exactly as the exhaustive BM25 of the same
+    terms restricted to the match set (shared scoring contract)."""
+    from similaritysearch_jl_ray.pipelines.queryset import NEAR_QUERIES, parse_near_query
+
+    nr = Bm25Scorer(index_dir, k=1000, mode="near")
+    ex = Bm25Scorer(index_dir, k=1000, mode="exhaustive")
+    for _, text in NEAR_QUERIES:
+        terms, w = parse_near_query(text)
+        if not terms or any(not nr._has_term(t) for t in terms):
+            continue
+        got = nr.score_query(text)[0]
+        cand = set(d for d, _ in got)
+        want = [(d, s) for d, s in ex._score_exhaustive(terms)[0] if d in cand]
+        assert got == want, text
+
+
+def test_near_edge_semantics(index_dir):
+    scorer = Bm25Scorer(index_dir, k=K, mode="near")
+    # W=0 with distinct terms: impossible
+    assert scorer.score_query("fast scan ~0")[0] == []
+    # single term: trivially matches every posting doc
+    got, _ = scorer._near_candidates(["line"], 2)
+    ids, _, _ = scorer._term_positions("line")
+    assert list(got) == list(ids)
+    # duplicate tokens collapse: "data data ~2" == "data ~2"
+    a = scorer.score_query("data data ~2")[0]
+    b = scorer.score_query("data ~2")[0]
+    assert a == b
+    # malformed (no ~W) raises
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        scorer.score_query("fast merge")
