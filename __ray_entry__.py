@@ -382,6 +382,66 @@ ORDER BY query_id, rank
 """
 
 
+def _bm25_mlt(sf_dir: str):
+    """More-like-this: seed doc → top-10 terms by round6(tf·idf) →
+    BM25 disjunction on the pruned path, seed excluded."""
+    from similaritysearch_jl_ray.functions.rounding import round6
+    from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index
+    from similaritysearch_jl_ray.pipelines.query import more_like_this
+
+    res = more_like_this(sf_dir, ensure_index(sf_dir), k=K)
+    res = res[["query_id", "rank", "doc_id", "score"]].astype(
+        {"query_id": "int64", "rank": "int64", "doc_id": "int64", "score": "float64"}
+    )
+    res["score"] = round6(res["score"].to_numpy())
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _mlt_sql() -> str:
+    """Oracle for more-like-this: the seed's term selection (rounded
+    tf·idf, term-asc ties) AND the seed-excluded BM25 ranking both
+    happen SQL-side — checking the whole rewrite chain."""
+    from similaritysearch_jl_ray.pipelines.query import MLT_SEEDS
+
+    sd = ", ".join(f"({q}, {d})" for q, d in MLT_SEEDS)
+    return f"""
+WITH {_TOK_CTES},
+sd AS (SELECT * FROM (VALUES {sd}) AS sd(query_id, seed)),
+selscore AS (
+  SELECT sd.query_id, sd.seed, tf.term,
+         round(tf.tf * ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5)), 6) AS sel
+  FROM sd
+  JOIN tf ON tf.doc_id = sd.seed
+  JOIN df ON df.term = tf.term
+  CROSS JOIN stats s
+),
+q AS (
+  SELECT query_id, seed, term FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sel DESC, term) AS rn
+    FROM selscore
+  ) WHERE rn <= 10
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id, {_BM25_SUM} AS fscore
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  WHERE tf.doc_id <> q.seed
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, fscore,
+         row_number() OVER (PARTITION BY query_id ORDER BY fscore DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(fscore, {_ROUND}) AS score
+FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
 def _bm25_bool(sf_dir: str):
     """Boolean DNF filter + BM25 ranking over the fixed group set."""
     from similaritysearch_jl_ray.functions.rounding import round6
@@ -612,6 +672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_prefix": lambda sf: _bm25_expanded(sf, "prefix"),
         "bm25_topk_fuzzy": lambda sf: _bm25_expanded(sf, "fuzzy"),
         "bm25_topk_near": _bm25_near,
+        "more_like_this": _bm25_mlt,
         # -- dedup suite (SURVEY §2.6 neardup + task brief) ---------------
         "exact_dedup": dedup.exact_dedup,
         # max_df=None pins the EXACT mode (matches the SQL oracle); the
@@ -767,6 +828,7 @@ FROM tf JOIN dl ON dl.doc_id = tf.doc_id
         "bm25_topk_prefix": _expanded_sql("prefix"),
         "bm25_topk_fuzzy": _expanded_sql("fuzzy"),
         "bm25_topk_near": _near_sql(),
+        "more_like_this": _mlt_sql(),
         # -- dedup ---------------------------------------------------------
         "exact_dedup": (
             "SELECT min(doc_id)::BIGINT AS keeper_doc_id, count(*)::BIGINT AS group_size"

@@ -1552,6 +1552,99 @@ def near_search(
     ).select_columns(["query_id", "rank", "doc_id", "score"])
 
 
+MLT_SEEDS: list[tuple[int, int]] = [
+    # (query_id, seed doc_id) — fixed, valid at every scale factor
+    # (≥500 docs); 10**9 pins the unknown-seed → empty contract
+    (0, 0),
+    (1, 7),
+    (2, 42),
+    (3, 123),
+    (4, 250),
+    (5, 499),
+    (6, 10**9),
+]
+
+
+def more_like_this(
+    sf_dir: str,
+    index_dir: str,
+    seeds: list[tuple[int, int]] | None = None,
+    *,
+    n_terms: int = 10,
+    k: int = 10,
+    concurrency: int | tuple = 2,
+):
+    """Lucene-MoreLikeThis: each seed doc's top ``n_terms`` terms by
+    tf·idf become a BM25 disjunction; the seed itself is excluded from
+    its results. Term selection ranks by ``(round6(tf·idf) desc, term
+    asc)`` — rounded on BOTH engine and oracle sides so the hard
+    selection threshold can't flip on a last-bit ln() difference.
+
+    Scale shape: the seed docs are a FILTERED PUSHDOWN read (row-group
+    pruning on doc_id — O(seeds), never a corpus scan); df/idf come
+    from the index's metadata projection (no posting decode); the
+    disjunction then serves on the standard pruned path. The k+1 →
+    drop-seed → re-rank trim happens on the driver over the top-k
+    result set only (queries × (k+1) rows)."""
+    import pyarrow.parquet as _pq
+
+    from ..functions.rounding import round6
+    from ..functions.text import tokenize as _tok
+
+    seeds = seeds if seeds is not None else MLT_SEEDS
+    seed_ids = sorted({d for _, d in seeds})
+    tbl = _pq.read_table(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text"],
+        filters=[("doc_id", "in", seed_ids)],
+    )
+    texts = dict(zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist()))
+    # metadata-only reader: df + stats, no posting runs constructed
+    rdr = IndexReader(index_dir, doc_range=(0, 0))
+    items = []
+    seed_of = {}
+    for qid, seed in seeds:
+        if seed not in texts:
+            continue  # unknown seed → no result rows
+        from collections import Counter
+
+        tf = Counter(_tok(texts[seed]))
+        scored = [
+            (-round6(np.float64(c) * rdr.idf(t)), t)
+            for t, c in tf.items()
+            if rdr.df(t) > 0
+        ]
+        scored.sort()
+        terms = [t for _, t in scored[:n_terms]]
+        if not terms:
+            continue
+        seed_of[qid] = seed
+        items.append({"query_id": qid, "text": " ".join(terms)})
+    import pandas as pd
+    import ray.data as rd
+
+    cols = ["query_id", "rank", "doc_id", "score"]
+    if not items:
+        return pd.DataFrame({c: pd.Series(dtype="int64") for c in cols}).astype(
+            {"score": "float64"}
+        )
+    res = (
+        search(
+            rd.from_items(items),
+            index_dir,
+            k=k + 1,
+            mode="wand",
+            concurrency=concurrency,
+        )
+        .select_columns(cols)
+        .to_pandas()
+    )
+    res = res[res["doc_id"] != res["query_id"].map(seed_of)]
+    res = res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+    res["rank"] = res.groupby("query_id").cumcount() + 1
+    return res[res["rank"] <= k].reset_index(drop=True)
+
+
 def phrase_search_scan(sf_dir: str, index_dir: str, k: int = 10, queries=None):
     """Corpus-scan phrase top-k — the fallback for indexes built with
     ``with_positions=False``: one stream over the documents for ALL

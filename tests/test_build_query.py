@@ -657,3 +657,38 @@ def test_near_edge_semantics(index_dir):
 
     with _pytest.raises(ValueError):
         scorer.score_query("fast merge")
+
+
+# ---------------------------------------------------------------------------
+# more-like-this (seed doc -> top tf-idf terms -> BM25 disjunction)
+# ---------------------------------------------------------------------------
+
+
+def test_more_like_this_contract(ray_session, index_dir):
+    from collections import Counter
+
+    from similaritysearch_jl_ray.functions.rounding import round6
+    from similaritysearch_jl_ray.pipelines.query import MLT_SEEDS, more_like_this
+
+    res = more_like_this(SF_DIR, index_dir, k=K)
+    seed_of = dict((q, d) for q, d in MLT_SEEDS)
+    # seed never appears in its own results; unknown seed yields nothing
+    for qid, grp in res.groupby("query_id"):
+        assert seed_of[qid] not in set(grp["doc_id"])
+        assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+    assert 6 not in set(res["query_id"])  # seed 10**9 doesn't exist
+    # the scored terms are the brute top-10 by (round6(tf*idf), term)
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    rdr = IndexReader(index_dir)
+    tf = Counter(tokenize(texts[42]))
+    want_terms = [
+        tm for _, tm in sorted(
+            (-round6(c * rdr.idf(tm)), tm) for tm, c in tf.items() if rdr.df(tm) > 0
+        )
+    ][:10]
+    # scoring those terms exhaustively (k+1, drop seed, trim) == result rows
+    ex = Bm25Scorer(index_dir, k=K + 1, mode="exhaustive")
+    hits = [(d, s) for d, s in ex._score_exhaustive(sorted(want_terms))[0] if d != 42][:K]
+    got = res[res["query_id"] == 2][["doc_id", "score"]].itertuples(index=False)
+    assert [(d, round6(s)) for d, s in hits] == [(d, round6(s)) for d, s in got]
