@@ -61,7 +61,8 @@ _BM25_SUM = f"""sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
 
 
 def _bm25_sql(
-    doc_join: str = "", conjunctive: bool = False, docs_src: str = "documents"
+    doc_join: str = "", conjunctive: bool = False, docs_src: str = "documents",
+    k: int | None = None,
 ) -> str:
     having = (
         "HAVING count(*) = (SELECT count(*) FROM q q2 WHERE q2.query_id = q.query_id)"
@@ -88,7 +89,7 @@ ranked AS (
   FROM scores
 )
 SELECT query_id, rank, doc_id, round(fscore, {_ROUND}) AS score
-FROM ranked WHERE rank <= {K}
+FROM ranked WHERE rank <= {k if k is not None else K}
 ORDER BY query_id, rank
 """
 
@@ -382,6 +383,23 @@ ORDER BY query_id, rank
 """
 
 
+def _bm25_paged(sf_dir: str):
+    """Deep pagination: page 1 = top-K; page 2 re-queries with the
+    last (score, doc_id) as an exclusive search_after cursor — no
+    offset accumulation. Oracle = the plain ranking to rank 2K, so
+    the cursor page must seamlessly continue page 1."""
+    from similaritysearch_jl_ray.functions.rounding import round6
+    from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index
+    from similaritysearch_jl_ray.pipelines.query import paged_search
+
+    res = paged_search(ensure_index(sf_dir), k=K, n_pages=2)
+    res = res[["query_id", "rank", "doc_id", "score"]].astype(
+        {"query_id": "int64", "rank": "int64", "doc_id": "int64", "score": "float64"}
+    )
+    res["score"] = round6(res["score"].to_numpy())
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def _bm25_mlt(sf_dir: str):
     """More-like-this: seed doc → top-10 terms by round6(tf·idf) →
     BM25 disjunction on the pruned path, seed excluded."""
@@ -673,6 +691,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_fuzzy": lambda sf: _bm25_expanded(sf, "fuzzy"),
         "bm25_topk_near": _bm25_near,
         "more_like_this": _bm25_mlt,
+        "bm25_topk_paged": _bm25_paged,
         # -- dedup suite (SURVEY §2.6 neardup + task brief) ---------------
         "exact_dedup": dedup.exact_dedup,
         # max_df=None pins the EXACT mode (matches the SQL oracle); the
@@ -829,6 +848,7 @@ FROM tf JOIN dl ON dl.doc_id = tf.doc_id
         "bm25_topk_fuzzy": _expanded_sql("fuzzy"),
         "bm25_topk_near": _near_sql(),
         "more_like_this": _mlt_sql(),
+        "bm25_topk_paged": _bm25_sql(k=2 * K),
         # -- dedup ---------------------------------------------------------
         "exact_dedup": (
             "SELECT min(doc_id)::BIGINT AS keeper_doc_id, count(*)::BIGINT AS group_size"

@@ -478,7 +478,9 @@ class Bm25Scorer:
     # (sparse/offset id spaces, e.g. delta appends far above base)
     _MAX_SCRATCH_SPAN = 1 << 26
 
-    def _score_exhaustive(self, terms):
+    def _accumulate_query(self, terms):
+        """Exhaustive (uniq_doc_ids, scores, npost, nblocks) for a term
+        disjunction — shared by exhaustive top-k and search_after."""
         base, hi = self._span
         span = hi - base
         npost = 0
@@ -512,6 +514,31 @@ class Bm25Scorer:
                 part_l.append(partial)
             uniq, scores = _accumulate(ids_l, part_l)
             npost = int(sum(len(i) for i in ids_l))
+        return uniq, scores, npost, nblocks
+
+    def score_query_after(self, text: str, after: tuple[float, int]):
+        """Top-k STRICTLY after the ``(score, doc_id)`` cursor in the
+        (score desc, doc_id asc) total order — Lucene
+        ``IndexSearcher.searchAfter`` (deep pagination without offset
+        accumulation). Exhaustive accumulate + a vectorized cursor mask
+        + the standard tie-ruled top-k; scores stay bit-identical to
+        page-1 scoring of the same docs (same accumulate kernel)."""
+        terms = self._query_terms(text)
+        if not terms:
+            return [], 0, 0
+        s0, d0 = float(after[0]), int(after[1])
+        uniq, scores, npost, nblocks = self._accumulate_query(terms)
+        keep = (scores < s0) | ((scores == s0) & (uniq > d0))
+        uniq, scores = uniq[keep], scores[keep]
+        idx = topk_indices(scores, uniq, self.k)
+        return (
+            [(int(uniq[j]), float(scores[j])) for j in idx],
+            int(npost),
+            int(nblocks),
+        )
+
+    def _score_exhaustive(self, terms):
+        uniq, scores, npost, nblocks = self._accumulate_query(terms)
         idx = topk_indices(scores, uniq, self.k)
         return (
             [(int(uniq[j]), float(scores[j])) for j in idx],
@@ -1127,13 +1154,30 @@ class Bm25Scorer:
 
         qids = batch["query_id"].to_pylist()
         texts = batch["text"].to_pylist()
+        # optional search_after cursor columns: (after_score, after_doc)
+        # restrict each query to hits STRICTLY after that (score desc,
+        # doc_id asc) position — Lucene IndexSearcher.searchAfter
+        afters = (
+            list(
+                zip(
+                    batch["after_score"].to_pylist(),
+                    batch["after_doc"].to_pylist(),
+                )
+            )
+            if "after_score" in batch.column_names
+            else [None] * len(qids)
+        )
         # per-QUERY metadata rows, broadcast to per-hit columns at the
         # end with one repeat per column — no per-hit Python appends
         hits_per_q: list[list[tuple[int, float]]] = []
         meta = {k: [] for k in ("query_id", "postings_scored", "blocks_decoded", "latency_us", "actor_seq")}
-        for qid, text in zip(qids, texts):
+        for qid, text, after in zip(qids, texts, afters):
             t0 = time.perf_counter()
-            hits, npost, nblk = self.score_query(text)
+            hits, npost, nblk = (
+                self.score_query(text)
+                if after is None
+                else self.score_query_after(text, after)
+            )
             lat_us = int((time.perf_counter() - t0) * 1e6)
             hits_per_q.append(hits)
             meta["query_id"].append(qid)
@@ -1550,6 +1594,68 @@ def near_search(
         concurrency=concurrency,
         batch_size=batch_size,
     ).select_columns(["query_id", "rank", "doc_id", "score"])
+
+
+def paged_search(
+    index_dir: str,
+    k: int = 10,
+    n_pages: int = 2,
+    queries=None,
+    *,
+    mode: str = "exhaustive",
+    concurrency: int | tuple = 2,
+):
+    """Deep pagination via search_after cursors (Lucene
+    ``IndexSearcher.searchAfter``): page 1 is the standard top-k; each
+    further page re-queries with the previous page's last ``(score,
+    doc_id)`` as an exclusive cursor — no offset-sized accumulation
+    ever happens, so page N costs the same as page 1 (the
+    deep-pagination property). Queries that exhaust their results drop
+    out of later pages. Returns all pages concatenated with GLOBAL
+    ranks (page·k + local rank)."""
+    import pandas as pd
+    import ray.data as rd
+
+    from .queryset import REFERENCE_QUERIES
+
+    queries = queries if queries is not None else REFERENCE_QUERIES
+    cols = ["query_id", "rank", "doc_id", "score"]
+    text_of = dict(queries)
+    qds = rd.from_items([{"query_id": q, "text": t} for q, t in queries])
+    page = (
+        search(qds, index_dir, k=k, mode=mode, concurrency=concurrency)
+        .select_columns(cols)
+        .to_pandas()
+    )
+    pages = [page]
+    for pno in range(1, n_pages):
+        full = pages[-1][pages[-1]["rank"] == k]  # only full pages continue
+        if not len(full):
+            break
+        items = [
+            {
+                "query_id": int(r.query_id),
+                "text": text_of[int(r.query_id)],
+                "after_score": float(r.score),
+                "after_doc": int(r.doc_id),
+            }
+            for r in full.itertuples(index=False)
+        ]
+        nxt = (
+            search(
+                rd.from_items(items),
+                index_dir,
+                k=k,
+                mode=mode,
+                concurrency=concurrency,
+            )
+            .select_columns(cols)
+            .to_pandas()
+        )
+        nxt["rank"] = nxt["rank"] + pno * k
+        pages.append(nxt)
+    out = pd.concat(pages, ignore_index=True)
+    return out.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
 MLT_SEEDS: list[tuple[int, int]] = [

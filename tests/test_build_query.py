@@ -692,3 +692,33 @@ def test_more_like_this_contract(ray_session, index_dir):
     hits = [(d, s) for d, s in ex._score_exhaustive(sorted(want_terms))[0] if d != 42][:K]
     got = res[res["query_id"] == 2][["doc_id", "score"]].itertuples(index=False)
     assert [(d, round6(s)) for d, s in hits] == [(d, round6(s)) for d, s in got]
+
+
+# ---------------------------------------------------------------------------
+# search_after / deep pagination
+# ---------------------------------------------------------------------------
+
+
+def test_search_after_pages_tile_the_full_ranking(index_dir):
+    """k-sized cursor pages concatenate to exactly the one-shot top-3k
+    list for every reference query — including ties at page borders
+    (the (score==s0 & doc_id>d0) edge)."""
+    big = Bm25Scorer(index_dir, k=3 * K, mode="exhaustive")
+    small = Bm25Scorer(index_dir, k=K, mode="exhaustive")
+    for _, text in REFERENCE_QUERIES:
+        want = big.score_query(text)[0]
+        got = list(small.score_query(text)[0])
+        while len(got) < len(want) and len(got) % K == 0 and got:
+            s0, d0 = got[-1][1], got[-1][0]
+            nxt = small.score_query_after(text, (s0, d0))[0]
+            if not nxt:
+                break
+            got.extend(nxt)
+        assert got == want[: len(got)]
+        assert len(got) >= min(len(want), 3 * K) - K  # pages cover the range
+    # cursor strictly excludes its own position
+    hits = small.score_query("fast merge")[0]
+    s0, d0 = hits[0][1], hits[0][0]
+    after = small.score_query_after("fast merge", (s0, d0))[0]
+    assert (d0, s0) not in after
+    assert after == hits[1:] + small.score_query_after("fast merge", (hits[-1][1], hits[-1][0]))[0][:1]
