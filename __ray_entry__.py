@@ -400,6 +400,31 @@ def _bm25_paged(sf_dir: str):
     return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+TV_DOCS = [0, 7, 42, 123, 250, 499, 10**9]  # 10**9: absent doc → no rows
+
+
+def _facet_lang(sf_dir: str):
+    """Facet counts: the disjunction match set of each reference query
+    grouped by docmap lang (Lucene terms-aggregation-on-a-filter)."""
+    from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index
+    from similaritysearch_jl_ray.pipelines.facets import facet_counts
+
+    res = facet_counts(ensure_index(sf_dir), field="lang").to_pandas()
+    res = res.astype({"query_id": "int64", "n_docs": "int64"})
+    return res.sort_values(["query_id", "lang"]).reset_index(drop=True)
+
+
+def _term_vectors(sf_dir: str):
+    """Forward term-vectors for a fixed doc set, reconstructed from
+    the inverted index (one Ray task per term-hash part)."""
+    from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index
+    from similaritysearch_jl_ray.pipelines.facets import term_vectors
+
+    res = term_vectors(ensure_index(sf_dir), TV_DOCS).to_pandas()
+    res = res.astype({"doc_id": "int64", "tf": "int64"})
+    return res.sort_values(["doc_id", "term"]).reset_index(drop=True)
+
+
 def _bm25_mlt(sf_dir: str):
     """More-like-this: seed doc → top-10 terms by round6(tf·idf) →
     BM25 disjunction on the pruned path, seed excluded."""
@@ -692,6 +717,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_near": _bm25_near,
         "more_like_this": _bm25_mlt,
         "bm25_topk_paged": _bm25_paged,
+        "facet_lang": _facet_lang,
+        "term_vectors": _term_vectors,
         # -- dedup suite (SURVEY §2.6 neardup + task brief) ---------------
         "exact_dedup": dedup.exact_dedup,
         # max_df=None pins the EXACT mode (matches the SQL oracle); the
@@ -849,6 +876,21 @@ FROM tf JOIN dl ON dl.doc_id = tf.doc_id
         "bm25_topk_near": _near_sql(),
         "more_like_this": _mlt_sql(),
         "bm25_topk_paged": _bm25_sql(k=2 * K),
+        "facet_lang": f"""
+WITH {_TOK_CTES},
+q AS (SELECT * FROM {_queries_sql()}),
+m AS (SELECT DISTINCT q.query_id, tf.doc_id FROM q JOIN tf ON tf.term = q.term)
+SELECT m.query_id, d.lang, count(*)::BIGINT AS n_docs
+FROM m JOIN documents d ON d.doc_id = m.doc_id
+GROUP BY m.query_id, d.lang
+ORDER BY m.query_id, d.lang
+""",
+        "term_vectors": f"""
+WITH {_TOK_CTES}
+SELECT doc_id, term, tf FROM tf
+WHERE doc_id IN ({", ".join(str(d) for d in TV_DOCS)})
+ORDER BY doc_id, term
+""",
         # -- dedup ---------------------------------------------------------
         "exact_dedup": (
             "SELECT min(doc_id)::BIGINT AS keeper_doc_id, count(*)::BIGINT AS group_size"

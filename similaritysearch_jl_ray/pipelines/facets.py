@@ -1,0 +1,177 @@
+"""Index-derived analytics: facet counts over query match sets and
+forward term-vectors reconstructed from the inverted index.
+
+Reference analogs: the per-result aggregation the reference exposes
+through its ``KnnResult`` views + dataset groupbys
+(``/root/reference/src/SimilaritySearch.jl`` surface); faceting is the
+Lucene/Elasticsearch "terms aggregation on a filter query" pattern
+re-expressed over this engine's postings + docmap sidecar.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+FACET_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.int64()),
+        ("lang", pa.string()),
+        ("n_docs", pa.int64()),
+    ]
+)
+
+
+class FacetCounter:
+    """Actor: per-query facet counts of the disjunction MATCH SET
+    (docs containing ≥1 known query term, visibility masks applied —
+    the same universe BM25 would score) grouped by a docmap field.
+
+    The docmap field column pins per actor as (sorted doc_ids,
+    dictionary codes) — n_docs × ~9 bytes; at 100 TB this actor runs
+    doc-range-pinned exactly like sharded serving (the docmap read
+    pushes the range down), counts merge by (query_id, value) sum."""
+
+    def __init__(self, index_dir: str, field: str = "lang", doc_range=None):
+        import os
+
+        import pyarrow.dataset as pads
+
+        from .query import Bm25Scorer
+
+        self.scorer = Bm25Scorer(
+            index_dir, k=1, mode="exhaustive", doc_range=doc_range
+        )
+        flt = None
+        if doc_range is not None:
+            flt = (pads.field("doc_id") >= doc_range[0]) & (
+                pads.field("doc_id") < doc_range[1]
+            )
+        t = (
+            pads.dataset(os.path.join(index_dir, "docmap"), format="parquet")
+            .to_table(columns=["doc_id", field], filter=flt)
+            .sort_by("doc_id")
+        )
+        self._ids = t["doc_id"].to_numpy().astype(np.int64)
+        codes = t[field].combine_chunks().dictionary_encode()
+        self._codes = codes.indices.to_numpy().astype(np.int64)
+        self._values = codes.dictionary.to_pylist()
+
+    def _match_set(self, text: str) -> np.ndarray:
+        from ..functions.text import tokenize
+
+        terms = sorted(set(tokenize(text)))
+        arrs = [
+            self.scorer._term_arrays(t)[0]
+            for t in terms
+            if self.scorer._has_term(t)
+        ]
+        arrs = [a for a in arrs if len(a)]
+        if not arrs:
+            return np.empty(0, np.int64)
+        return np.unique(np.concatenate(arrs))
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        out_q, out_v, out_n = [], [], []
+        for qid, text in zip(
+            batch["query_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            m = self._match_set(text)
+            if not len(m):
+                continue
+            pos = np.searchsorted(self._ids, m)
+            pos_c = np.minimum(pos, len(self._ids) - 1)
+            valid = self._ids[pos_c] == m
+            counts = np.bincount(
+                self._codes[pos_c[valid]], minlength=len(self._values)
+            )
+            for code in np.flatnonzero(counts):
+                out_q.append(qid)
+                out_v.append(self._values[code])
+                out_n.append(int(counts[code]))
+        return pa.Table.from_arrays(
+            [
+                pa.array(out_q, type=pa.int64()),
+                pa.array(out_v, type=pa.string()),
+                pa.array(out_n, type=pa.int64()),
+            ],
+            schema=FACET_SCHEMA,
+        )
+
+
+def facet_counts(
+    index_dir: str,
+    field: str = "lang",
+    queries=None,
+    *,
+    concurrency: int | tuple = 2,
+    batch_size: int = 64,
+):
+    """queries (query_id, text) → (query_id, <field>, n_docs): how the
+    disjunction match set distributes over a docmap field — the
+    search-engine facet panel. Runs as a standard actor pool over the
+    queries dataset; the per-actor state is the postings (shared
+    machinery with serving) + one field column."""
+    import ray.data as rd
+
+    from .queryset import REFERENCE_QUERIES
+
+    queries = queries if queries is not None else REFERENCE_QUERIES
+    qds = rd.from_items([{"query_id": q, "text": t} for q, t in queries])
+    return qds.map_batches(
+        FacetCounter,
+        fn_constructor_kwargs={"index_dir": index_dir, "field": field},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+def term_vectors(index_dir: str, doc_ids: list[int]):
+    """Forward term-vectors (doc_id, term, tf) for the requested docs,
+    reconstructed from the INVERTED index — Lucene TermVectors without
+    a stored forward index. One Ray task per term-hash part scans that
+    part's term dictionary (parts partition the vocabulary, so the
+    scan parallelizes across parts and never leaves the part's files);
+    each posting lookup is a searchsorted against the sorted request
+    list. Cost: O(part_vocab · log df) per task — the right shape when
+    the request list is small (the Lucene use case: a handful of docs
+    for highlighting / MLT debugging)."""
+    import json
+    import os
+
+    import ray
+    import ray.data as rd
+
+    targets = np.sort(np.asarray(sorted(set(doc_ids)), dtype=np.int64))
+
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        num_parts = json.load(f)["num_parts"]
+
+    @ray.remote
+    def _part_vectors(d: str, part: int, tg: np.ndarray) -> pa.Table:
+        from ..state.reader import IndexReader
+
+        rdr = IndexReader(d, parts=[part])
+        out_d, out_t, out_f = [], [], []
+        for term in sorted(rdr.term_dfs()):
+            ids, tfs, _ = rdr.postings(term)
+            if not len(ids):
+                continue
+            pos = np.searchsorted(ids, tg)
+            pos_c = np.minimum(pos, len(ids) - 1)
+            valid = ids[pos_c] == tg
+            for j in np.flatnonzero(valid):
+                out_d.append(int(tg[j]))
+                out_t.append(term)
+                out_f.append(int(tfs[pos_c[j]]))
+        return pa.table(
+            {
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "term": pa.array(out_t, type=pa.string()),
+                "tf": pa.array(out_f, type=pa.int64()),
+            }
+        )
+
+    refs = [_part_vectors.remote(index_dir, p, targets) for p in range(num_parts)]
+    return rd.from_arrow_refs(refs)

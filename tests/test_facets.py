@@ -1,0 +1,100 @@
+"""Facet counts + forward term-vectors derived from the index."""
+
+from __future__ import annotations
+
+from collections import Counter
+
+import pyarrow.parquet as pq
+import pytest
+
+from similaritysearch_jl_ray.functions.text import tokenize
+from similaritysearch_jl_ray.pipelines.build_index import build_index
+from similaritysearch_jl_ray.pipelines.facets import FacetCounter, term_vectors
+from similaritysearch_jl_ray.pipelines.queryset import REFERENCE_QUERIES
+from similaritysearch_jl_ray.sources.pages import pages_dataset
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def index_dir(ray_session, tmp_path_factory):
+    d = str(tmp_path_factory.mktemp("index_facets"))
+    build_index(pages_dataset(SF_DIR), d, num_parts=4, salt_factor=3)
+    return d
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "lang"])
+    return {
+        int(d): (tx, lg)
+        for d, tx, lg in zip(
+            t["doc_id"].to_pylist(), t["text"].to_pylist(), t["lang"].to_pylist()
+        )
+    }
+
+
+def _brute_facets(corpus, text):
+    terms = set(tokenize(text))
+    c = Counter()
+    for _, (tx, lg) in corpus.items():
+        if terms & set(tokenize(tx)):
+            c[lg] += 1
+    return dict(c)
+
+
+def test_facet_counts_match_corpus_scan(index_dir, corpus):
+    fc = FacetCounter(index_dir, field="lang")
+    import pyarrow as pa
+
+    batch = pa.table(
+        {
+            "query_id": [q for q, _ in REFERENCE_QUERIES],
+            "text": [t for _, t in REFERENCE_QUERIES],
+        }
+    )
+    out = fc(batch).to_pandas()
+    for qid, text in REFERENCE_QUERIES:
+        got = dict(
+            zip(
+                out[out.query_id == qid]["lang"],
+                out[out.query_id == qid]["n_docs"],
+            )
+        )
+        assert got == _brute_facets(corpus, text), text
+
+
+def test_facet_counter_doc_range_partitions_sum(index_dir):
+    """Doc-range-pinned facet actors must sum to the global counts —
+    the partitioning assumption the 100 TB sharded path relies on."""
+    import pyarrow as pa
+
+    batch = pa.table(
+        {"query_id": [1, 6], "text": ["hash join", "big data table scan"]}
+    )
+    whole = FacetCounter(index_dir, field="lang")(batch).to_pandas()
+    parts = [
+        FacetCounter(index_dir, field="lang", doc_range=r)(batch).to_pandas()
+        for r in [(0, 200), (200, 500)]
+    ]
+    import pandas as pd
+
+    merged = (
+        pd.concat(parts)
+        .groupby(["query_id", "lang"], as_index=False)["n_docs"]
+        .sum()
+    )
+    a = whole.sort_values(["query_id", "lang"]).reset_index(drop=True)
+    b = merged.sort_values(["query_id", "lang"]).reset_index(drop=True)
+    assert a.equals(b[a.columns])
+
+
+def test_term_vectors_roundtrip(ray_session, index_dir, corpus):
+    docs = [0, 42, 499, 10**9]
+    res = term_vectors(index_dir, docs).to_pandas()
+    assert 10**9 not in set(res["doc_id"])
+    for d in (0, 42, 499):
+        got = dict(
+            zip(res[res.doc_id == d]["term"], res[res.doc_id == d]["tf"])
+        )
+        assert got == dict(Counter(tokenize(corpus[d][0]))), d
