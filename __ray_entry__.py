@@ -403,6 +403,66 @@ def _bm25_paged(sf_dir: str):
 TV_DOCS = [0, 7, 42, 123, 250, 499, 10**9]  # 10**9: absent doc → no rows
 
 
+def _merged_index(sf_dir: str) -> str:
+    """Cached two-way index merge: the corpus splits at the median
+    doc_id, each half builds independently, merge_indexes folds them —
+    serving must equal a single full build (the oracle is the plain
+    BM25 ranking over the whole corpus)."""
+    import os
+    import shutil
+
+    import pyarrow.parquet as pq
+    import ray.data as rd
+
+    from similaritysearch_jl_ray.pipelines.entry_helpers import cached_index_dir
+    from similaritysearch_jl_ray.pipelines.lifecycle import merge_indexes
+    from similaritysearch_jl_ray.sources.pages import pages_from_documents
+
+    out = cached_index_dir(sf_dir) + "_merged"
+    marker = os.path.join(out, "stats.json")
+    if os.path.exists(marker):
+        return out
+    from similaritysearch_jl_ray.pipelines.build_index import build_index
+
+    n = pq.read_metadata(f"{sf_dir}/documents.parquet").num_rows
+    mid = n // 2
+
+    def half(lo, hi, d):
+        docs = pq.read_table(f"{sf_dir}/documents.parquet").slice(lo, hi - lo)
+        ds = rd.from_arrow(docs).map_batches(
+            lambda b: pages_from_documents(b), batch_format="pyarrow"
+        )
+        build_index(ds, d, num_parts=4, salt_factor=3)
+
+    a, b = out + "_a", out + "_b"
+    for d in (a, b, out):
+        shutil.rmtree(d, ignore_errors=True)
+    half(0, mid, a)
+    half(mid, n, b)
+    merge_indexes(a, b, out)
+    for d in (a, b):
+        shutil.rmtree(d, ignore_errors=True)
+    return out
+
+
+def _bm25_merged_entry(sf_dir: str):
+    """Serving over the two-way merged index (Lucene addIndexes);
+    oracle = the plain full-corpus ranking, so the merge must preserve
+    global df/idf/avgdl exactly."""
+    from similaritysearch_jl_ray.functions.rounding import round6
+    from similaritysearch_jl_ray.pipelines.query import search
+    from similaritysearch_jl_ray.pipelines.queryset import queries_dataset
+
+    res = search(
+        queries_dataset(), _merged_index(sf_dir), k=K, mode="wand", concurrency=2
+    ).to_pandas()
+    res = res[["query_id", "rank", "doc_id", "score"]].astype(
+        {"query_id": "int64", "rank": "int64", "doc_id": "int64", "score": "float64"}
+    )
+    res["score"] = round6(res["score"].to_numpy())
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def _facet_lang(sf_dir: str):
     """Facet counts: the disjunction match set of each reference query
     grouped by docmap lang (Lucene terms-aggregation-on-a-filter)."""
@@ -719,6 +779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_paged": _bm25_paged,
         "facet_lang": _facet_lang,
         "term_vectors": _term_vectors,
+        "bm25_topk_merged": _bm25_merged_entry,
         # -- dedup suite (SURVEY §2.6 neardup + task brief) ---------------
         "exact_dedup": dedup.exact_dedup,
         # max_df=None pins the EXACT mode (matches the SQL oracle); the
@@ -891,6 +952,8 @@ SELECT doc_id, term, tf FROM tf
 WHERE doc_id IN ({", ".join(str(d) for d in TV_DOCS)})
 ORDER BY doc_id, term
 """,
+        # merged two-way index must equal the single-build ranking
+        "bm25_topk_merged": _bm25_sql(),
         # -- dedup ---------------------------------------------------------
         "exact_dedup": (
             "SELECT min(doc_id)::BIGINT AS keeper_doc_id, count(*)::BIGINT AS group_size"

@@ -216,6 +216,143 @@ def compact_deltas(index_dir: str) -> dict:
     return merged
 
 
+def merge_indexes(
+    a_dir: str, b_dir: str, out_dir: str, *, renumber: bool = False, compact: bool = True
+) -> dict:
+    """Merge two independently built indexes — Lucene
+    ``IndexWriter.addIndexes``. No raw-page access: A copies to
+    ``out_dir`` as the base; each of B's segments stages as a delta
+    with its doc ids shifted by ``offset`` — a METADATA rewrite only
+    (the codec stores absolute ``block_first`` per block with in-block
+    gaps, so shifting a whole run touches the run_first/run_last/
+    block_first/block_last columns and never decodes a payload byte;
+    positions are within-doc and unaffected) — then the standard
+    segment fold (:func:`compact_deltas`) produces one base segment.
+    Global df/idf/avgdl emerge from the fold's summed stats, so the
+    merged index serves rank-identically to a single build over the
+    union corpus (tested, and the ``bm25_topk_merged`` oracle).
+
+    ``renumber=False`` (external-id mode): doc-id ranges must already
+    be disjoint with every B doc above every A doc (offset 0; raises
+    otherwise). ``renumber=True`` (Lucene internal-id semantics): B's
+    ids shift by ``a_max_doc + 1`` unconditionally.
+
+    Both indexes must share ``num_parts`` (the term-hash partition
+    function is what lets the merge stay one task per part)."""
+    import ray
+
+    if os.path.exists(out_dir):
+        raise ValueError(f"out_dir exists: {out_dir}")
+    with open(os.path.join(a_dir, "stats.json")) as f:
+        a_stats = json.load(f)
+    with open(os.path.join(b_dir, "stats.json")) as f:
+        b_stats = json.load(f)
+    if a_stats["num_parts"] != b_stats["num_parts"]:
+        raise ValueError(
+            f"num_parts mismatch: {a_stats['num_parts']} vs {b_stats['num_parts']}"
+        )
+    for d in (a_dir, b_dir):
+        if deleted_ids(d) is not None:
+            raise ValueError(
+                f"{d} has tombstones; purge_tombstones() before merging"
+            )
+    a_hi = a_stats["max_doc"]
+    for d in delta_dirs(a_dir):
+        with open(os.path.join(d, "stats.json")) as f:
+            a_hi = max(a_hi, json.load(f)["max_doc"])
+    if renumber:
+        offset = a_hi + 1
+    else:
+        offset = 0
+        b_lo = _min_doc(b_dir)
+        for d in delta_dirs(b_dir):
+            lo = _min_doc(d)
+            if lo is not None:
+                b_lo = lo if b_lo is None else min(b_lo, lo)
+        if b_lo is not None and b_lo <= a_hi:
+            raise ValueError(
+                f"doc ranges overlap (B min {b_lo} <= A max {a_hi}); "
+                "pass renumber=True for Lucene internal-id semantics"
+            )
+    shutil.copytree(a_dir, out_dir)
+    num_parts = a_stats["num_parts"]
+
+    @ray.remote
+    def _shift_part(src_seg: str, dst_seg: str, p: int, off: int) -> int:
+        import pyarrow as pa
+        import pyarrow.dataset as pads
+        import pyarrow.parquet as pqw
+
+        part_dir = os.path.join(src_seg, "postings", f"part={p}")
+        dst = os.path.join(dst_seg, "postings", f"part={p}")
+        os.makedirs(dst, exist_ok=True)
+        if not os.path.isdir(part_dir):
+            return 0
+        tbl = pads.dataset(part_dir, format="parquet").to_table().combine_chunks()
+        if off and tbl.num_rows:
+            import pyarrow.compute as pc
+
+            for name in ("run_first", "run_last"):
+                i = tbl.schema.get_field_index(name)
+                tbl = tbl.set_column(i, name, pc.add(tbl.column(name), off))
+            for name in ("block_first", "block_last"):
+                i = tbl.schema.get_field_index(name)
+                col = tbl.column(name).combine_chunks()
+                # shift a list<int64> column zero-copy-ish: add to the
+                # flat values buffer, rewrap with the same offsets
+                arr = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+                shifted = pa.ListArray.from_arrays(
+                    arr.offsets, pc.add(arr.values, off), type=arr.type
+                )
+                tbl = tbl.set_column(i, name, shifted)
+        pqw.write_table(
+            tbl, os.path.join(dst, "merged.parquet"), compression="zstd"
+        )
+        return tbl.num_rows
+
+    next_delta = len(delta_dirs(out_dir))
+    b_segs = [b_dir] + delta_dirs(b_dir)
+    for seg in b_segs:
+        next_delta += 1
+        dst_seg = os.path.join(out_dir, f"delta={next_delta}")
+        os.makedirs(os.path.join(dst_seg, "postings"))
+        ray.get(
+            [_shift_part.remote(seg, dst_seg, p, offset) for p in range(num_parts)]
+        )
+        # meta: copy with max_doc shifted
+        os.makedirs(os.path.join(dst_seg, "meta"))
+        for name in os.listdir(os.path.join(seg, "meta")):
+            with open(os.path.join(seg, "meta", name)) as f:
+                m = json.load(f)
+            if "max_doc" in m:
+                m["max_doc"] = m["max_doc"] + offset
+            with open(os.path.join(dst_seg, "meta", name), "w") as f:
+                json.dump(m, f)
+        # docmap: doc_id += offset (small rewrite; serves lang filters)
+        src_dm = os.path.join(seg, "docmap")
+        if os.path.isdir(src_dm):
+            import pyarrow.compute as pc
+            import pyarrow.dataset as pads
+            import pyarrow.parquet as pqw
+
+            dm = pads.dataset(src_dm, format="parquet").to_table()
+            if offset:
+                i = dm.schema.get_field_index("doc_id")
+                dm = dm.set_column(i, "doc_id", pc.add(dm.column("doc_id"), offset))
+            os.makedirs(os.path.join(dst_seg, "docmap"))
+            pqw.write_table(
+                dm, os.path.join(dst_seg, "docmap", "merged.parquet"), compression="zstd"
+            )
+        with open(os.path.join(seg, "stats.json")) as f:
+            s = json.load(f)
+        s["max_doc"] = s["max_doc"] + offset
+        with open(os.path.join(dst_seg, "stats.json"), "w") as f:
+            json.dump(s, f)
+    if compact:
+        return compact_deltas(out_dir)
+    return json.load(open(os.path.join(out_dir, "stats.json")))
+
+
 def delete_docs(index_dir: str, doc_ids) -> int:
     """Tombstone deletion — the missing half of the index lifecycle
     next to ``append_pages`` (the reference mutates via ``push_item!``

@@ -297,3 +297,54 @@ def test_purge_across_deltas(ray_session, tmp_path):
     assert abs(a.stats["avgdl"] - b.stats["avgdl"]) < 1e-12
     for _, text in REFERENCE_QUERIES:
         assert a.score_query(text)[0] == b.score_query(text)[0]
+
+
+def test_merge_indexes_equals_full_build(ray_session, tmp_path):
+    """Split corpus → two independent builds → merge; serving must be
+    rank- AND score-identical to one build over the full corpus
+    (global df/idf/avgdl emerge from the fold's summed stats)."""
+    from similaritysearch_jl_ray.pipelines.lifecycle import merge_indexes
+
+    a, b, full, out = (str(tmp_path / n) for n in ("a", "b", "full", "merged"))
+    build_index(_pages_slice(ray_session, 0, 250), a, num_parts=4, salt_factor=3)
+    build_index(_pages_slice(ray_session, 250, 500), b, num_parts=4, salt_factor=3)
+    build_index(pages_dataset(SF_DIR), full, num_parts=4, salt_factor=3)
+    stats = merge_indexes(a, b, out)
+    assert stats["n_docs"] == 500
+    assert not delta_dirs(out)  # fold happened
+    m = Bm25Scorer(out, k=10, mode="wand")
+    f = Bm25Scorer(full, k=10, mode="exhaustive")
+    for _, text in REFERENCE_QUERIES:
+        assert m.score_query(text)[0] == f.score_query(text)[0]
+    # positional phrase serving works on the merged index
+    mp = Bm25Scorer(out, k=10, mode="phrase")
+    fp = Bm25Scorer(full, k=10, mode="phrase")
+    assert mp.score_query("big data")[0] == fp.score_query("big data")[0]
+
+
+def test_merge_indexes_renumber_and_guards(ray_session, tmp_path):
+    from similaritysearch_jl_ray.pipelines.lifecycle import delete_docs, merge_indexes
+
+    a, b, gold, out = (str(tmp_path / n) for n in ("a", "b", "gold", "merged"))
+    # both slices use ids 0..99 → overlap; renumber=True shifts B by 100
+    build_index(_pages_slice(ray_session, 0, 100), a, num_parts=4, salt_factor=3)
+    build_index(_pages_slice(ray_session, 0, 100), b, num_parts=4, salt_factor=3)
+    with pytest.raises(ValueError, match="overlap"):
+        merge_indexes(a, b, str(tmp_path / "x"))
+    stats = merge_indexes(a, b, out, renumber=True)
+    assert stats["n_docs"] == 200 and stats["max_doc"] == 199
+    # gold: same docs with B's copy relabeled +100 at page level
+    import ray.data as rd
+
+    gold_ds = _pages_slice(ray_session, 0, 100).union(
+        _pages_slice(ray_session, 0, 100, id_offset=100)
+    )
+    build_index(gold_ds, gold, num_parts=4, salt_factor=3)
+    m = Bm25Scorer(out, k=10, mode="exhaustive")
+    g = Bm25Scorer(gold, k=10, mode="exhaustive")
+    for _, text in REFERENCE_QUERIES:
+        assert m.score_query(text)[0] == g.score_query(text)[0]
+    # tombstoned inputs refuse to merge
+    delete_docs(a, [3])
+    with pytest.raises(ValueError, match="tombstones"):
+        merge_indexes(a, b, str(tmp_path / "y"), renumber=True)
