@@ -445,6 +445,65 @@ def _merged_index(sf_dir: str) -> str:
     return out
 
 
+def _bm25_highlight(sf_dir: str):
+    """Top-k + per-hit snippet anchor (first query-term position) from
+    the positional index; document text is never read."""
+    from similaritysearch_jl_ray.functions.rounding import round6
+    from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index
+    from similaritysearch_jl_ray.pipelines.facets import highlight_search
+
+    res = highlight_search(ensure_index(sf_dir), k=K).to_pandas()
+    res = res.astype(
+        {
+            "query_id": "int64",
+            "rank": "int64",
+            "doc_id": "int64",
+            "score": "float64",
+            "first_pos": "int64",
+        }
+    )
+    res["score"] = round6(res["score"].to_numpy())
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _highlight_sql() -> str:
+    """Oracle: the standard ranking joined to the positions CTE —
+    ``min(pos) − 1`` (SQL positions are 1-based) over the query's
+    terms must equal the engine's anchor for every hit."""
+    return f"""
+WITH {_TOK_CTES},
+q AS (SELECT * FROM {_queries_sql()}),
+posn AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+  FROM documents
+),
+scores AS (
+  SELECT q.query_id, tf.doc_id, {_BM25_SUM} AS fscore
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, fscore,
+         row_number() OVER (PARTITION BY query_id ORDER BY fscore DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT r.query_id, r.rank, r.doc_id, round(r.fscore, {_ROUND}) AS score,
+       (min(p.pos) - 1)::BIGINT AS first_pos
+FROM ranked r
+JOIN q ON q.query_id = r.query_id
+JOIN posn p ON p.doc_id = r.doc_id AND p.term = q.term
+WHERE r.rank <= {K}
+GROUP BY r.query_id, r.rank, r.doc_id, r.fscore
+ORDER BY r.query_id, r.rank
+"""
+
+
 def _bm25_merged_entry(sf_dir: str):
     """Serving over the two-way merged index (Lucene addIndexes);
     oracle = the plain full-corpus ranking, so the merge must preserve
@@ -780,6 +839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_lang": _facet_lang,
         "term_vectors": _term_vectors,
         "bm25_topk_merged": _bm25_merged_entry,
+        "bm25_topk_highlight": _bm25_highlight,
         # -- dedup suite (SURVEY §2.6 neardup + task brief) ---------------
         "exact_dedup": dedup.exact_dedup,
         # max_df=None pins the EXACT mode (matches the SQL oracle); the
@@ -954,6 +1014,7 @@ ORDER BY doc_id, term
 """,
         # merged two-way index must equal the single-build ranking
         "bm25_topk_merged": _bm25_sql(),
+        "bm25_topk_highlight": _highlight_sql(),
         # -- dedup ---------------------------------------------------------
         "exact_dedup": (
             "SELECT min(doc_id)::BIGINT AS keeper_doc_id, count(*)::BIGINT AS group_size"

@@ -127,6 +127,100 @@ def facet_counts(
     )
 
 
+HIGHLIGHT_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.int64()),
+        ("rank", pa.int64()),
+        ("doc_id", pa.int64()),
+        ("score", pa.float64()),
+        ("first_pos", pa.int64()),
+    ]
+)
+
+
+class HighlightScorer:
+    """Actor: standard top-k BM25 + the FIRST query-term occurrence
+    position per hit (the snippet anchor a highlighter needs), all
+    from the positional index — no document text is touched. Per term,
+    the hit docs' first occurrences come from one searchsorted into
+    the term's posting ids + a gather at the positions offsets; the
+    per-hit anchor is the min across the query's terms."""
+
+    def __init__(self, index_dir: str, k: int = 10):
+        from .query import Bm25Scorer
+
+        self.scorer = Bm25Scorer(index_dir, k=k, mode="exhaustive")
+
+    def _anchors(self, terms: list[str], docs: np.ndarray) -> np.ndarray:
+        out = np.full(len(docs), np.iinfo(np.int64).max, dtype=np.int64)
+        for t in terms:
+            if not self.scorer._has_term(t):
+                continue
+            ids, tfs, pos = self.scorer._term_positions(t)
+            if not len(ids):
+                continue
+            offs = np.zeros(len(tfs) + 1, dtype=np.int64)
+            np.cumsum(tfs, out=offs[1:])
+            at = np.searchsorted(ids, docs)
+            at_c = np.minimum(at, len(ids) - 1)
+            valid = ids[at_c] == docs
+            firsts = pos[offs[at_c]]
+            np.minimum(out, np.where(valid, firsts, out), out=out)
+        return out
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.text import tokenize
+
+        cols = {n: [] for n in HIGHLIGHT_SCHEMA.names}
+        for qid, text in zip(
+            batch["query_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            hits, _, _ = self.scorer.score_query(text)
+            if not hits:
+                continue
+            docs = np.fromiter((d for d, _ in hits), np.int64, len(hits))
+            anchors = self._anchors(sorted(set(tokenize(text))), docs)
+            for r, ((d, s), a) in enumerate(zip(hits, anchors), start=1):
+                cols["query_id"].append(qid)
+                cols["rank"].append(r)
+                cols["doc_id"].append(d)
+                cols["score"].append(s)
+                cols["first_pos"].append(int(a))
+        return pa.Table.from_arrays(
+            [
+                pa.array(cols[n], type=HIGHLIGHT_SCHEMA.field(n).type)
+                for n in HIGHLIGHT_SCHEMA.names
+            ],
+            schema=HIGHLIGHT_SCHEMA,
+        )
+
+
+def highlight_search(
+    index_dir: str,
+    k: int = 10,
+    queries=None,
+    *,
+    concurrency: int | tuple = 2,
+    batch_size: int = 64,
+):
+    """Top-k BM25 with per-hit snippet anchors (first query-term token
+    position), index-only — the Lucene highlighter's offsets-from-
+    postings mode re-expressed over the v4 positions sidecar."""
+    import ray.data as rd
+
+    from .queryset import REFERENCE_QUERIES
+
+    queries = queries if queries is not None else REFERENCE_QUERIES
+    qds = rd.from_items([{"query_id": q, "text": t} for q, t in queries])
+    return qds.map_batches(
+        HighlightScorer,
+        fn_constructor_kwargs={"index_dir": index_dir, "k": k},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def term_vectors(index_dir: str, doc_ids: list[int]):
     """Forward term-vectors (doc_id, term, tf) for the requested docs,
     reconstructed from the INVERTED index — Lucene TermVectors without

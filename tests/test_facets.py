@@ -98,3 +98,19 @@ def test_term_vectors_roundtrip(ray_session, index_dir, corpus):
             zip(res[res.doc_id == d]["term"], res[res.doc_id == d]["tf"])
         )
         assert got == dict(Counter(tokenize(corpus[d][0]))), d
+
+
+def test_highlight_anchor_matches_corpus_scan(ray_session, index_dir, corpus):
+    """first_pos == min over the query's terms of the first token
+    position in the doc's token stream (brute re-tokenize check)."""
+    from similaritysearch_jl_ray.pipelines.facets import highlight_search
+
+    res = highlight_search(index_dir, k=5).to_pandas()
+    assert len(res)
+    for row in res.itertuples(index=False):
+        toks = tokenize(corpus[int(row.doc_id)][0])
+        qterms = set(
+            tokenize(dict(REFERENCE_QUERIES)[int(row.query_id)])
+        )
+        want = min(i for i, t in enumerate(toks) if t in qterms)
+        assert int(row.first_pos) == want, (row.query_id, row.doc_id)
