@@ -445,6 +445,82 @@ def _merged_index(sf_dir: str) -> str:
     return out
 
 
+def _bm25_dismax(sf_dir: str):
+    """Disjunction-max scoring (Lucene DisjunctionMaxQuery,
+    tie_breaker=0): doc score = max over matching terms."""
+    return _bm25_query(sf_dir, "dismax")
+
+
+def _bm25_boost(sf_dir: str):
+    """Per-term boosts (``term^W``): boosted BM25 sum."""
+    from similaritysearch_jl_ray.functions.rounding import round6
+    from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index
+    from similaritysearch_jl_ray.pipelines.query import search
+    from similaritysearch_jl_ray.pipelines.queryset import boost_queries_dataset
+
+    res = search(
+        boost_queries_dataset(), ensure_index(sf_dir), k=K, mode="boost", concurrency=2
+    ).to_pandas()
+    res = res[["query_id", "rank", "doc_id", "score"]].astype(
+        {"query_id": "int64", "rank": "int64", "doc_id": "int64", "score": "float64"}
+    )
+    res["score"] = round6(res["score"].to_numpy())
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _dismax_sql() -> str:
+    dismax = _BM25_SUM.replace("sum(", "max(", 1)
+    return f"""
+WITH {_TOK_CTES},
+q AS (SELECT * FROM {_queries_sql()}),
+scores AS (
+  SELECT q.query_id, tf.doc_id, {dismax} AS fscore
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, fscore,
+         row_number() OVER (PARTITION BY query_id ORDER BY fscore DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(fscore, {_ROUND}) AS score
+FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
+def _boost_sql() -> str:
+    from similaritysearch_jl_ray.pipelines.queryset import boost_values_sql
+
+    boosted = _BM25_SUM.replace("sum( ", "sum( qb.boost * (", 1) + ")"
+    # note: the multiplier wraps each term's contribution INSIDE the sum
+    return f"""
+WITH {_TOK_CTES},
+qb AS (SELECT * FROM {boost_values_sql()}),
+scores AS (
+  SELECT qb.query_id, tf.doc_id, {boosted} AS fscore
+  FROM qb
+  JOIN tf ON tf.term = qb.term
+  JOIN df ON df.term = qb.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY qb.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, fscore,
+         row_number() OVER (PARTITION BY query_id ORDER BY fscore DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(fscore, {_ROUND}) AS score
+FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
 def _bm25_highlight(sf_dir: str):
     """Top-k + per-hit snippet anchor (first query-term position) from
     the positional index; document text is never read."""
@@ -840,6 +916,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_vectors": _term_vectors,
         "bm25_topk_merged": _bm25_merged_entry,
         "bm25_topk_highlight": _bm25_highlight,
+        "bm25_topk_dismax": _bm25_dismax,
+        "bm25_topk_boost": _bm25_boost,
         # -- dedup suite (SURVEY §2.6 neardup + task brief) ---------------
         "exact_dedup": dedup.exact_dedup,
         # max_df=None pins the EXACT mode (matches the SQL oracle); the
@@ -1015,6 +1093,8 @@ ORDER BY doc_id, term
         # merged two-way index must equal the single-build ranking
         "bm25_topk_merged": _bm25_sql(),
         "bm25_topk_highlight": _highlight_sql(),
+        "bm25_topk_dismax": _dismax_sql(),
+        "bm25_topk_boost": _boost_sql(),
         # -- dedup ---------------------------------------------------------
         "exact_dedup": (
             "SELECT min(doc_id)::BIGINT AS keeper_doc_id, count(*)::BIGINT AS group_size"

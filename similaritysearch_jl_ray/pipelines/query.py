@@ -408,6 +408,20 @@ class Bm25Scorer:
             if not terms or any(not self._has_term(t) for t in terms):
                 return [], 0, 0  # conjunctive: an unindexed term matches nothing
             return self._score_near(terms, w)
+        if self.mode == "dismax":
+            terms = self._query_terms(text)
+            if not terms:
+                return [], 0, 0
+            return self._score_dismax(terms)
+        if self.mode == "boost":
+            from .queryset import parse_boost_query
+
+            pairs = [
+                (t, b) for t, b in parse_boost_query(text) if self._has_term(t)
+            ]
+            if not pairs:
+                return [], 0, 0
+            return self._score_boost(pairs)
         if self.mode == "and":
             all_terms = sorted(set(tokenize(text)))
             terms = [t for t in all_terms if self._has_term(t)]
@@ -570,6 +584,51 @@ class Bm25Scorer:
                 hit = (ids[o], partial[o])
             self._impact_cache[term] = hit
         return hit
+
+    def _score_dismax(self, terms):
+        """Disjunction-max (Lucene DisjunctionMaxQuery, tie_breaker=0):
+        a doc scores the MAX of its matching terms' BM25 contributions
+        instead of the sum. Sort-by-id + reduceat-max — max selects one
+        exact input value, so engine and SQL agree bit-for-bit."""
+        ids_l, part_l = [], []
+        npost = 0
+        for t in terms:
+            ids, partial = self._term_arrays(t)
+            ids_l.append(ids)
+            part_l.append(partial)
+            npost += len(ids)
+        ids = np.concatenate(ids_l)
+        parts = np.concatenate(part_l)
+        if not len(ids):
+            return [], 0, 0
+        order = np.argsort(ids, kind="stable")
+        sid, sp = ids[order], parts[order]
+        uniq, starts = np.unique(sid, return_index=True)
+        mx = np.maximum.reduceat(sp, starts)
+        idx = topk_indices(mx, uniq, self.k)
+        return (
+            [(int(uniq[j]), float(mx[j])) for j in idx],
+            int(npost),
+            int(len(terms)),
+        )
+
+    def _score_boost(self, pairs: list[tuple[str, float]]):
+        """Boosted disjunction: each term's partials scale by its boost
+        before the standard term-major sum — Lucene per-term boosts."""
+        ids_l, part_l = [], []
+        npost = 0
+        for t, b in pairs:
+            ids, partial = self._term_arrays(t)
+            ids_l.append(ids)
+            part_l.append(partial * b if b != 1.0 else partial)
+            npost += len(ids)
+        uniq, scores = _accumulate(ids_l, part_l)
+        idx = topk_indices(scores, uniq, self.k)
+        return (
+            [(int(uniq[j]), float(scores[j])) for j in idx],
+            int(npost),
+            int(len(pairs)),
+        )
 
     def _score_and(self, terms):
         """Conjunctive (AND) BM25: only docs containing EVERY query

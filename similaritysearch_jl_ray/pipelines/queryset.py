@@ -240,6 +240,55 @@ def near_queries_dataset():
     return rd.from_items([{"query_id": qid, "text": t} for qid, t in NEAR_QUERIES])
 
 
+# BOOSTED queries (Lucene term boosts): ``term^W`` multiplies that
+# term's BM25 contribution by W (default 1.0); the doc score is the
+# boosted sum. Boost literals are chosen exactly representable in
+# binary (0.5, 2, 1.25, 3) so the engine float and the SQL literal are
+# the same number.
+BOOST_QUERIES: list[tuple[int, str]] = [
+    (0, "fast^2 merge"),
+    (1, "hash^0.5 join^2"),
+    (2, "window agg^3 stream^0.5"),
+    (3, "data^1.25"),
+    (4, "zzzunknown^2 scan"),     # unknown boosted term drops out
+    (5, "the^0.5 a^0.5"),
+]
+
+
+def parse_boost_query(text: str) -> list[tuple[str, float]]:
+    """``[(term, boost)]`` — whitespace-split; ``tok^W`` carries boost
+    W, a plain token boost 1.0. Duplicate terms keep the LAST boost
+    (Lucene rewrite behavior); output sorted by term."""
+    import re
+
+    out: dict[str, float] = {}
+    for raw in text.split():
+        m = re.fullmatch(r"([^^\s]+)\^(\d+(?:\.\d+)?)", raw)
+        if m:
+            for t in tokenize(m.group(1)):
+                out[t] = float(m.group(2))
+        else:
+            for t in tokenize(raw):
+                out[t] = 1.0
+    return sorted(out.items())
+
+
+def boost_queries_dataset():
+    import ray.data as rd
+
+    return rd.from_items([{"query_id": qid, "text": t} for qid, t in BOOST_QUERIES])
+
+
+def boost_values_sql() -> str:
+    """``(query_id, term, boost)`` VALUES rows of the parsed boosted
+    query terms — the engine's parse inlined for the oracle."""
+    rows = []
+    for qid, text in BOOST_QUERIES:
+        for t, b in parse_boost_query(text):
+            rows.append(f"({qid}, '{t}', {b!r})")
+    return "(VALUES " + ", ".join(rows) + ") AS qb(query_id, term, boost)"
+
+
 def tree_positive_terms(node: dict) -> set[str]:
     """Distinct scoring terms of a tree: every term/phrase-token leaf
     NOT under a ``not`` (negated content filters but never scores)."""

@@ -722,3 +722,41 @@ def test_search_after_pages_tile_the_full_ranking(index_dir):
     after = small.score_query_after("fast merge", (s0, d0))[0]
     assert (d0, s0) not in after
     assert after == hits[1:] + small.score_query_after("fast merge", (hits[-1][1], hits[-1][0]))[0][:1]
+
+
+# ---------------------------------------------------------------------------
+# scoring variants: dismax + per-term boosts
+# ---------------------------------------------------------------------------
+
+
+def test_dismax_is_max_of_term_partials(index_dir):
+    dm = Bm25Scorer(index_dir, k=1000, mode="dismax")
+    ex = Bm25Scorer(index_dir, k=1000, mode="exhaustive")
+    for _, text in [(0, "fast merge"), (1, "window agg stream"), (2, "dup")]:
+        terms = dm._query_terms(text)
+        got = dict(dm.score_query(text)[0])
+        # brute: per-doc max over each single-term exhaustive scoring
+        want = {}
+        for t in terms:
+            for d, s in ex._score_exhaustive([t])[0]:
+                want[d] = max(want.get(d, 0.0), s)
+        assert got == want, text
+
+
+def test_boost_scales_each_term(index_dir):
+    from similaritysearch_jl_ray.pipelines.queryset import parse_boost_query
+
+    assert parse_boost_query("fast^2 merge") == [("fast", 2.0), ("merge", 1.0)]
+    assert parse_boost_query("Data^0.5 DATA") == [("data", 1.0)]  # last wins
+    b = Bm25Scorer(index_dir, k=1000, mode="boost")
+    ex = Bm25Scorer(index_dir, k=1000, mode="exhaustive")
+    got = dict(b.score_query("fast^2 merge")[0])
+    want = {}
+    for t, w in [("fast", 2.0), ("merge", 1.0)]:
+        for d, s in ex._score_exhaustive([t])[0]:
+            want[d] = want.get(d, 0.0) + w * s
+    assert set(got) == set(want)
+    for d in got:
+        assert abs(got[d] - want[d]) < 1e-9
+    # boost^1 == plain exhaustive, bit-identical
+    assert b.score_query("fast^1 merge^1")[0] == ex._score_exhaustive(["fast", "merge"])[0]
