@@ -159,7 +159,13 @@ def _bm25_expanded(sf_dir: str, mode: str):
         prefix_queries_dataset,
     )
 
-    qds = prefix_queries_dataset() if mode == "prefix" else fuzzy_queries_dataset()
+    from similaritysearch_jl_ray.pipelines.queryset import wildcard_queries_dataset
+
+    qds = {
+        "prefix": prefix_queries_dataset,
+        "fuzzy": fuzzy_queries_dataset,
+        "wildcard": wildcard_queries_dataset,
+    }[mode]()
     res = search(qds, ensure_index(sf_dir), k=K, mode=mode, concurrency=2).to_pandas()
     res = res[["query_id", "rank", "doc_id", "score"]].astype(
         {"query_id": "int64", "rank": "int64", "doc_id": "int64", "score": "float64"}
@@ -178,11 +184,19 @@ def _expanded_sql(mode: str) -> str:
         prefix_values_sql,
     )
 
+    from similaritysearch_jl_ray.pipelines.queryset import wildcard_values_sql
+
     if mode == "prefix":
         src = f"qp AS (SELECT * FROM {prefix_values_sql()}),\n" + (
             "qx AS (SELECT DISTINCT qp.query_id, df.term FROM qp JOIN df ON"
             " (qp.is_prefix AND df.term LIKE qp.pat || '%')"
             " OR (NOT qp.is_prefix AND df.term = qp.pat))"
+        )
+    elif mode == "wildcard":
+        src = f"qw AS (SELECT * FROM {wildcard_values_sql()}),\n" + (
+            "qx AS (SELECT DISTINCT qw.query_id, df.term FROM qw JOIN df ON"
+            " (qw.is_pat AND df.term LIKE qw.pat)"
+            " OR (NOT qw.is_pat AND df.term = qw.pat))"
         )
     else:
         src = f"qf AS (SELECT * FROM {fuzzy_values_sql()}),\n" + (
@@ -909,6 +923,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_purged": _bm25_purged,
         "bm25_topk_prefix": lambda sf: _bm25_expanded(sf, "prefix"),
         "bm25_topk_fuzzy": lambda sf: _bm25_expanded(sf, "fuzzy"),
+        "bm25_topk_wildcard": lambda sf: _bm25_expanded(sf, "wildcard"),
         "bm25_topk_near": _bm25_near,
         "more_like_this": _bm25_mlt,
         "bm25_topk_paged": _bm25_paged,
@@ -1072,6 +1087,7 @@ FROM tf JOIN dl ON dl.doc_id = tf.doc_id
         ),
         "bm25_topk_prefix": _expanded_sql("prefix"),
         "bm25_topk_fuzzy": _expanded_sql("fuzzy"),
+        "bm25_topk_wildcard": _expanded_sql("wildcard"),
         "bm25_topk_near": _near_sql(),
         "more_like_this": _mlt_sql(),
         "bm25_topk_paged": _bm25_sql(k=2 * K),

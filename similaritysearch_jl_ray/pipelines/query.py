@@ -376,14 +376,52 @@ class Bm25Scorer:
             cache[(tok, max_edits)] = hit
         return hit
 
+    def _expand_wildcard(self, pat: str) -> list[str]:
+        """Dictionary terms fullmatching a ``*``/``?`` pattern (Lucene
+        WildcardQuery). A literal prefix before the first wildcard
+        narrows the scan to its binary-search range (the term-dict
+        range walk); the remainder matches via one compiled regex over
+        the candidate slice. Cached per (pattern) per actor."""
+        import re
+
+        cache = getattr(self, "_wild_cache", None)
+        if cache is None:
+            cache = self._wild_cache = {}
+        hit = cache.get(pat)
+        if hit is None:
+            stem = re.split(r"[*?]", pat, maxsplit=1)[0]
+            cand = (
+                np.asarray(self._expand_prefix(stem), dtype=object)
+                if stem
+                else self._dictionary()
+            )
+            rx = re.compile(
+                "".join(
+                    ".*" if c == "*" else "." if c == "?" else re.escape(c)
+                    for c in pat
+                )
+            )
+            hit = [str(t) for t in cand if rx.fullmatch(str(t))]
+            cache[pat] = hit
+        return hit
+
     def _expanded_terms(self, text: str) -> list[str]:
-        from .queryset import FUZZY_MAX_EDITS, parse_prefix_query
+        from .queryset import (
+            FUZZY_MAX_EDITS,
+            parse_prefix_query,
+            parse_wildcard_query,
+        )
 
         if self.mode == "prefix":
             lits, prefs = parse_prefix_query(text)
             out = {t for t in lits if self._has_term(t)}
             for p in prefs:
                 out.update(self._expand_prefix(p))
+        elif self.mode == "wildcard":
+            lits, pats = parse_wildcard_query(text)
+            out = {t for t in lits if self._has_term(t)}
+            for p in pats:
+                out.update(self._expand_wildcard(p))
         else:  # fuzzy
             out = set()
             for tok in set(tokenize(text)):
@@ -391,7 +429,7 @@ class Bm25Scorer:
         return sorted(out)
 
     def _score_query_uncached(self, text: str):
-        if self.mode in ("prefix", "fuzzy"):
+        if self.mode in ("prefix", "fuzzy", "wildcard"):
             terms = self._expanded_terms(text)
             if not terms:
                 return [], 0, 0

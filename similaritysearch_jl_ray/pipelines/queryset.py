@@ -240,6 +240,60 @@ def near_queries_dataset():
     return rd.from_items([{"query_id": qid, "text": t} for qid, t in NEAR_QUERIES])
 
 
+# WILDCARD queries (Lucene WildcardQuery): ``*`` matches any run of
+# characters, ``?`` exactly one, anywhere in the token; plain tokens
+# stay literal. The expansion union scores as a BM25 disjunction (the
+# SCORING_BOOLEAN_REWRITE, like prefix/fuzzy). The oracle expands with
+# SQL LIKE (* → %, ? → _) — identical fullmatch semantics.
+WILDCARD_QUERIES: list[tuple[int, str]] = [
+    (0, "m*ge"),              # infix star
+    (1, "*ta"),               # suffix match
+    (2, "s?an"),              # single-char hole
+    (3, "qu*y filter"),       # wildcard + literal
+    (4, "*zzz*"),             # matches nothing
+    (5, "jo?n b?g"),          # two holes
+    (6, "wind*w"),
+]
+
+
+def parse_wildcard_query(text: str) -> tuple[list[str], list[str]]:
+    """(literal_terms, patterns) — whitespace-split; a token containing
+    ``*`` or ``?`` (otherwise [a-z0-9]) is a wildcard pattern, anything
+    else tokenizes literally. Both lists deduped + sorted."""
+    import re
+
+    lits: set[str] = set()
+    pats: set[str] = set()
+    for raw in text.split():
+        low = raw.lower()
+        if re.fullmatch(r"[a-z0-9*?]+", low) and ("*" in low or "?" in low):
+            pats.add(low)
+        else:
+            lits.update(tokenize(raw))
+    return sorted(lits), sorted(pats)
+
+
+def wildcard_queries_dataset():
+    import ray.data as rd
+
+    return rd.from_items([{"query_id": qid, "text": t} for qid, t in WILDCARD_QUERIES])
+
+
+def wildcard_values_sql() -> str:
+    """``(query_id, pat, is_pat)`` VALUES rows: literal terms with
+    is_pat=false, wildcard patterns translated to LIKE syntax
+    (* → %, ? → _) with is_pat=true."""
+    rows = []
+    for qid, text in WILDCARD_QUERIES:
+        lits, pats = parse_wildcard_query(text)
+        for t in lits:
+            rows.append(f"({qid}, '{t}', false)")
+        for p in pats:
+            like = p.replace("*", "%").replace("?", "_")
+            rows.append(f"({qid}, '{like}', true)")
+    return "(VALUES " + ", ".join(rows) + ") AS qw(query_id, pat, is_pat)"
+
+
 # BOOSTED queries (Lucene term boosts): ``term^W`` multiplies that
 # term's BM25 contribution by W (default 1.0); the doc score is the
 # boosted sum. Boost literals are chosen exactly representable in

@@ -760,3 +760,22 @@ def test_boost_scales_each_term(index_dir):
         assert abs(got[d] - want[d]) < 1e-9
     # boost^1 == plain exhaustive, bit-identical
     assert b.score_query("fast^1 merge^1")[0] == ex._score_exhaustive(["fast", "merge"])[0]
+
+
+def test_wildcard_expansion_matches_fnmatch(index_dir):
+    import fnmatch
+
+    scorer = Bm25Scorer(index_dir, k=K, mode="wildcard")
+    vocab = sorted(IndexReader(index_dir).term_dfs())
+    for pat in ["m*ge", "*ta", "s?an", "qu*y", "*zzz*", "jo?n", "wind*w", "*", "d?t?"]:
+        got = scorer._expand_wildcard(pat)
+        want = [t for t in vocab if fnmatch.fnmatchcase(t, pat)]
+        assert got == want, pat
+    # expanded scoring == exhaustive over the same term set
+    ex = Bm25Scorer(index_dir, k=K, mode="exhaustive")
+    from similaritysearch_jl_ray.pipelines.queryset import WILDCARD_QUERIES
+
+    for _, text in WILDCARD_QUERIES:
+        terms = scorer._expanded_terms(text)
+        got = scorer.score_query(text)[0]
+        assert got == (ex._score_exhaustive(terms)[0] if terms else [])
