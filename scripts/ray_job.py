@@ -31,7 +31,12 @@ def main() -> int:
     ap.add_argument("--salt-factor", type=int, default=8)
     ap.add_argument("--queries-out", default=None, help="write top-k results parquet here")
     ap.add_argument("--k", type=int, default=10)
-    ap.add_argument("--mode", default="wand", choices=["wand", "exhaustive", "and"])
+    ap.add_argument(
+        "--mode", default="wand",
+        choices=["wand", "exhaustive", "and", "dismax", "phrase", "near",
+                 "prefix", "fuzzy", "wildcard", "boost"])
+    ap.add_argument("--queries-file", default=None,
+                    help="parquet with (query_id, text); default = the mode's fixture set")
     ap.add_argument("--shards", type=int, default=0,
                     help="serve doc-sharded with this many range-pinned pools")
     ap.add_argument("--lang", default=None, help="field filter: only docs with this lang")
@@ -58,8 +63,21 @@ def main() -> int:
     from similaritysearch_jl_ray.pipelines.build_index import build_index
     from similaritysearch_jl_ray.pipelines.lifecycle import rebuild
     from similaritysearch_jl_ray.pipelines.query import search_to_parquet
-    from similaritysearch_jl_ray.pipelines.queryset import queries_dataset
+    from similaritysearch_jl_ray.pipelines import queryset as qsets
     from similaritysearch_jl_ray.sources.pages import pages_dataset
+
+    def queries_dataset():
+        if args.queries_file:
+            import ray.data as rd
+
+            return rd.read_parquet(args.queries_file)
+        return {
+            "near": qsets.near_queries_dataset,
+            "prefix": qsets.prefix_queries_dataset,
+            "fuzzy": qsets.fuzzy_queries_dataset,
+            "wildcard": qsets.wildcard_queries_dataset,
+            "boost": qsets.boost_queries_dataset,
+        }.get(args.mode, qsets.queries_dataset)()
 
     t0 = time.perf_counter()
     pages = pages_dataset(args.sf_dir, replicate=args.replicate)
