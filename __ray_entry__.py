@@ -161,10 +161,13 @@ def _bm25_expanded(sf_dir: str, mode: str):
 
     from similaritysearch_jl_ray.pipelines.queryset import wildcard_queries_dataset
 
+    from similaritysearch_jl_ray.pipelines.queryset import regexp_queries_dataset
+
     qds = {
         "prefix": prefix_queries_dataset,
         "fuzzy": fuzzy_queries_dataset,
         "wildcard": wildcard_queries_dataset,
+        "regexp": regexp_queries_dataset,
     }[mode]()
     res = search(qds, ensure_index(sf_dir), k=K, mode=mode, concurrency=2).to_pandas()
     res = res[["query_id", "rank", "doc_id", "score"]].astype(
@@ -197,6 +200,13 @@ def _expanded_sql(mode: str) -> str:
             "qx AS (SELECT DISTINCT qw.query_id, df.term FROM qw JOIN df ON"
             " (qw.is_pat AND df.term LIKE qw.pat)"
             " OR (NOT qw.is_pat AND df.term = qw.pat))"
+        )
+    elif mode == "regexp":
+        from similaritysearch_jl_ray.pipelines.queryset import regexp_values_sql
+
+        src = f"qr AS (SELECT * FROM {regexp_values_sql()}),\n" + (
+            "qx AS (SELECT DISTINCT qr.query_id, df.term FROM qr"
+            " JOIN df ON regexp_full_match(df.term, qr.pat))"
         )
     else:
         src = f"qf AS (SELECT * FROM {fuzzy_values_sql()}),\n" + (
@@ -623,6 +633,40 @@ def _facet_lang(sf_dir: str):
     return res.sort_values(["query_id", "lang"]).reset_index(drop=True)
 
 
+def _sort_by_url(sf_dir: str):
+    """Match set ordered by stored url field (Lucene Sort(SortField))
+    — the oracle recomputes the deterministic url from the documents
+    table, so the engine's stored field must agree byte-for-byte."""
+    from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index
+    from similaritysearch_jl_ray.pipelines.facets import field_sorted_search
+
+    res = field_sorted_search(ensure_index(sf_dir), field="url", k=K).to_pandas()
+    res = res.astype({"query_id": "int64", "rank": "int64", "doc_id": "int64"})
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _sort_by_url_sql() -> str:
+    return f"""
+WITH {_TOK_CTES},
+q AS (SELECT * FROM {_queries_sql()}),
+m AS (SELECT DISTINCT q.query_id, tf.doc_id FROM q JOIN tf ON tf.term = q.term),
+u AS (
+  SELECT m.query_id, m.doc_id,
+         'https://' || d.source || '.example.com/' || d.lang || '/'
+           || lpad(d.doc_id::VARCHAR, 8, '0') AS url
+  FROM m JOIN documents d ON d.doc_id = m.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, url,
+         row_number() OVER (PARTITION BY query_id ORDER BY url, doc_id) AS rank
+  FROM u
+)
+SELECT query_id, rank, doc_id, url
+FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
 def _term_vectors(sf_dir: str):
     """Forward term-vectors for a fixed doc set, reconstructed from
     the inverted index (one Ray task per term-hash part)."""
@@ -924,11 +968,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_prefix": lambda sf: _bm25_expanded(sf, "prefix"),
         "bm25_topk_fuzzy": lambda sf: _bm25_expanded(sf, "fuzzy"),
         "bm25_topk_wildcard": lambda sf: _bm25_expanded(sf, "wildcard"),
+        "bm25_topk_regexp": lambda sf: _bm25_expanded(sf, "regexp"),
         "bm25_topk_near": _bm25_near,
         "more_like_this": _bm25_mlt,
         "bm25_topk_paged": _bm25_paged,
         "facet_lang": _facet_lang,
         "term_vectors": _term_vectors,
+        "sort_by_url": _sort_by_url,
         "bm25_topk_merged": _bm25_merged_entry,
         "bm25_topk_highlight": _bm25_highlight,
         "bm25_topk_dismax": _bm25_dismax,
@@ -1088,6 +1134,7 @@ FROM tf JOIN dl ON dl.doc_id = tf.doc_id
         "bm25_topk_prefix": _expanded_sql("prefix"),
         "bm25_topk_fuzzy": _expanded_sql("fuzzy"),
         "bm25_topk_wildcard": _expanded_sql("wildcard"),
+        "bm25_topk_regexp": _expanded_sql("regexp"),
         "bm25_topk_near": _near_sql(),
         "more_like_this": _mlt_sql(),
         "bm25_topk_paged": _bm25_sql(k=2 * K),
@@ -1108,6 +1155,7 @@ ORDER BY doc_id, term
 """,
         # merged two-way index must equal the single-build ranking
         "bm25_topk_merged": _bm25_sql(),
+        "sort_by_url": _sort_by_url_sql(),
         "bm25_topk_highlight": _highlight_sql(),
         "bm25_topk_dismax": _dismax_sql(),
         "bm25_topk_boost": _boost_sql(),

@@ -127,6 +127,94 @@ def facet_counts(
     )
 
 
+class FieldSortScorer:
+    """Actor: top-k of each query's match set ordered by a docmap
+    FIELD instead of relevance — Lucene ``Sort(SortField)``. The field
+    column pins per actor next to the postings; ordering is
+    (field asc, doc_id asc)."""
+
+    def __init__(self, index_dir: str, field: str = "url", k: int = 10):
+        import os
+
+        import pyarrow.dataset as pads
+
+        from .query import Bm25Scorer
+
+        self.k = k
+        self.field = field
+        self.scorer = Bm25Scorer(index_dir, k=1, mode="exhaustive")
+        t = (
+            pads.dataset(os.path.join(index_dir, "docmap"), format="parquet")
+            .to_table(columns=["doc_id", field])
+            .sort_by("doc_id")
+        )
+        self._ids = t["doc_id"].to_numpy().astype(np.int64)
+        self._vals = np.asarray(t[field].to_pylist(), dtype=object)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.text import tokenize
+
+        out = {"query_id": [], "rank": [], "doc_id": [], self.field: []}
+        for qid, text in zip(
+            batch["query_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            terms = sorted(set(tokenize(text)))
+            arrs = [
+                self.scorer._term_arrays(t)[0]
+                for t in terms
+                if self.scorer._has_term(t)
+            ]
+            arrs = [a for a in arrs if len(a)]
+            if not arrs:
+                continue
+            m = np.unique(np.concatenate(arrs))
+            pos = np.searchsorted(self._ids, m)
+            pos_c = np.minimum(pos, len(self._ids) - 1)
+            valid = self._ids[pos_c] == m
+            m, vals = m[valid], self._vals[pos_c[valid]]
+            order = np.lexsort((m, vals))[: self.k]
+            for r, j in enumerate(order, start=1):
+                out["query_id"].append(qid)
+                out["rank"].append(r)
+                out["doc_id"].append(int(m[j]))
+                out[self.field].append(str(vals[j]))
+        return pa.table(
+            {
+                "query_id": pa.array(out["query_id"], type=pa.int64()),
+                "rank": pa.array(out["rank"], type=pa.int64()),
+                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
+                self.field: pa.array(out[self.field], type=pa.string()),
+            }
+        )
+
+
+def field_sorted_search(
+    index_dir: str,
+    field: str = "url",
+    k: int = 10,
+    queries=None,
+    *,
+    concurrency: int | tuple = 2,
+    batch_size: int = 64,
+):
+    """Top-k of each query's match set sorted by a stored field
+    (asc, doc_id tiebreak) instead of BM25 — the Lucene
+    Sort(SortField) collector shape over this engine's docmap."""
+    import ray.data as rd
+
+    from .queryset import REFERENCE_QUERIES
+
+    queries = queries if queries is not None else REFERENCE_QUERIES
+    qds = rd.from_items([{"query_id": q, "text": t} for q, t in queries])
+    return qds.map_batches(
+        FieldSortScorer,
+        fn_constructor_kwargs={"index_dir": index_dir, "field": field, "k": k},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 HIGHLIGHT_SCHEMA = pa.schema(
     [
         ("query_id", pa.int64()),

@@ -422,6 +422,13 @@ class Bm25Scorer:
             out = {t for t in lits if self._has_term(t)}
             for p in pats:
                 out.update(self._expand_wildcard(p))
+        elif self.mode == "regexp":
+            # the whole query text is ONE regex (Lucene RegexpQuery);
+            # dictionary terms that fullmatch it form the expansion
+            import re
+
+            rx = re.compile(text)
+            out = {str(t) for t in self._dictionary() if rx.fullmatch(str(t))}
         else:  # fuzzy
             out = set()
             for tok in set(tokenize(text)):
@@ -429,7 +436,7 @@ class Bm25Scorer:
         return sorted(out)
 
     def _score_query_uncached(self, text: str):
-        if self.mode in ("prefix", "fuzzy", "wildcard"):
+        if self.mode in ("prefix", "fuzzy", "wildcard", "regexp"):
             terms = self._expanded_terms(text)
             if not terms:
                 return [], 0, 0

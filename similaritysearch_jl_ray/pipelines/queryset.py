@@ -294,6 +294,32 @@ def wildcard_values_sql() -> str:
     return "(VALUES " + ", ".join(rows) + ") AS qw(query_id, pat, is_pat)"
 
 
+# REGEXP queries (Lucene RegexpQuery): the query text is ONE regular
+# expression; dictionary terms that FULLMATCH it form the expansion,
+# scored as a BM25 disjunction. Patterns stay inside the
+# Python-re ∩ RE2 common subset so the engine (re.fullmatch) and the
+# oracle (DuckDB regexp_full_match) agree.
+REGEXP_QUERIES: list[tuple[int, str]] = [
+    (0, "mer.*"),
+    (1, "[sd]a.a"),           # character class + hole
+    (2, "jo.n"),
+    (3, "(scan|sort|stream)"),  # alternation
+    (4, "z{3,}.*"),           # matches nothing
+    (5, "[a-z]{3}"),          # every 3-letter term
+]
+
+
+def regexp_queries_dataset():
+    import ray.data as rd
+
+    return rd.from_items([{"query_id": qid, "text": t} for qid, t in REGEXP_QUERIES])
+
+
+def regexp_values_sql() -> str:
+    rows = [f"({qid}, '{pat}')" for qid, pat in REGEXP_QUERIES]
+    return "(VALUES " + ", ".join(rows) + ") AS qr(query_id, pat)"
+
+
 # BOOSTED queries (Lucene term boosts): ``term^W`` multiplies that
 # term's BM25 contribution by W (default 1.0); the doc score is the
 # boosted sum. Boost literals are chosen exactly representable in

@@ -779,3 +779,22 @@ def test_wildcard_expansion_matches_fnmatch(index_dir):
         terms = scorer._expanded_terms(text)
         got = scorer.score_query(text)[0]
         assert got == (ex._score_exhaustive(terms)[0] if terms else [])
+
+
+def test_regexp_expansion_and_scoring(index_dir):
+    import re
+
+    scorer = Bm25Scorer(index_dir, k=K, mode="regexp")
+    vocab = sorted(IndexReader(index_dir).term_dfs())
+    from similaritysearch_jl_ray.pipelines.queryset import REGEXP_QUERIES
+
+    ex = Bm25Scorer(index_dir, k=K, mode="exhaustive")
+    nonempty = 0
+    for _, pat in REGEXP_QUERIES:
+        want_terms = [t for t in vocab if re.fullmatch(pat, t)]
+        got_terms = scorer._expanded_terms(pat)
+        assert got_terms == want_terms, pat
+        got = scorer.score_query(pat)[0]
+        assert got == (ex._score_exhaustive(want_terms)[0] if want_terms else [])
+        nonempty += bool(got)
+    assert nonempty >= 4

@@ -114,3 +114,29 @@ def test_highlight_anchor_matches_corpus_scan(ray_session, index_dir, corpus):
         )
         want = min(i for i, t in enumerate(toks) if t in qterms)
         assert int(row.first_pos) == want, (row.query_id, row.doc_id)
+
+
+def test_field_sorted_search_matches_brute(ray_session, index_dir, corpus):
+    from similaritysearch_jl_ray.pipelines.facets import field_sorted_search
+    from similaritysearch_jl_ray.sources.pages import page_url
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet")
+    meta = {
+        int(d): (src, lg)
+        for d, src, lg in zip(
+            t["doc_id"].to_pylist(), t["source"].to_pylist(), t["lang"].to_pylist()
+        )
+    }
+    res = field_sorted_search(index_dir, field="url", k=5).to_pandas()
+    assert len(res)
+    for qid, grp in res.groupby("query_id"):
+        text = dict(REFERENCE_QUERIES)[int(qid)]
+        qterms = set(tokenize(text))
+        matched = [
+            d for d, (tx, _) in corpus.items() if qterms & set(tokenize(tx))
+        ]
+        want = sorted(
+            ((page_url(meta[d][0], meta[d][1], d), d) for d in matched)
+        )[:5]
+        got = list(zip(grp["url"], grp["doc_id"]))
+        assert got == [(u, d) for u, d in want], qid
