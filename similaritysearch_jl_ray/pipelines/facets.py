@@ -77,7 +77,7 @@ class FacetCounter:
             batch["query_id"].to_pylist(), batch["text"].to_pylist()
         ):
             m = self._match_set(text)
-            if not len(m):
+            if not len(m) or not len(self._ids):
                 continue
             pos = np.searchsorted(self._ids, m)
             pos_c = np.minimum(pos, len(self._ids) - 1)
@@ -165,7 +165,7 @@ class FieldSortScorer:
                 if self.scorer._has_term(t)
             ]
             arrs = [a for a in arrs if len(a)]
-            if not arrs:
+            if not arrs or not len(self._ids):
                 continue
             m = np.unique(np.concatenate(arrs))
             pos = np.searchsorted(self._ids, m)
