@@ -989,6 +989,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_clusters": lambda sf: dedup.dedup_clusters(
             sf, tau=0.5, n=3, edge_source="ngram", max_df=None
         ),
+        "decontaminate": lambda sf: dedup.decontaminate(sf, n=3, min_shared=2),
         "minhash_lsh_pairs": lambda sf: dedup.minhash_lsh_pairs(sf, tau=0.5, n=3),
         "simhash_pairs": lambda sf: dedup.simhash_pairs(sf, max_hamming=3),
         "embedding_neardup_pairs": lambda sf: dedup.embedding_neardup_pairs(sf, tau=0.3),
@@ -1164,6 +1165,20 @@ ORDER BY doc_id, term
             "SELECT min(doc_id)::BIGINT AS keeper_doc_id, count(*)::BIGINT AS group_size"
             " FROM documents GROUP BY text"
         ),
+        "decontaminate": f"""
+WITH {_GRAMS_CTE},
+ev AS (SELECT doc_id, gram FROM grams WHERE doc_id % 97 = 0),
+tr AS (SELECT doc_id, gram FROM grams WHERE doc_id % 97 <> 0),
+ov AS (
+  SELECT tr.doc_id AS train_doc_id, ev.doc_id AS eval_doc_id,
+         count(*)::BIGINT AS shared_ngrams
+  FROM tr JOIN ev ON tr.gram = ev.gram
+  GROUP BY 1, 2
+)
+SELECT train_doc_id, eval_doc_id, shared_ngrams
+FROM ov WHERE shared_ngrams >= 2
+ORDER BY train_doc_id, eval_doc_id
+""",
         "ngram_jaccard_pairs": f"""
 WITH {_GRAMS_CTE},
 sizes AS (SELECT doc_id, count(*)::BIGINT AS sz FROM grams GROUP BY doc_id),

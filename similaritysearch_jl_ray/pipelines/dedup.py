@@ -586,3 +586,89 @@ def embedding_neardup_pairs(sf_dir: str, tau: float = 0.3):
         )
 
     return emb.map_batches(sims, batch_format="pyarrow", batch_size=256)
+
+
+# ---------------------------------------------------------------------------
+def decontaminate(
+    sf_dir: str, n: int = 3, min_shared: int = 5, eval_mod: int = 97
+):
+    """Benchmark decontamination: (train_doc_id, eval_doc_id,
+    shared_ngrams) for every train doc sharing ≥ ``min_shared``
+    distinct token n-gram shingles with an eval-set doc (here the
+    deterministic holdout ``doc_id % eval_mod == 0``).
+
+    Scale shape — the canonical broadcast-small decontamination join:
+    the eval set is tiny relative to the corpus, so ONE Ray task
+    shingles it (text fetched by a pushdown ``doc_id IN`` read, never
+    a scan) into a sorted (shingle, eval_doc) probe table held in the
+    object store; the training corpus then STREAMS through
+    ``map_batches``, each batch probing with searchsorted — no
+    all-to-all shuffle, no pair blowup, counts complete in-batch
+    because a train doc lives in exactly one batch. Same shingle
+    universe as :func:`ngram_jaccard_pairs` (hashed distinct n-grams,
+    whole-text gram for short docs) — the DuckDB oracle rebuilds it
+    relationally and must agree exactly."""
+    import ray
+
+    @ray.remote
+    def _eval_probe(sf_dir: str, n: int, eval_mod: int):
+        import pyarrow.parquet as pq
+
+        ids = pq.read_table(
+            f"{sf_dir}/documents.parquet", columns=["doc_id"]
+        )["doc_id"].to_numpy()
+        ev_ids = sorted(int(d) for d in ids if d % eval_mod == 0)
+        t = pq.read_table(
+            f"{sf_dir}/documents.parquet",
+            columns=["doc_id", "text"],
+            filters=[("doc_id", "in", ev_ids)],
+        )
+        sh_l, dc_l = [], []
+        for d, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+            sh = shingle_hashes(tokenize(text), n=n).astype(np.int64)
+            sh_l.append(sh)
+            dc_l.append(np.full(len(sh), d, dtype=np.int64))
+        sh = np.concatenate(sh_l) if sh_l else np.empty(0, np.int64)
+        dc = np.concatenate(dc_l) if dc_l else np.empty(0, np.int64)
+        o = np.lexsort((dc, sh))
+        return sh[o], dc[o]
+
+    ref = _eval_probe.remote(sf_dir, n, eval_mod)
+
+    def probe(batch: pa.Table) -> pa.Table:
+        import ray as _ray
+
+        sh_sorted, ev_doc = _ray.get(ref)
+        out_t, out_e, out_c = [], [], []
+        for doc_id, text in zip(
+            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            if doc_id % eval_mod == 0 or not len(sh_sorted):
+                continue
+            sh = shingle_hashes(tokenize(text), n=n).astype(np.int64)
+            lo = np.searchsorted(sh_sorted, sh, side="left")
+            hi = np.searchsorted(sh_sorted, sh, side="right")
+            widths = hi - lo
+            if not widths.any():
+                continue
+            # gather every (shingle hit → eval doc) occurrence; distinct
+            # shingles per doc make the per-eval-doc count = |∩ shingles|
+            tot = int(widths.sum())
+            idx = np.repeat(lo, widths) + (
+                np.arange(tot) - np.repeat(np.cumsum(widths) - widths, widths)
+            )
+            evs, counts = np.unique(ev_doc[idx], return_counts=True)
+            keep = counts >= min_shared
+            for e, c in zip(evs[keep], counts[keep]):
+                out_t.append(doc_id)
+                out_e.append(int(e))
+                out_c.append(int(c))
+        return pa.table(
+            {
+                "train_doc_id": pa.array(out_t, type=pa.int64()),
+                "eval_doc_id": pa.array(out_e, type=pa.int64()),
+                "shared_ngrams": pa.array(out_c, type=pa.int64()),
+            }
+        )
+
+    return _documents(sf_dir).map_batches(probe, batch_format="pyarrow")

@@ -258,3 +258,32 @@ def test_lang_id_deterministic_and_valid(ray_session):
     out = lang_id(SF_DIR).to_pandas()
     assert set(out["pred_lang"]) <= {"en", "es", "fr", "de", "zh"}
     assert len(out) == 500
+
+
+def test_decontaminate_matches_brute(ray_session):
+    """Broadcast-probe result == brute per-pair shingle intersection."""
+    import pyarrow.parquet as pq
+
+    from similaritysearch_jl_ray.functions.hashing import shingle_hashes
+    from similaritysearch_jl_ray.functions.text import tokenize
+    from similaritysearch_jl_ray.pipelines.dedup import decontaminate
+
+    sf = "/root/testdata/sf0.001"
+    got = decontaminate(sf, n=3, min_shared=2).to_pandas()
+    got = got.sort_values(list(got.columns)).reset_index(drop=True)
+    t = pq.read_table(f"{sf}/documents.parquet", columns=["doc_id", "text"])
+    sh = {
+        int(d): set(shingle_hashes(tokenize(tx), n=3).tolist())
+        for d, tx in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+    }
+    ev = [d for d in sh if d % 97 == 0]
+    want = sorted(
+        (tr, e, len(sh[tr] & sh[e]))
+        for tr in sh
+        if tr % 97 != 0
+        for e in ev
+        if len(sh[tr] & sh[e]) >= 2
+    )
+    assert [tuple(r) for r in got.values] == want
+    # a train doc never pairs with itself and eval docs never appear as train
+    assert all(tr % 97 != 0 and e % 97 == 0 for tr, e, _ in want)
