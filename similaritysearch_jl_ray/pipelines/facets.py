@@ -240,20 +240,26 @@ class HighlightScorer:
         self.scorer = Bm25Scorer(index_dir, k=k, mode="exhaustive")
 
     def _anchors(self, terms: list[str], docs: np.ndarray) -> np.ndarray:
-        out = np.full(len(docs), np.iinfo(np.int64).max, dtype=np.int64)
+        # selective decode: only runs containing a hit doc are touched
+        # (k docs per query — position bytes read stay O(hits))
+        order = np.argsort(docs)
+        sd = docs[order]
+        acc = np.full(len(sd), np.iinfo(np.int64).max, dtype=np.int64)
         for t in terms:
             if not self.scorer._has_term(t):
                 continue
-            ids, tfs, pos = self.scorer._term_positions(t)
+            ids, tfs, pos = self.scorer._term_positions_for(t, sd)
             if not len(ids):
                 continue
             offs = np.zeros(len(tfs) + 1, dtype=np.int64)
             np.cumsum(tfs, out=offs[1:])
-            at = np.searchsorted(ids, docs)
+            at = np.searchsorted(ids, sd)
             at_c = np.minimum(at, len(ids) - 1)
-            valid = ids[at_c] == docs
+            valid = ids[at_c] == sd
             firsts = pos[offs[at_c]]
-            np.minimum(out, np.where(valid, firsts, out), out=out)
+            np.minimum(acc, np.where(valid, firsts, acc), out=acc)
+        out = np.empty_like(acc)
+        out[order] = acc
         return out
 
     def __call__(self, batch: pa.Table) -> pa.Table:

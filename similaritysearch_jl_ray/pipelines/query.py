@@ -729,6 +729,79 @@ class Bm25Scorer:
         self._pos_cache[term] = hit
         return hit
 
+    def _and_docs(self, terms: list[str]) -> np.ndarray:
+        """Sorted doc_ids containing EVERY term — the cheap doc-level
+        pre-intersection both positional modes run before touching any
+        position bytes (the scoring arrays are decoded/cached anyway).
+        Inherits doc_range slicing + visibility masks from
+        :meth:`_term_arrays`."""
+        arrs = []
+        for t in terms:
+            ids = self._term_arrays(t)[0]
+            if not len(ids):
+                return np.empty(0, np.int64)
+            arrs.append(ids)
+        arrs.sort(key=len)
+        out = arrs[0]
+        for a in arrs[1:]:
+            at = np.searchsorted(a, out)
+            at_c = np.minimum(at, len(a) - 1)
+            out = out[a[at_c] == out]
+            if not len(out):
+                break
+        return out
+
+    def _term_positions_for(
+        self, term: str, docs: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(doc_ids, tfs, flat_positions) RESTRICTED to the sorted
+        candidate ``docs`` — decodes only runs whose doc span contains
+        a candidate (per-run cache). Salted head terms have doc-range-
+        bounded runs, so a small candidate set skips most position
+        bytes of exactly the terms where that matters; at 100 TB this
+        is what keeps phrase cost ∝ match set, not collection
+        frequency."""
+        if self.reader is None:
+            raise ValueError("positional modes need broadcast=False (reader-backed actors)")
+        if self._allowed is not None:
+            raise ValueError("positional modes do not compose with a lang filter")
+        if not len(docs):
+            e = np.empty(0, np.int64)
+            return e, e, e.copy()
+        from ..state.segment import decode_all, decode_positions
+
+        cache = getattr(self, "_pos_run_cache", None)
+        if cache is None:
+            cache = self._pos_run_cache = {}
+        pi, pt, pp = [], [], []
+        for ri, r in enumerate(self.reader.runs(term)):
+            if not len(r.block_first):
+                continue
+            j = np.searchsorted(docs, int(r.block_first[0]))
+            if j >= len(docs) or docs[j] > int(r.block_last[-1]):
+                continue  # no candidate inside this run's span
+            hit = cache.get((term, ri))
+            if hit is None:
+                ids_r, tfs_r, _ = decode_all(r)
+                pos_r = decode_positions(r, tfs_r)
+                hit = cache[(term, ri)] = (ids_r, tfs_r, pos_r)
+            ids_r, tfs_r, pos_r = hit
+            at = np.searchsorted(docs, ids_r)
+            at_c = np.minimum(at, len(docs) - 1)
+            keep = docs[at_c] == ids_r
+            if keep.all():
+                pi.append(ids_r)
+                pt.append(tfs_r)
+                pp.append(pos_r)
+            elif keep.any():
+                pi.append(ids_r[keep])
+                pt.append(tfs_r[keep])
+                pp.append(pos_r[np.repeat(keep, tfs_r)])
+        if not pi:
+            e = np.empty(0, np.int64)
+            return e, e, e.copy()
+        return np.concatenate(pi), np.concatenate(pt), np.concatenate(pp)
+
     def _score_phrase(self, toks: list[str]) -> tuple[list[tuple[int, float]], int, int]:
         """Positional phrase match + BM25 ranking, index-only.
 
@@ -759,17 +832,18 @@ class Bm25Scorer:
         with phrase leaves of boolean trees."""
         if any(not self._has_term(t) for t in toks):
             return np.empty(0, np.int64), 0
+        # doc-level AND first; position bytes decode only for runs
+        # containing a surviving candidate (_term_positions_for)
+        and_docs = self._and_docs(sorted(set(toks)))
         npost = 0
-        if len(toks) == 1:
-            ids, _, _ = self._term_positions(toks[0])
-            cand = ids
-            npost = len(ids)
+        if len(toks) == 1 or not len(and_docs):
+            return and_docs, int(len(and_docs))
         else:
             # key base: big enough that pos never collides across docs
             maxpos = 0
             streams = []
             for i, t in enumerate(toks):
-                ids, tfs, pos = self._term_positions(t)
+                ids, tfs, pos = self._term_positions_for(t, and_docs)
                 npost += len(ids)
                 streams.append((ids, tfs, pos, i))
                 if len(pos):
@@ -803,18 +877,21 @@ class Bm25Scorer:
         the probe can't cross a doc boundary, so each per-term check is
         one ``searchsorted`` over that term's sorted occurrence keys —
         no per-doc Python, cost O(total_occurrences · T · log)."""
+        and_docs = self._and_docs(terms)
+        if not len(and_docs):
+            return np.empty(0, np.int64), 0
+        if len(terms) == 1:
+            return and_docs, int(len(and_docs))
         streams = []
         npost = 0
         maxpos = 0
         for t in terms:
-            ids, tfs, pos = self._term_positions(t)
+            ids, tfs, pos = self._term_positions_for(t, and_docs)
             if len(ids) == 0:
                 return np.empty(0, np.int64), npost
             npost += len(ids)
             streams.append((ids, tfs, pos))
             maxpos = max(maxpos, int(pos.max()) if len(pos) else 0)
-        if len(terms) == 1:
-            return streams[0][0], npost
         shift = int(maxpos + w + 2).bit_length()
         M = np.uint64(1) << np.uint64(shift)
         keys = [
