@@ -633,6 +633,37 @@ def _facet_lang(sf_dir: str):
     return res.sort_values(["query_id", "lang"]).reset_index(drop=True)
 
 
+def _spell_suggest(sf_dir: str):
+    """Did-you-mean: dictionary terms within Levenshtein 2, ranked
+    (distance, df desc, term), top 3 per token."""
+    from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index
+    from similaritysearch_jl_ray.pipelines.facets import spell_suggest
+
+    return spell_suggest(ensure_index(sf_dir))
+
+
+def _spell_suggest_sql() -> str:
+    from similaritysearch_jl_ray.pipelines.facets import SUGGEST_TOKENS
+
+    vals = ", ".join(f"({q}, '{t}')" for q, t in SUGGEST_TOKENS)
+    return f"""
+WITH {_TOK_CTES},
+qs AS (SELECT * FROM (VALUES {vals}) AS qs(query_id, tok)),
+cand AS (
+  SELECT qs.query_id, df.term, levenshtein(qs.tok, df.term)::BIGINT AS dist, df.df
+  FROM qs JOIN df ON levenshtein(qs.tok, df.term) <= 2
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY query_id ORDER BY dist, df DESC, term) AS rank
+  FROM cand
+)
+SELECT query_id, rank, term, dist, df
+FROM ranked WHERE rank <= 3
+ORDER BY query_id, rank
+"""
+
+
 def _sort_by_url(sf_dir: str):
     """Match set ordered by stored url field (Lucene Sort(SortField))
     — the oracle recomputes the deterministic url from the documents
@@ -975,6 +1006,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "facet_lang": _facet_lang,
         "term_vectors": _term_vectors,
         "sort_by_url": _sort_by_url,
+        "spell_suggest": _spell_suggest,
         "bm25_topk_merged": _bm25_merged_entry,
         "bm25_topk_highlight": _bm25_highlight,
         "bm25_topk_dismax": _bm25_dismax,
@@ -1157,6 +1189,7 @@ ORDER BY doc_id, term
         # merged two-way index must equal the single-build ranking
         "bm25_topk_merged": _bm25_sql(),
         "sort_by_url": _sort_by_url_sql(),
+        "spell_suggest": _spell_suggest_sql(),
         "bm25_topk_highlight": _highlight_sql(),
         "bm25_topk_dismax": _dismax_sql(),
         "bm25_topk_boost": _boost_sql(),

@@ -315,6 +315,86 @@ def highlight_search(
     )
 
 
+SUGGEST_TOKENS: list[tuple[int, str]] = [
+    (0, "mergw"),
+    (1, "streem"),
+    (2, "qurey"),
+    (3, "xyzzzzzy"),   # nothing within distance 2
+    (4, "data"),       # exact dictionary hit suggests itself first
+    (5, "jion"),
+]
+
+
+def spell_suggest(
+    index_dir: str,
+    tokens=None,
+    *,
+    max_edits: int = 2,
+    top: int = 3,
+):
+    """Did-you-mean suggestions (Lucene DirectSpellChecker shape):
+    for each input token, the dictionary terms within ``max_edits``
+    plain Levenshtein, ranked (distance asc, df desc, term asc), top
+    ``top``. One Ray task per term-hash part scans its vocabulary
+    slice (parts partition the dictionary — the same distribution
+    story as :func:`term_vectors`); the global rank is a tiny driver
+    merge over parts × top candidates."""
+    import json
+    import os
+
+    import ray
+
+    toks = tokens if tokens is not None else SUGGEST_TOKENS
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        num_parts = json.load(f)["num_parts"]
+
+    @ray.remote
+    def _part_suggest(d: str, part: int, toks, max_edits: int) -> list:
+        from ..functions.distances import string_distance
+        from ..state.reader import IndexReader
+
+        rdr = IndexReader(d, parts=[part])
+        out = []
+        vocab = sorted(rdr.term_dfs().items())
+        for qid, tok in toks:
+            for term, df in vocab:
+                if abs(len(term) - len(tok)) > max_edits:
+                    continue
+                dist = string_distance(tok, term, "levenshtein")
+                if dist <= max_edits:
+                    out.append((qid, term, int(dist), int(df)))
+        return out
+
+    rows = [
+        r
+        for part_rows in ray.get(
+            [_part_suggest.remote(index_dir, p, toks, max_edits) for p in range(num_parts)]
+        )
+        for r in part_rows
+    ]
+    import pandas as pd
+
+    df = pd.DataFrame(rows, columns=["query_id", "term", "dist", "df"])
+    if not len(df):
+        return pd.DataFrame(
+            {
+                "query_id": pd.Series(dtype="int64"),
+                "rank": pd.Series(dtype="int64"),
+                "term": pd.Series(dtype="object"),
+                "dist": pd.Series(dtype="int64"),
+                "df": pd.Series(dtype="int64"),
+            }
+        )
+    df = df.sort_values(
+        ["query_id", "dist", "df", "term"], ascending=[True, True, False, True]
+    ).reset_index(drop=True)
+    df["rank"] = df.groupby("query_id").cumcount() + 1
+    df = df[df["rank"] <= top].reset_index(drop=True)
+    return df[["query_id", "rank", "term", "dist", "df"]].astype(
+        {"query_id": "int64", "rank": "int64", "dist": "int64", "df": "int64"}
+    )
+
+
 def term_vectors(index_dir: str, doc_ids: list[int]):
     """Forward term-vectors (doc_id, term, tf) for the requested docs,
     reconstructed from the INVERTED index — Lucene TermVectors without

@@ -140,3 +140,26 @@ def test_field_sorted_search_matches_brute(ray_session, index_dir, corpus):
         )[:5]
         got = list(zip(grp["url"], grp["doc_id"]))
         assert got == [(u, d) for u, d in want], qid
+
+
+def test_spell_suggest_matches_brute(ray_session, index_dir):
+    from similaritysearch_jl_ray.functions.distances import string_distance
+    from similaritysearch_jl_ray.pipelines.facets import SUGGEST_TOKENS, spell_suggest
+    from similaritysearch_jl_ray.state.reader import IndexReader
+
+    res = spell_suggest(index_dir)
+    vocab = IndexReader(index_dir).term_dfs()
+    for qid, tok in SUGGEST_TOKENS:
+        cand = sorted(
+            (string_distance(tok, t, "levenshtein"), -df, t)
+            for t, df in vocab.items()
+            if string_distance(tok, t, "levenshtein") <= 2
+        )[:3]
+        got = [
+            (int(r.dist), -int(r.df), r.term)
+            for r in res[res.query_id == qid].itertuples(index=False)
+        ]
+        assert got == cand, tok
+    # exact hit ranks itself first at distance 0
+    first = res[res.query_id == 4].iloc[0]
+    assert first["term"] == "data" and first["dist"] == 0
