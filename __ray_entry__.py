@@ -1055,6 +1055,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "knn_search_ivf": lambda sf: __import__(
             "similaritysearch_jl_ray.pipelines.ivf", fromlist=["knn_search_ivf"]
         ).knn_search_ivf(sf, k=8, n_queries=20, n_centroids=16, nprobe=4),
+        # IVF-PQ: probabilistic candidate selection (recall pinned in
+        # tests); reported distances are exact (refine step) — rows-only
+        "knn_search_ivfpq": lambda sf: __import__(
+            "similaritysearch_jl_ray.pipelines.ivf", fromlist=["knn_search_ivfpq"]
+        ).knn_search_ivfpq(sf, k=8, n_queries=20),
+        "pq_codes": lambda sf: __import__(
+            "similaritysearch_jl_ray.pipelines.ivf", fromlist=["pq_encode_embeddings"]
+        ).pq_encode_embeddings(sf),
         "random_projection": _random_projection_long,
         "quantize_embeddings": lambda sf: __import__(
             "similaritysearch_jl_ray.pipelines.transform", fromlist=["quantize_embeddings"]

@@ -287,3 +287,41 @@ def test_decontaminate_matches_brute(ray_session):
     assert [tuple(r) for r in got.values] == want
     # a train doc never pairs with itself and eval docs never appear as train
     assert all(tr % 97 != 0 and e % 97 == 0 for tr, e, _ in want)
+
+
+def test_ivfpq_recall_and_encoding(ray_session):
+    """PQ codes round-trip sanely and IVF-PQ with exact refine tracks
+    the plain-IVF recall ceiling (ADC candidate selection loses almost
+    nothing; the only approximation left is the coarse probe)."""
+    import numpy as np
+
+    from similaritysearch_jl_ray.pipelines.ann import knn_search
+    from similaritysearch_jl_ray.pipelines.ivf import (
+        knn_search_ivfpq,
+        pq_encode,
+        pq_encode_embeddings,
+        pq_train,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    gold = knn_search(sf, k=8, n_queries=20).to_pandas()
+    approx = knn_search_ivfpq(sf, k=8, n_queries=20)
+    rec = []
+    for qid in sorted(set(gold["query_id"])):
+        a = set(approx[approx.query_id == qid]["vec_id"])
+        g = set(gold[gold.query_id == qid]["vec_id"])
+        rec.append(len(a & g) / len(g))
+    assert np.mean(rec) >= 0.7, np.mean(rec)
+    # reported distances are TRUE distances (exact refine): every
+    # (query, vec) pair's dist equals the gold dist where both appear
+    merged = approx.merge(gold, on=["query_id", "vec_id"], suffixes=("_a", "_g"))
+    assert len(merged) and (abs(merged["dist_a"] - merged["dist_g"]) < 1e-9).all()
+    # stored-code pipeline: 8 bytes per 64-dim vector, codes in range
+    codes = pq_encode_embeddings(sf).to_pandas()
+    assert len(codes) == 500 and all(len(c) == 8 for c in codes["code"])
+    # encode is the argmin of the trained books (self-consistency)
+    rng = np.random.default_rng(7)
+    mat = rng.normal(size=(64, 16))
+    books = pq_train(mat, m=4, n_codes=8)
+    c = pq_encode(mat, books)
+    assert c.shape == (64, 4) and c.max() < 8
