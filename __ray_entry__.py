@@ -622,6 +622,43 @@ def _bm25_merged_entry(sf_dir: str):
     return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _pack_documents(sf_dir: str):
+    """Next-fit token-budget packing per doc-id shard (LLM context-
+    window packing); the oracle replays the recursion in SQL."""
+    from similaritysearch_jl_ray.pipelines.packing import pack_documents
+
+    res = pack_documents(sf_dir, budget=512, shard_size=1000).to_pandas()
+    res = res.astype(
+        {c: "int64" for c in ("doc_id", "shard", "bin_id", "tokens", "fill")}
+    )
+    return res.sort_values("doc_id").reset_index(drop=True)
+
+
+_PACK_SQL = """
+WITH RECURSIVE
+dl AS (
+  SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS t
+  FROM documents
+),
+docs AS (SELECT doc_id, doc_id // 1000 AS shard, t FROM dl),
+seqd AS (
+  SELECT *, row_number() OVER (PARTITION BY shard ORDER BY doc_id) AS seq FROM docs
+),
+pack AS (
+  SELECT shard, seq, doc_id, t, 0::BIGINT AS bin_id, t AS fill
+  FROM seqd WHERE seq = 1
+  UNION ALL
+  SELECT s.shard, s.seq, s.doc_id, s.t,
+         CASE WHEN p.fill > 0 AND p.fill + s.t > 512 THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.fill > 0 AND p.fill + s.t > 512 THEN s.t ELSE p.fill + s.t END
+  FROM pack p JOIN seqd s ON s.shard = p.shard AND s.seq = p.seq + 1
+)
+SELECT doc_id, shard, bin_id, t AS tokens, fill
+FROM pack
+ORDER BY doc_id
+"""
+
+
 def _facet_lang(sf_dir: str):
     """Facet counts: the disjunction match set of each reference query
     grouped by docmap lang (Lucene terms-aggregation-on-a-filter)."""
@@ -1007,6 +1044,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_vectors": _term_vectors,
         "sort_by_url": _sort_by_url,
         "spell_suggest": _spell_suggest,
+        "pack_documents": _pack_documents,
         "bm25_topk_merged": _bm25_merged_entry,
         "bm25_topk_highlight": _bm25_highlight,
         "bm25_topk_dismax": _bm25_dismax,
@@ -1198,6 +1236,7 @@ ORDER BY doc_id, term
         "bm25_topk_merged": _bm25_sql(),
         "sort_by_url": _sort_by_url_sql(),
         "spell_suggest": _spell_suggest_sql(),
+        "pack_documents": _PACK_SQL,
         "bm25_topk_highlight": _highlight_sql(),
         "bm25_topk_dismax": _dismax_sql(),
         "bm25_topk_boost": _boost_sql(),

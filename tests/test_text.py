@@ -94,3 +94,21 @@ def test_batch_token_counts_positions_and_arrow_input():
     chunked = pa.chunked_array([texts[:20], texts[20:]], type=pa.string())
     for a, b in zip((doc_idx, terms, tfs, doclens, pos), batch_token_counts(chunked, True)):
         assert np.array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_pack_documents_invariants(ray_session):
+    """Next-fit packing: bins never exceed the budget except single
+    oversize docs; bin ids are contiguous per shard; every doc packs
+    exactly once; fill replays the running totals."""
+    from similaritysearch_jl_ray.pipelines.packing import pack_documents
+
+    res = pack_documents("/root/testdata/sf0.001", budget=512, shard_size=1000).to_pandas()
+    res = res.sort_values("doc_id").reset_index(drop=True)
+    assert len(res) == 500 and res["doc_id"].is_unique
+    for (_, _), grp in res.groupby(["shard", "bin_id"]):
+        total = grp["tokens"].sum()
+        assert total <= 512 or len(grp) == 1
+        assert grp["fill"].iloc[-1] == total  # running total ends at bin total
+    for _, grp in res.groupby("shard"):
+        b = grp.sort_values("doc_id")["bin_id"].to_numpy()
+        assert b[0] == 0 and (np.diff(b) >= 0).all() and (np.diff(b) <= 1).all()
