@@ -1045,6 +1045,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sort_by_url": _sort_by_url,
         "spell_suggest": _spell_suggest,
         "pack_documents": _pack_documents,
+        "domain_balance": lambda sf: __import__(
+            "similaritysearch_jl_ray.pipelines.setops", fromlist=["domain_balance"]
+        ).domain_balance(sf, cap=15),
         "bm25_topk_merged": _bm25_merged_entry,
         "bm25_topk_highlight": _bm25_highlight,
         "bm25_topk_dismax": _bm25_dismax,
@@ -1237,6 +1240,11 @@ ORDER BY doc_id, term
         "sort_by_url": _sort_by_url_sql(),
         "spell_suggest": _spell_suggest_sql(),
         "pack_documents": _PACK_SQL,
+        "domain_balance": (
+            "SELECT doc_id, source FROM documents "
+            "QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 15 "
+            "ORDER BY doc_id"
+        ),
         "bm25_topk_highlight": _highlight_sql(),
         "bm25_topk_dismax": _dismax_sql(),
         "bm25_topk_boost": _boost_sql(),

@@ -125,3 +125,26 @@ def docs_setops(sf_dir: str, lang: str = "en", token: str = "data"):
         )
 
     return dataset_set_flags(a, b, "doc_id").map_batches(emit, batch_format="pyarrow")
+
+
+def domain_balance(sf_dir: str, cap: int = 15):
+    """(doc_id, source) — at most ``cap`` docs per source, lowest
+    doc_id first: the deterministic domain-balancing step of a
+    training-data mixture (down-weights over-represented sources).
+    One group task per source; at scale sources are the natural
+    partition key and the cap applies within each partition without
+    any global coordination."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data as rd
+
+    docs = rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "source"]
+    )
+
+    def head(group: pa.Table) -> pa.Table:
+        ids = group["doc_id"].to_numpy()
+        order = np.argsort(ids)[:cap]
+        return group.take(order)
+
+    return docs.groupby("source").map_groups(head, batch_format="pyarrow")
