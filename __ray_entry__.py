@@ -443,7 +443,10 @@ def _merged_index(sf_dir: str) -> str:
     from similaritysearch_jl_ray.sources.pages import pages_from_documents
 
     out = cached_index_dir(sf_dir) + "_merged"
-    marker = os.path.join(out, "stats.json")
+    # explicit done-marker written AFTER the merge completes —
+    # stats.json appears at copytree time, so an interrupted merge
+    # must not be cached as complete
+    marker = os.path.join(out, "_merge_done")
     if os.path.exists(marker):
         return out
     from similaritysearch_jl_ray.pipelines.build_index import build_index
@@ -466,6 +469,8 @@ def _merged_index(sf_dir: str) -> str:
     merge_indexes(a, b, out)
     for d in (a, b):
         shutil.rmtree(d, ignore_errors=True)
+    with open(marker, "w") as f:
+        f.write("ok")
     return out
 
 

@@ -103,14 +103,10 @@ def main() -> int:
         if args.shards > 0:
             from similaritysearch_jl_ray.pipelines.query import sharded_search
 
-            if args.cache_size:
-                # sharded actors are doc-range pinned; a per-actor result
-                # LRU is not plumbed there — fail loudly over silently
-                # ignoring the flag
-                raise SystemExit("--cache-size is not supported with --shards")
             sharded_search(
                 queries_dataset(), args.index_dir, k=args.k,
                 n_shards=args.shards, mode=args.mode, lang=args.lang,
+                cache_size=args.cache_size,
             ).write_parquet(args.queries_out, compression="zstd")
         else:
             search_to_parquet(

@@ -38,6 +38,9 @@ def _group_type_window(etype_col, wstart: np.ndarray, vals: np.ndarray):
     order (deterministic)."""
     enc = etype_col.combine_chunks().dictionary_encode()
     codes = enc.indices.to_numpy().astype(np.int64)
+    if not len(codes):  # empty block: bounds would be [0, 1] vs size-0 order
+        e = np.empty(0, np.int64)
+        return enc.dictionary.take(pa.array(e)), e, e, np.empty(0, np.float64)
     order = np.lexsort((wstart, codes))
     c_s, w_s = codes[order], wstart[order]
     bounds = np.flatnonzero(np.r_[True, (c_s[1:] != c_s[:-1]) | (w_s[1:] != w_s[:-1]), True])
@@ -152,6 +155,13 @@ def late_event_stats(sf_dir: str, watermark_s: int = 7200):
         epoch = pc.cast(b["ts"], pa.int64()).to_numpy() // 1_000_000
         enc = b["event_type"].combine_chunks().dictionary_encode()
         codes = enc.indices.to_numpy().astype(np.int64)
+        if not len(codes):  # reduceat on an empty array raises
+            return pa.table(
+                {
+                    "event_type": enc.dictionary.take(pa.array([], type=pa.int64())),
+                    "mx": pa.array([], type=pa.int64()),
+                }
+            )
         order = np.argsort(codes, kind="stable")
         c_s = codes[order]
         bounds = np.flatnonzero(np.r_[True, c_s[1:] != c_s[:-1]])

@@ -13,6 +13,8 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
+from ..functions.arrays import in_sorted
+
 FACET_SCHEMA = pa.schema(
     [
         ("query_id", pa.int64()),
@@ -79,9 +81,7 @@ class FacetCounter:
             m = self._match_set(text)
             if not len(m) or not len(self._ids):
                 continue
-            pos = np.searchsorted(self._ids, m)
-            pos_c = np.minimum(pos, len(self._ids) - 1)
-            valid = self._ids[pos_c] == m
+            pos_c, valid = in_sorted(self._ids, m)
             counts = np.bincount(
                 self._codes[pos_c[valid]], minlength=len(self._values)
             )
@@ -168,9 +168,7 @@ class FieldSortScorer:
             if not arrs or not len(self._ids):
                 continue
             m = np.unique(np.concatenate(arrs))
-            pos = np.searchsorted(self._ids, m)
-            pos_c = np.minimum(pos, len(self._ids) - 1)
-            valid = self._ids[pos_c] == m
+            pos_c, valid = in_sorted(self._ids, m)
             m, vals = m[valid], self._vals[pos_c[valid]]
             order = np.lexsort((m, vals))[: self.k]
             for r, j in enumerate(order, start=1):
@@ -253,9 +251,7 @@ class HighlightScorer:
                 continue
             offs = np.zeros(len(tfs) + 1, dtype=np.int64)
             np.cumsum(tfs, out=offs[1:])
-            at = np.searchsorted(ids, sd)
-            at_c = np.minimum(at, len(ids) - 1)
-            valid = ids[at_c] == sd
+            at_c, valid = in_sorted(ids, sd)
             firsts = pos[offs[at_c]]
             np.minimum(acc, np.where(valid, firsts, acc), out=acc)
         out = np.empty_like(acc)
@@ -419,20 +415,30 @@ def term_vectors(index_dir: str, doc_ids: list[int]):
     @ray.remote
     def _part_vectors(d: str, part: int, tg: np.ndarray) -> pa.Table:
         from ..state.reader import IndexReader
+        from ..state.segment import decode_blocks
 
         rdr = IndexReader(d, parts=[part])
         out_d, out_t, out_f = [], [], []
         for term in sorted(rdr.term_dfs()):
-            ids, tfs, _ = rdr.postings(term)
-            if not len(ids):
-                continue
-            pos = np.searchsorted(ids, tg)
-            pos_c = np.minimum(pos, len(ids) - 1)
-            valid = ids[pos_c] == tg
-            for j in np.flatnonzero(valid):
-                out_d.append(int(tg[j]))
-                out_t.append(term)
-                out_f.append(int(tfs[pos_c[j]]))
+            for r in rdr.runs(term):
+                if not len(r.block_first):
+                    continue
+                lo, hi = int(r.block_first[0]), int(r.block_last[-1])
+                j = np.searchsorted(tg, lo)
+                if j >= len(tg) or tg[j] > hi:
+                    continue  # run span holds no requested doc
+                sub = tg[(tg >= lo) & (tg <= hi)]
+                bi = np.searchsorted(r.block_first, sub, side="right") - 1
+                ok = (bi >= 0) & (r.block_last[np.maximum(bi, 0)] >= sub)
+                bidx = np.unique(bi[ok])
+                if not len(bidx):
+                    continue  # only blocks containing a target decode
+                ids, tfs, _ = decode_blocks(r, bidx)
+                at_c, valid = in_sorted(ids, sub)
+                for jj in np.flatnonzero(valid):
+                    out_d.append(int(sub[jj]))
+                    out_t.append(term)
+                    out_f.append(int(tfs[at_c[jj]]))
         return pa.table(
             {
                 "doc_id": pa.array(out_d, type=pa.int64()),

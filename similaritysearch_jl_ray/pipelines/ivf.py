@@ -174,7 +174,8 @@ def pq_encode_embeddings(sf_dir: str, m: int = 8, n_codes: int = 16):
         _, sample = _read_matrix(d, max_vec_id=cap)
         return pq_train(sample, m=m, n_codes=nc)
 
-    ref = ray.put(ray.get(_train.remote(sf_dir, m, n_codes, 65536)))
+    # the task's ObjectRef IS the broadcast — no driver round-trip
+    ref = _train.remote(sf_dir, m, n_codes, 65536)
 
     def encode(batch: pa.Table) -> pa.Table:
         import ray as _ray

@@ -194,6 +194,10 @@ def compact_deltas(index_dir: str) -> dict:
         src = os.path.join(d, "docmap")
         if os.path.isdir(src):
             for name in os.listdir(src):
+                if name.startswith(("_", ".")):
+                    continue  # markers (_SUCCESS): renaming one to a
+                    # non-hidden name would crash every later pyarrow
+                    # dataset discovery over the docmap dir
                 os.rename(os.path.join(src, name), os.path.join(docmap_dir, f"delta{di}_{name}"))
     merged = dict(base_stats)
     merged.update(

@@ -41,6 +41,7 @@ import numpy as np
 import pyarrow as pa
 
 from ..config import DEFAULT_BM25, Bm25Params
+from ..functions.arrays import in_sorted
 from ..functions.bm25 import tf_norm
 from ..functions.text import tokenize
 from ..functions.topk import TopK, topk_indices
@@ -502,17 +503,10 @@ class Bm25Scorer:
             b = np.searchsorted(ids, hi, side="left")
             ids, partial = ids[a:b], partial[a:b]
         if self._allowed is not None and len(ids):
-            if len(self._allowed) == 0:
-                ids, partial = ids[:0], partial[:0]
-            else:
-                pos = np.searchsorted(self._allowed, ids)
-                pos_c = np.minimum(pos, len(self._allowed) - 1)
-                keep = self._allowed[pos_c] == ids
-                ids, partial = ids[keep], partial[keep]
+            _, keep = in_sorted(self._allowed, ids)
+            ids, partial = ids[keep], partial[keep]
         if self._deleted is not None and len(ids):
-            pos = np.searchsorted(self._deleted, ids)
-            pos_c = np.minimum(pos, len(self._deleted) - 1)
-            drop = self._deleted[pos_c] == ids
+            _, drop = in_sorted(self._deleted, ids)
             if drop.any():
                 ids, partial = ids[~drop], partial[~drop]
         self._scores_cache[term] = (ids, partial)
@@ -718,9 +712,7 @@ class Bm25Scorer:
             np.cumsum(tfs, out=offs[1:])
             ids, tfs, pos = ids[a:b], tfs[a:b], pos[offs[a] : offs[b]]
         if self._deleted is not None and len(ids):
-            di = np.searchsorted(self._deleted, ids)
-            di_c = np.minimum(di, len(self._deleted) - 1)
-            drop = self._deleted[di_c] == ids
+            _, drop = in_sorted(self._deleted, ids)
             if drop.any():
                 keep = ~drop
                 pos = pos[np.repeat(keep, tfs)]
@@ -744,9 +736,7 @@ class Bm25Scorer:
         arrs.sort(key=len)
         out = arrs[0]
         for a in arrs[1:]:
-            at = np.searchsorted(a, out)
-            at_c = np.minimum(at, len(a) - 1)
-            out = out[a[at_c] == out]
+            out = out[in_sorted(a, out)[1]]
             if not len(out):
                 break
         return out
@@ -786,9 +776,7 @@ class Bm25Scorer:
                 pos_r = decode_positions(r, tfs_r)
                 hit = cache[(term, ri)] = (ids_r, tfs_r, pos_r)
             ids_r, tfs_r, pos_r = hit
-            at = np.searchsorted(docs, ids_r)
-            at_c = np.minimum(at, len(docs) - 1)
-            keep = docs[at_c] == ids_r
+            _, keep = in_sorted(docs, ids_r)
             if keep.all():
                 pi.append(ids_r)
                 pt.append(tfs_r)
@@ -1079,9 +1067,7 @@ class Bm25Scorer:
             ids_d, part_d = self._term_arrays(t)
             if len(ids_d) == 0:
                 continue
-            pos = np.searchsorted(ids_d, cand)
-            pos_c = np.minimum(pos, len(ids_d) - 1)
-            valid = ids_d[pos_c] == cand
+            pos_c, valid = in_sorted(ids_d, cand)
             exact += np.where(valid, part_d[pos_c], 0.0)
         return exact
 
@@ -1118,9 +1104,7 @@ class Bm25Scorer:
             ids_d, part_d = self._term_arrays(t)
             if len(ids_d) == 0:
                 continue
-            pos = np.searchsorted(ids_d, cand)
-            pos_c = np.minimum(pos, len(ids_d) - 1)
-            valid = ids_d[pos_c] == cand
+            pos_c, valid = in_sorted(ids_d, cand)
             approx += np.where(valid, part_d[pos_c], 0.0)
             mx_all += self._pmax(t)
         if mx_dense == 0.0:
@@ -1458,6 +1442,7 @@ def search(
                 concurrency=concurrency,
                 batch_size=batch_size,
                 lang=lang,
+                cache_size=cache_size,
             )
         broadcast = True
     if mode in ("phrase", "near"):
@@ -1509,6 +1494,7 @@ def sharded_search(
     batch_size: int = 64,
     num_cpus: float | None = None,
     lang: str | None = None,
+    cache_size: int = 0,
 ):
     """Doc-sharded serving — the default large-index path (SURVEY.md
     §7): one actor pool per doc-id shard, each actor constructed with
@@ -1546,6 +1532,7 @@ def sharded_search(
                     "mode": mode,
                     "doc_range": (lo, hi),
                     **({"lang": lang} if lang is not None else {}),
+                    **({"cache_size": cache_size} if cache_size else {}),
                 },
                 batch_format="pyarrow",
                 batch_size=batch_size,
@@ -1810,7 +1797,9 @@ def paged_search(
     )
     pages = [page]
     for pno in range(1, n_pages):
-        full = pages[-1][pages[-1]["rank"] == k]  # only full pages continue
+        # only FULL previous pages continue; the previous page's last
+        # global rank is pno*k (local rank k shifted by its page index)
+        full = pages[-1][pages[-1]["rank"] == pno * k]
         if not len(full):
             break
         items = [

@@ -798,3 +798,19 @@ def test_regexp_expansion_and_scoring(index_dir):
         assert got == (ex._score_exhaustive(want_terms)[0] if want_terms else [])
         nonempty += bool(got)
     assert nonempty >= 4
+
+
+def test_paged_search_three_pages(ray_session, index_dir):
+    """n_pages=3 tiles ranks 1..3k (the page-2 continuation regression:
+    the full-page check must track the previous page's GLOBAL rank)."""
+    from similaritysearch_jl_ray.pipelines.query import paged_search
+
+    res = paged_search(index_dir, k=5, n_pages=3)
+    big = Bm25Scorer(index_dir, k=15, mode="exhaustive")
+    for qid, text in REFERENCE_QUERIES:
+        want = big.score_query(text)[0]
+        got = res[res.query_id == qid]
+        assert list(got["rank"]) == list(range(1, len(got) + 1))
+        assert [(d, s) for d, s in zip(got["doc_id"], got["score"])] == want[: len(got)]
+        if len(want) >= 15:
+            assert len(got) == 15  # page 3 actually happened

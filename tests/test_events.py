@@ -55,3 +55,19 @@ def test_late_event_stats_invariants(ray_session):
     assert (none_late["n_late"] == 0).all()
     assert (none_late["n_total"].sort_values().to_numpy()
             == out["n_total"].sort_values().to_numpy()).all()
+
+
+def test_event_kernels_handle_empty_batches(ray_session):
+    """Empty Arrow blocks (filtered upstream, empty files) must not
+    crash the vectorized pre-aggregation kernels."""
+    import pyarrow as pa
+
+    from similaritysearch_jl_ray.pipelines.events import _group_type_window
+
+    empty = pa.table(
+        {"event_type": pa.array([], type=pa.string())}
+    )["event_type"]
+    types, ws, n, sv = _group_type_window(
+        empty, np.empty(0, np.int64), np.empty(0, np.float64)
+    )
+    assert len(types) == 0 and len(ws) == 0 and len(n) == 0 and len(sv) == 0

@@ -348,3 +348,27 @@ def test_merge_indexes_renumber_and_guards(ray_session, tmp_path):
     delete_docs(a, [3])
     with pytest.raises(ValueError, match="tombstones"):
         merge_indexes(a, b, str(tmp_path / "y"), renumber=True)
+
+
+def test_docmap_readable_after_compaction(ray_session, tmp_path):
+    """Compaction folds delta docmaps into the base docmap dir; marker
+    files (_SUCCESS) must not be renamed into discoverable names —
+    a lang-filtered search after auto-compaction exercises the read."""
+    from similaritysearch_jl_ray.pipelines.lifecycle import compact_deltas
+
+    d = str(tmp_path / "idx")
+    build_index(_pages_slice(ray_session, 0, 300), d, num_parts=4, salt_factor=3)
+    append_pages(_pages_slice(ray_session, 300, 500), d, max_deltas=None)
+    compact_deltas(d)
+    import os
+
+    assert not any(
+        "_SUCCESS" in n and not n.startswith(("_", "."))
+        for n in os.listdir(os.path.join(d, "docmap"))
+    )
+    a = Bm25Scorer(d, k=10, mode="exhaustive", lang="en")
+    full = str(tmp_path / "full")
+    build_index(pages_dataset(SF_DIR), full, num_parts=4, salt_factor=3)
+    b = Bm25Scorer(full, k=10, mode="exhaustive", lang="en")
+    for _, text in REFERENCE_QUERIES[:6]:
+        assert a.score_query(text)[0] == b.score_query(text)[0]
