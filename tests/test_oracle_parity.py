@@ -67,9 +67,13 @@ def test_every_query_has_result_and_parity(entry_mod):
     con = _oracle_con(SF_DIR)
     assert set(sqls) <= set(qs)
     for name, fn in qs.items():
-        got = _normalize(fn(SF_DIR))
+        out = fn(SF_DIR)
         if name in sqls:
+            got = _normalize(out)
             want = _normalize(con.execute(sqls[name]).fetchdf())
             _compare(name, got, want)
         else:
-            assert len(got) >= 0  # rows-only check
+            # rows-only check — no sort: list-typed columns (pq codes)
+            # don't order in pandas, and the driver doesn't sort these
+            df = out if isinstance(out, pd.DataFrame) else out.to_pandas()
+            assert len(df) >= 0
