@@ -147,4 +147,24 @@ def domain_balance(sf_dir: str, cap: int = 15):
         order = np.argsort(ids)[:cap]
         return group.take(order)
 
-    return docs.groupby("source").map_groups(head, batch_format="pyarrow")
+    # in-batch combiner: each block keeps at most cap rows per source
+    # BEFORE the shuffle, so a hot source's group holds ≤ cap·n_blocks
+    # rows instead of the whole domain — the top-k-by-group pre-agg
+    def precap(batch: pa.Table) -> pa.Table:
+        if not batch.num_rows:
+            return batch
+        src = batch["source"].combine_chunks().dictionary_encode()
+        codes = src.indices.to_numpy().astype(np.int64)
+        ids = batch["doc_id"].to_numpy()
+        order = np.lexsort((ids, codes))
+        c_s = codes[order]
+        seq = np.arange(len(c_s)) - np.maximum.accumulate(
+            np.where(np.r_[True, c_s[1:] != c_s[:-1]], np.arange(len(c_s)), 0)
+        )
+        return batch.take(order[seq < cap])
+
+    return (
+        docs.map_batches(precap, batch_format="pyarrow")
+        .groupby("source")
+        .map_groups(head, batch_format="pyarrow")
+    )
