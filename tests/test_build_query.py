@@ -814,3 +814,42 @@ def test_paged_search_three_pages(ray_session, index_dir):
         assert [(d, s) for d, s in zip(got["doc_id"], got["score"])] == want[: len(got)]
         if len(want) >= 15:
             assert len(got) == 15  # page 3 actually happened
+
+
+def test_new_modes_shard_cleanly(ray_session, index_dir):
+    """dismax / boost / near serve rank- and score-identically through
+    doc-sharded pools (each doc's score computes wholly inside one
+    shard for every mode; the heap merge is order-independent)."""
+    import ray.data as rd
+
+    from similaritysearch_jl_ray.pipelines.query import sharded_search
+    from similaritysearch_jl_ray.pipelines.queryset import (
+        BOOST_QUERIES,
+        NEAR_QUERIES,
+    )
+
+    cases = [
+        ("dismax", REFERENCE_QUERIES),
+        ("boost", BOOST_QUERIES),
+        ("near", NEAR_QUERIES),
+    ]
+    cols = ["query_id", "rank", "doc_id", "score"]
+    for mode, qs in cases:
+        qds = rd.from_items([{"query_id": q, "text": t} for q, t in qs])
+        sharded = (
+            sharded_search(qds, index_dir, k=K, n_shards=3, mode=mode)
+            .to_pandas()[cols]
+            .sort_values(["query_id", "rank"])
+            .reset_index(drop=True)
+        )
+        one = Bm25Scorer(index_dir, k=K, mode=mode)
+        rows = []
+        for qid, text in qs:
+            for r, (d, s) in enumerate(one.score_query(text)[0], start=1):
+                rows.append((qid, r, d, s))
+        import pandas as pd
+
+        want = pd.DataFrame(rows, columns=cols)
+        assert len(sharded) == len(want), mode
+        assert (sharded[["query_id", "rank", "doc_id"]].values == want[["query_id", "rank", "doc_id"]].values).all(), mode
+        np.testing.assert_allclose(sharded["score"], want["score"], rtol=0, atol=1e-12)
