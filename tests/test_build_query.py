@@ -826,12 +826,17 @@ def test_new_modes_shard_cleanly(ray_session, index_dir):
     from similaritysearch_jl_ray.pipelines.queryset import (
         BOOST_QUERIES,
         NEAR_QUERIES,
+        PREFIX_QUERIES,
     )
 
     cases = [
         ("dismax", REFERENCE_QUERIES),
         ("boost", BOOST_QUERIES),
         ("near", NEAR_QUERIES),
+        # expansion modes rely on the pinned reader's GLOBAL term
+        # dictionary (df metadata projection) — the rewrite must be
+        # identical in every shard
+        ("prefix", PREFIX_QUERIES),
     ]
     cols = ["query_id", "rank", "doc_id", "score"]
     for mode, qs in cases:
