@@ -1353,16 +1353,19 @@ class Bm25Scorer:
             self._n_served += 1
         counts = np.fromiter(map(len, hits_per_q), np.int64, len(hits_per_q))
         total = int(counts.sum())
-        doc_ids = np.empty(total, np.int64)
-        scores = np.empty(total, np.float64)
-        ranks = np.empty(total, np.int32)
-        at = 0
-        for hits in hits_per_q:
-            for r, (d, s) in enumerate(hits):
-                doc_ids[at] = d
-                scores[at] = s
-                ranks[at] = r + 1
-                at += 1
+        doc_ids = np.fromiter(
+            (d for hits in hits_per_q for d, _ in hits), np.int64, total
+        )
+        scores = np.fromiter(
+            (s for hits in hits_per_q for _, s in hits), np.float64, total
+        )
+        # per-query 1..n rank sequences without a Python loop
+        starts = np.cumsum(counts) - counts
+        ranks = (
+            np.arange(total, dtype=np.int32)
+            - np.repeat(starts, counts).astype(np.int32)
+            + 1
+        )
         cols = {"rank": ranks, "doc_id": doc_ids, "score": scores}
         arrays = []
         for name in RESULT_SCHEMA.names:
