@@ -114,6 +114,26 @@ def run_bench() -> dict:
         timings[f"steady_{mode}"] = max(busy_sec, 1e-9)
         timings[f"steady_n_{mode}"] = n_warm
 
+    # phrase serving (positional index, reader-path actors) — measured
+    # with a SMALLER rep count (positions decode once per actor) and
+    # EXCLUDED from the headline total so cross-round "value"
+    # comparisons stay apples-to-apples with rounds 1-2
+    phrase_items = items[: max(len(items) // 4, len(REFERENCE_QUERIES))]
+    qds = rd.from_items(phrase_items).repartition(concurrency)
+    t0 = time.perf_counter()
+    res = search(
+        qds, index_dir, k=10, mode="phrase", concurrency=concurrency, batch_size=64
+    ).to_pandas()
+    timings["query_phrase"] = time.perf_counter() - t0
+    per_q = res.groupby("query_id")[["latency_us", "actor_seq"]].first()
+    # warm-only, like the wand steady metric: each reader-path actor's
+    # first queries pay the one-time position-run decode
+    warm = per_q[per_q["actor_seq"] >= 3]["latency_us"]
+    lat_p50["phrase"] = float(np.median(warm)) / 1e3 if len(warm) else 0.0
+    timings["steady_phrase"] = max(float(warm.sum()) / 1e6 / concurrency, 1e-9)
+    timings["steady_n_phrase"] = max(1, len(warm))
+    n_phrase = len(phrase_items)
+
     total = build_sec + timings["query_wand"] + timings["query_exhaustive"]
     out = {
         "metric": "bm25_index_build_plus_query",
@@ -133,6 +153,10 @@ def run_bench() -> dict:
         "query_qps_wand_steady": round(timings["steady_n_wand"] / timings["steady_wand"], 1),
         "query_p50_ms_wand": round(lat_p50["wand"], 3),
         "query_p50_ms_exhaustive": round(lat_p50["exhaustive"], 3),
+        "query_p50_ms_phrase_warm": round(lat_p50["phrase"], 3),
+        "query_qps_phrase_steady": round(
+            timings["steady_n_phrase"] / timings["steady_phrase"], 1
+        ),
         "total_postings": stats["total_tokens"],
     }
     ray.shutdown()

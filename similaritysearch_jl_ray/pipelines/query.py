@@ -838,15 +838,25 @@ class Bm25Scorer:
                     maxpos = max(maxpos, int(pos.max()))
             shift = max(1, int(maxpos + len(toks) + 1).bit_length())
             M = np.uint64(1) << np.uint64(shift)
-            keys = None
+            # occurrence keys per slot are ALREADY SORTED (doc asc,
+            # pos asc within doc; the −i shift preserves order), so the
+            # slot AND is a sorted-merge membership probe, not
+            # intersect1d's concatenate-and-resort. Rarest slot first
+            # shrinks the working set fastest.
+            slot_keys = []
             for ids, tfs, pos, i in streams:
                 p = pos - i
                 ok = p >= 0
                 doc_rep = np.repeat(ids, tfs)[ok]
-                k_i = doc_rep.astype(np.uint64) * M + p[ok].astype(np.uint64)
-                keys = k_i if keys is None else np.intersect1d(keys, k_i, assume_unique=True)
+                slot_keys.append(
+                    doc_rep.astype(np.uint64) * M + p[ok].astype(np.uint64)
+                )
+            slot_keys.sort(key=len)
+            keys = slot_keys[0]
+            for k_i in slot_keys[1:]:
                 if len(keys) == 0:
                     break
+                keys = keys[in_sorted(k_i, keys)[1]]
             cand = (
                 np.unique((keys // M).astype(np.int64))
                 if keys is not None and len(keys)
