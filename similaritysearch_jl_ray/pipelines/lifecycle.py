@@ -50,11 +50,16 @@ def rebuild(pages_ds, index_dir: str, **build_kwargs) -> dict:
 
 
 def delta_dirs(index_dir: str) -> list[str]:
+    # NUMERIC sort (delta=2 before delta=10) — append order IS doc-id
+    # order; lexicographic listing breaks the reader's doc-ascending
+    # runs() contract once ≥10 deltas accumulate
     out = []
     if os.path.isdir(index_dir):
-        for name in sorted(os.listdir(index_dir)):
-            if name.startswith("delta="):
-                out.append(os.path.join(index_dir, name))
+        for name in sorted(
+            (n for n in os.listdir(index_dir) if n.startswith("delta=")),
+            key=lambda n: int(n.split("=", 1)[1]),
+        ):
+            out.append(os.path.join(index_dir, name))
     return out
 
 
@@ -144,6 +149,12 @@ def compact_deltas(index_dir: str) -> dict:
         max_runs_one_seg: dict[str, int] = {}
         for seg in [index_dir] + deltas:
             part_dir = os.path.join(seg, "postings", f"part={p}")
+            # skip missing/empty part dirs (a term-hash part can be
+            # empty on tiny corpora; an empty dir has no schema)
+            if not os.path.isdir(part_dir) or not any(
+                n.endswith(".parquet") for n in os.listdir(part_dir)
+            ):
+                continue
             tbl = pads.dataset(part_dir, format="parquet").to_table().combine_chunks()
             t_col = tbl.column("term").to_numpy(zero_copy_only=False)
             per_seg: dict[str, int] = {}
@@ -289,9 +300,12 @@ def merge_indexes(
 
         part_dir = os.path.join(src_seg, "postings", f"part={p}")
         dst = os.path.join(dst_seg, "postings", f"part={p}")
-        os.makedirs(dst, exist_ok=True)
+        # check the source BEFORE creating the destination — an empty
+        # schemaless part dir would crash compact_deltas' dataset read
+        # later (tiny corpora can leave term-hash parts empty)
         if not os.path.isdir(part_dir):
             return 0
+        os.makedirs(dst, exist_ok=True)
         tbl = pads.dataset(part_dir, format="parquet").to_table().combine_chunks()
         if off and tbl.num_rows:
             import pyarrow.compute as pc

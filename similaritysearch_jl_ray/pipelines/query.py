@@ -209,6 +209,27 @@ def _resolve_pack(pack_ref) -> dict:
     return merged
 
 
+def _regex_literal_prefix(pat: str) -> str:
+    """Mandatory literal prefix of a regex — characters every match
+    MUST start with, used to narrow the dictionary scan to a binary-
+    search range. Walks until the first metacharacter; when the stop
+    is a quantifier that makes its target optional/repeatable
+    (``*``/``?``/``{``), the last accumulated char is dropped (``ab*``
+    only guarantees ``a``); ``+`` keeps it (``ab+`` guarantees
+    ``ab``). Conservative: any doubt → shorter prefix."""
+    out: list[str] = []
+    for i, c in enumerate(pat):
+        if c in ".[]{}()|^$\\*+?":
+            if c in "*?{" and out:
+                out.pop()
+            break
+        nxt = pat[i + 1] if i + 1 < len(pat) else ""
+        if nxt and nxt in "*?{":
+            break  # this char is quantified-optional; stop before it
+        out.append(c)
+    return "".join(out)
+
+
 class Bm25Scorer:
     """Stateful map_batches scorer. State loads once per actor — from a
     broadcast pack (zero-copy plasma arrays) when ``pack_ref`` is given,
@@ -406,6 +427,43 @@ class Bm25Scorer:
             cache[pat] = hit
         return hit
 
+    def _expand_regexp(self, pat: str) -> list[str]:
+        """Dictionary terms fullmatching ``pat`` (Lucene RegexpQuery).
+
+        Linear-time RE2 (pyarrow.compute.match_substring_regex) over
+        the candidate slice — a user-supplied pattern can't
+        catastrophically backtrack an actor the way Python ``re``
+        could (ReDoS), and it matches the DuckDB oracle's
+        ``regexp_full_match`` engine (also RE2). A mandatory literal
+        prefix narrows the scan to its binary-search dictionary range
+        first (the term-dict range walk), so anchored patterns are
+        sublinear in vocabulary instead of a full scan. Cached per
+        pattern per actor."""
+        import pyarrow.compute as pc
+
+        cache = getattr(self, "_regexp_cache", None)
+        if cache is None:
+            cache = self._regexp_cache = {}
+        hit = cache.get(pat)
+        if hit is None:
+            if len(pat) > 1000:
+                raise ValueError("regexp pattern too long (max 1000 chars)")
+            stem = _regex_literal_prefix(pat)
+            cand = (
+                np.asarray(self._expand_prefix(stem), dtype=object)
+                if stem
+                else self._dictionary()
+            )
+            if len(cand):
+                arr = pa.array([str(t) for t in cand], type=pa.string())
+                m = pc.match_substring_regex(arr, f"^(?:{pat})$")
+                keep = m.to_numpy(zero_copy_only=False).astype(bool)
+                hit = [str(t) for t in cand[keep]]
+            else:
+                hit = []
+            cache[pat] = hit
+        return hit
+
     def _expanded_terms(self, text: str) -> list[str]:
         from .queryset import (
             FUZZY_MAX_EDITS,
@@ -426,10 +484,7 @@ class Bm25Scorer:
         elif self.mode == "regexp":
             # the whole query text is ONE regex (Lucene RegexpQuery);
             # dictionary terms that fullmatch it form the expansion
-            import re
-
-            rx = re.compile(text)
-            out = {str(t) for t in self._dictionary() if rx.fullmatch(str(t))}
+            out = set(self._expand_regexp(text))
         else:  # fuzzy
             out = set()
             for tok in set(tokenize(text)):
@@ -569,18 +624,111 @@ class Bm25Scorer:
             npost = int(sum(len(i) for i in ids_l))
         return uniq, scores, npost, nblocks
 
+    def _full_hits(self, text: str):
+        """COMPLETE (doc_ids, scores, npost, nblocks) match set for the
+        actor's mode — no top-k cut. The cursor path of search_after
+        filters this set, so page 2+ ranks exactly the docs/scores that
+        page 1 of the SAME mode ranked (wand is bit-identical to
+        exhaustive by contract, so both share the accumulate kernel).
+        Positional modes exact-rescore the full candidate set
+        (:meth:`_rescore_exact`, never the top-k-sufficient refine —
+        the cursor needs exact scores below the cut too)."""
+        mode = self.mode
+        if mode in ("prefix", "fuzzy", "wildcard", "regexp"):
+            terms = self._expanded_terms(text)
+            if not terms:
+                return None
+            return self._accumulate_query(terms)
+        if mode == "phrase":
+            toks = tokenize(text)
+            if not toks or any(not self._has_term(t) for t in toks):
+                return None
+            cand, npost = self._phrase_candidates(toks)
+            if not len(cand):
+                return None
+            return cand, self._rescore_exact(sorted(set(toks)), cand), int(npost), 1
+        if mode == "near":
+            from .queryset import parse_near_query
+
+            terms, w = parse_near_query(text)
+            if not terms or any(not self._has_term(t) for t in terms):
+                return None
+            cand, npost = self._near_candidates(terms, w)
+            if not len(cand):
+                return None
+            return cand, self._rescore_exact(terms, cand), int(npost), 1
+        if mode == "dismax":
+            terms = self._query_terms(text)
+            if not terms:
+                return None
+            ids_l, part_l, npost = [], [], 0
+            for t in terms:
+                ids, partial = self._term_arrays(t)
+                ids_l.append(ids)
+                part_l.append(partial)
+                npost += len(ids)
+            ids = np.concatenate(ids_l)
+            parts = np.concatenate(part_l)
+            if not len(ids):
+                return None
+            order = np.argsort(ids, kind="stable")
+            sid, sp = ids[order], parts[order]
+            uniq, starts = np.unique(sid, return_index=True)
+            return uniq, np.maximum.reduceat(sp, starts), npost, len(terms)
+        if mode == "boost":
+            from .queryset import parse_boost_query
+
+            pairs = [
+                (t, b) for t, b in parse_boost_query(text) if self._has_term(t)
+            ]
+            if not pairs:
+                return None
+            ids_l, part_l, npost = [], [], 0
+            for t, b in pairs:
+                ids, partial = self._term_arrays(t)
+                ids_l.append(ids)
+                part_l.append(partial * b if b != 1.0 else partial)
+                npost += len(ids)
+            uniq, scores = _accumulate(ids_l, part_l)
+            return uniq, scores, npost, len(pairs)
+        if mode == "and":
+            all_terms = sorted(set(tokenize(text)))
+            terms = [t for t in all_terms if self._has_term(t)]
+            if not all_terms or len(terms) < len(all_terms):
+                return None
+            ids_l, part_l = [], []
+            for t in terms:
+                ids, partial = self._term_arrays(t)
+                ids_l.append(ids)
+                part_l.append(partial)
+            uniq, scores = _accumulate(ids_l, part_l)
+            _, counts = _accumulate(ids_l, [np.ones(len(i)) for i in ids_l])
+            mask = counts == float(len(terms))
+            return (
+                uniq[mask],
+                scores[mask],
+                int(sum(len(i) for i in ids_l)),
+                len(terms),
+            )
+        # exhaustive / wand (bit-identical contract)
+        terms = self._query_terms(text)
+        if not terms:
+            return None
+        return self._accumulate_query(terms)
+
     def score_query_after(self, text: str, after: tuple[float, int]):
         """Top-k STRICTLY after the ``(score, doc_id)`` cursor in the
         (score desc, doc_id asc) total order — Lucene
         ``IndexSearcher.searchAfter`` (deep pagination without offset
-        accumulation). Exhaustive accumulate + a vectorized cursor mask
-        + the standard tie-ruled top-k; scores stay bit-identical to
-        page-1 scoring of the same docs (same accumulate kernel)."""
-        terms = self._query_terms(text)
-        if not terms:
+        accumulation). Mode-aware: the full match set comes from
+        :meth:`_full_hits` (same kernels page 1 used), then a
+        vectorized cursor mask + the standard tie-ruled top-k; scores
+        stay bit-identical to page-1 scoring of the same docs."""
+        full = self._full_hits(text)
+        if full is None:
             return [], 0, 0
+        uniq, scores, npost, nblocks = full
         s0, d0 = float(after[0]), int(after[1])
-        uniq, scores, npost, nblocks = self._accumulate_query(terms)
         keep = (scores < s0) | ((scores == s0) & (uniq > d0))
         uniq, scores = uniq[keep], scores[keep]
         idx = topk_indices(scores, uniq, self.k)
@@ -703,6 +851,13 @@ class Bm25Scorer:
             raise ValueError("phrase mode needs broadcast=False (reader-backed actors)")
         if self._allowed is not None:
             raise ValueError("phrase mode does not compose with a lang filter")
+        if not self.stats.get("with_positions", True):
+            raise ValueError(
+                "index has no positions sidecar (built with "
+                "with_positions=False, or positions were lost merging mixed "
+                "segments) — use phrase_search_scan for positional queries "
+                "on this index"
+            )
         ids, tfs, _, pos = self.reader.postings_with_positions(term)
         if self.doc_range is not None:
             lo, hi = self.doc_range
@@ -755,6 +910,13 @@ class Bm25Scorer:
             raise ValueError("positional modes need broadcast=False (reader-backed actors)")
         if self._allowed is not None:
             raise ValueError("positional modes do not compose with a lang filter")
+        if not self.stats.get("with_positions", True):
+            raise ValueError(
+                "index has no positions sidecar (built with "
+                "with_positions=False, or positions were lost merging mixed "
+                "segments) — use phrase_search_scan for positional queries "
+                "on this index"
+            )
         if not len(docs):
             e = np.empty(0, np.int64)
             return e, e, e.copy()

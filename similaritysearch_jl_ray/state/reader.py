@@ -51,10 +51,15 @@ class IndexReader:
         # (lifecycle.append_pages contract), so per-term run lists stay
         # range-ordered and logical concatenation serves both.
         self.doc_range = doc_range
+        # NUMERIC sort — lexicographic would load delta=10 before
+        # delta=2, breaking the doc-ascending runs() contract that the
+        # searchsorted-based masking in postings()/_term_arrays needs
         dirs = [index_dir]
-        for name in sorted(os.listdir(index_dir)):
-            if name.startswith("delta="):
-                dirs.append(os.path.join(index_dir, name))
+        for name in sorted(
+            (n for n in os.listdir(index_dir) if n.startswith("delta=")),
+            key=lambda n: int(n.split("=", 1)[1]),
+        ):
+            dirs.append(os.path.join(index_dir, name))
         # Arrow-native term dictionary (no per-term Python at load):
         # each loaded (segment, part) keeps its Arrow table plus a
         # term-sorted row order; lookups binary-search the sorted term

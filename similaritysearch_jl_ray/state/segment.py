@@ -260,11 +260,21 @@ def concat_runs(runs: list[EncodedPostings]) -> EncodedPostings:
     v_shift = np.cumsum([0] + [int(r.block_vstart[-1] + 3 * r.block_count[-1] - 1) for r in runs[:-1]])
     # position sidecars concatenate too (per-posting deltas are self-
     # contained); mixed positional/non-positional runs drop positions
-    pos = (
-        b"".join(bytes(r.pos_payload) for r in runs)
-        if all(len(r.pos_payload) for r in runs)
-        else b""
-    )
+    # LOUDLY — the segment-level with_positions flag can't express a
+    # per-term loss, so the warning is the only audit trail (e.g.
+    # compact_deltas over mixed v3/v4 segments)
+    have_pos = [len(r.pos_payload) > 0 for r in runs]
+    if any(have_pos) and not all(have_pos):
+        import warnings
+
+        warnings.warn(
+            "concat_runs: merging positional with non-positional sub-runs "
+            f"({sum(have_pos)}/{len(runs)} have positions) — dropping the "
+            "positions sidecar for this term; phrase/near/highlight will "
+            "route to the corpus-scan path for it",
+            stacklevel=2,
+        )
+    pos = b"".join(bytes(r.pos_payload) for r in runs) if all(have_pos) else b""
     return EncodedPostings(
         df=sum(r.df for r in runs),
         cf=sum(r.cf for r in runs),

@@ -858,3 +858,65 @@ def test_new_modes_shard_cleanly(ray_session, index_dir):
         assert len(sharded) == len(want), mode
         assert (sharded[["query_id", "rank", "doc_id"]].values == want[["query_id", "rank", "doc_id"]].values).all(), mode
         np.testing.assert_allclose(sharded["score"], want["score"], rtol=0, atol=1e-12)
+
+
+def test_paged_search_mode_consistency(ray_session, index_dir):
+    """page 2+ must rank the SAME docs/scores the mode's page 1 ranked
+    (the cursor path used to fall back to the plain disjunction for
+    every mode — only exhaustive/wand were consistent)."""
+    from similaritysearch_jl_ray.pipelines.query import paged_search
+    from similaritysearch_jl_ray.pipelines.queryset import (
+        BOOST_QUERIES,
+        NEAR_QUERIES,
+        PREFIX_QUERIES,
+    )
+
+    cases = [
+        ("and", REFERENCE_QUERIES),
+        ("dismax", REFERENCE_QUERIES),
+        ("boost", BOOST_QUERIES),
+        ("near", NEAR_QUERIES),
+        ("prefix", PREFIX_QUERIES),
+    ]
+    for mode, qs in cases:
+        res = paged_search(index_dir, k=4, n_pages=3, queries=qs, mode=mode)
+        big = Bm25Scorer(index_dir, k=12, mode=mode)
+        for qid, text in qs:
+            want = big.score_query(text)[0]
+            got = res[res.query_id == qid]
+            assert list(got["rank"]) == list(range(1, len(got) + 1)), (mode, qid)
+            assert [
+                (d, s) for d, s in zip(got["doc_id"], got["score"])
+            ] == want[: len(got)], (mode, qid)
+
+
+def test_regex_literal_prefix():
+    from similaritysearch_jl_ray.pipelines.query import _regex_literal_prefix
+
+    assert _regex_literal_prefix("abc") == "abc"
+    assert _regex_literal_prefix("ab*") == "a"
+    assert _regex_literal_prefix("ab+c") == "ab"
+    assert _regex_literal_prefix("ab?c") == "a"
+    assert _regex_literal_prefix("a{2}b") == ""
+    assert _regex_literal_prefix(".*x") == ""
+    assert _regex_literal_prefix("foo(bar|baz)") == "foo"
+    assert _regex_literal_prefix(r"\d+") == ""
+    assert _regex_literal_prefix("mer[gq]e") == "mer"
+
+
+def test_regexp_redos_guard(index_dir):
+    """A catastrophic-backtracking pattern must not stall the actor:
+    the RE2-backed scan answers quickly or rejects, never exponential."""
+    import time
+
+    scorer = Bm25Scorer(index_dir, k=K, mode="regexp")
+    # classic ReDoS shape: (a+)+b — exponential in Python re on
+    # long all-'a' subjects; linear under RE2
+    t0 = time.perf_counter()
+    try:
+        scorer._expanded_terms("(a+)+b")
+    except Exception:
+        pass  # rejecting is fine; stalling is not
+    assert time.perf_counter() - t0 < 5.0
+    with pytest.raises(ValueError, match="too long"):
+        scorer._expanded_terms("a" * 1001)

@@ -372,3 +372,46 @@ def test_docmap_readable_after_compaction(ray_session, tmp_path):
     b = Bm25Scorer(full, k=10, mode="exhaustive", lang="en")
     for _, text in REFERENCE_QUERIES[:6]:
         assert a.score_query(text)[0] == b.score_query(text)[0]
+
+
+def test_delta_dirs_numeric_order(tmp_path):
+    """delta=2 sorts before delta=10 (numeric, not lexicographic) —
+    the reader's doc-ascending runs() contract needs append order."""
+    import os
+
+    d = str(tmp_path / "idx")
+    os.makedirs(d)
+    for n in [1, 10, 2, 11, 3]:
+        os.makedirs(os.path.join(d, f"delta={n}"))
+    got = [os.path.basename(p) for p in delta_dirs(d)]
+    assert got == ["delta=1", "delta=2", "delta=3", "delta=10", "delta=11"]
+
+
+def test_merge_empty_part_leaves_no_empty_dirs(ray_session, tmp_path):
+    """merge_indexes over tiny corpora (term-hash parts can be empty)
+    must not leave schemaless empty part dirs that break a later
+    compact_deltas dataset discovery."""
+    import os
+
+    from similaritysearch_jl_ray.pipelines.lifecycle import (
+        compact_deltas,
+        merge_indexes,
+    )
+
+    a = str(tmp_path / "a")
+    b = str(tmp_path / "b")
+    # 8 parts over a 30-doc corpus → some parts hold no terms
+    build_index(_pages_slice(ray_session, 0, 30), a, num_parts=8, salt_factor=2)
+    build_index(_pages_slice(ray_session, 30, 60), b, num_parts=8, salt_factor=2)
+    out = str(tmp_path / "m")
+    merge_indexes(a, b, out, compact=False)
+    for seg in delta_dirs(out):
+        pdir = os.path.join(seg, "postings")
+        for name in os.listdir(pdir):
+            full = os.path.join(pdir, name)
+            assert any(
+                f.endswith(".parquet") for f in os.listdir(full)
+            ), f"empty part dir {full}"
+    compact_deltas(out)  # must not crash on empty/missing parts
+    m = Bm25Scorer(out, k=10, mode="exhaustive")
+    assert m.stats["n_docs"] == 60

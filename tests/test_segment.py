@@ -78,6 +78,32 @@ def test_concat_runs_equals_whole():
         assert bound >= max(tfn_by_id[d] for d in bi.tolist()) - 1e-12
 
 
+def test_concat_mixed_positions_warns_and_drops():
+    """Merging a positional with a non-positional run drops the
+    sidecar LOUDLY (segment-level with_positions can't express a
+    per-term loss) — all-positional merges keep it silently."""
+    rng = np.random.default_rng(9)
+    ids, tfs, dls = _random_postings(rng, 200)
+    pos_a = np.sort(
+        rng.choice(10**6, size=int(tfs[:100].sum()), replace=False)
+    ).astype(np.int64)
+    a = encode_postings(ids[:100], tfs[:100], dls[:100], positions=pos_a)
+    b = encode_postings(ids[100:], tfs[100:], dls[100:])  # no positions
+    with pytest.warns(UserWarning, match="dropping the positions sidecar"):
+        merged = concat_runs([a, b])
+    assert len(merged.pos_payload) == 0
+    pos_b = np.sort(
+        rng.choice(10**6, size=int(tfs[100:].sum()), replace=False)
+    ).astype(np.int64)
+    b2 = encode_postings(ids[100:], tfs[100:], dls[100:], positions=pos_b)
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        both = concat_runs([a, b2])
+    assert len(both.pos_payload) > 0
+
+
 def test_concat_rejects_overlap():
     rng = np.random.default_rng(8)
     ids, tfs, dls = _random_postings(rng, 100)
