@@ -29,6 +29,7 @@ __all__ = [
     "tokenize",
     "TOKEN_RE",
     "batch_token_counts",
+    "flat_tokens",
 ]
 
 TOKEN_RE = re.compile(TOKEN_PATTERN)
@@ -93,6 +94,35 @@ def tokenize(text: str) -> list[str]:
     return TOKEN_RE.findall(text.lower())
 
 
+def flat_tokens(texts) -> tuple[int, np.ndarray, pa.Array]:
+    """Occurrence-level tokenization of a batch — Arrow kernels end to
+    end, no per-doc Python. Returns ``(n_docs, doc_of_token, tokens)``
+    where ``tokens`` is the flat Arrow string array of every token in
+    document order (position order within a doc) and ``doc_of_token``
+    maps each to its document index. Same token contract as
+    :func:`tokenize` (the shared scalar/oracle definition) — this is
+    the feed for the vectorized shingle/simhash kernels
+    (functions/hashing.py) and :func:`batch_token_counts`."""
+    import pyarrow.compute as pc
+
+    if isinstance(texts, pa.ChunkedArray):
+        arr = texts.combine_chunks()
+    elif isinstance(texts, pa.Array):
+        arr = texts
+    else:
+        arr = pa.array(list(texts), type=pa.string())
+    if arr.null_count:
+        arr = pc.fill_null(arr, "")
+    n = len(arr)
+    splits = pc.split_pattern_regex(pc.utf8_lower(arr), pattern="[^a-z0-9]+")
+    counts = pc.list_value_length(splits).to_numpy().astype(np.int64)
+    flat = pc.list_flatten(splits)
+    keep = pc.binary_length(flat).to_numpy() > 0
+    doc_of_token = np.repeat(np.arange(n, dtype=np.int64), counts)[keep]
+    tokens = flat.filter(pa.array(keep))
+    return n, doc_of_token, tokens
+
+
 def batch_token_counts(texts, with_positions: bool = False) -> tuple[np.ndarray, ...]:
     """Per-document term frequencies for a batch of texts — Arrow-
     kernel tokenization end to end, no per-doc Python.
@@ -117,28 +147,12 @@ def batch_token_counts(texts, with_positions: bool = False) -> tuple[np.ndarray,
     order (``tfs`` gives each row's segment length), ascending within
     a row — the positional-postings feed (segment layout v4).
     """
-    import pyarrow.compute as pc
-
-    if isinstance(texts, pa.ChunkedArray):
-        arr = texts.combine_chunks()
-    elif isinstance(texts, pa.Array):
-        arr = texts
-    else:
-        arr = pa.array(list(texts), type=pa.string())
-    if arr.null_count:
-        arr = pc.fill_null(arr, "")
-    n = len(arr)
-    splits = pc.split_pattern_regex(pc.utf8_lower(arr), pattern="[^a-z0-9]+")
-    counts = pc.list_value_length(splits).to_numpy().astype(np.int64)
-    flat = pc.list_flatten(splits)
-    keep = pc.binary_length(flat).to_numpy() > 0
-    doc_of_token = np.repeat(np.arange(n, dtype=np.int64), counts)[keep]
+    n, doc_of_token, tokens = flat_tokens(texts)
     doclens = np.bincount(doc_of_token, minlength=n).astype(np.int64)
     total = len(doc_of_token)
     if total == 0:
         empty = (np.empty(0, np.int64), np.empty(0, object), np.empty(0, np.int64), doclens)
         return empty + ((np.empty(0, np.int64),) if with_positions else ())
-    tokens = flat.filter(pa.array(keep))
     enc = tokens.dictionary_encode()
     codes = enc.indices.to_numpy().astype(np.int64)
     vocab = enc.dictionary

@@ -24,12 +24,15 @@ lies within ϵ of a kept item. These pipelines port the contract:
 Scale notes (100 TB): every op here shuffles only (key, doc_id) rows
 after in-batch aggregation; frequent-shingle pruning (``max_df``)
 bounds the pair blowup of hot shingles the same way head-term salting
-bounds posting groups.
+bounds posting groups. NO per-document or per-pair Python anywhere:
+signature stages run the vectorized batch kernels
+(functions/hashing.py — one polars token-hash pass + numpy folds),
+and every grouped step is hash-partitioned into ``_PARTS`` buckets
+processed as ONE vectorized call each (sort + reduceat), never one
+Python callable per group/pair.
 """
 
 from __future__ import annotations
-
-import hashlib
 
 import numpy as np
 import pyarrow as pa
@@ -37,13 +40,16 @@ import pyarrow as pa
 from ..functions.hashing import (
     MINHASH_BANDS,
     MINHASH_PERMS,
-    minhash_signature,
+    band_keys,
+    batch_minhash_signatures,
+    batch_shingle_sets,
+    batch_simhash64,
+    hash_tokens_u64,
     popcount64,
     shingle_hashes,
-    simhash64,
 )
-from ..functions.text import tokenize
 from ..functions.rounding import round6
+from ..functions.text import flat_tokens, tokenize
 
 __all__ = [
     "exact_dedup",
@@ -54,11 +60,72 @@ __all__ = [
     "dedup_clusters",
 ]
 
+# hash partitions for grouped vectorized ops: each groupby below keys
+# on a partition id instead of the raw group key, so the shuffle fans
+# into _PARTS vectorized calls (sort + reduceat inside) rather than
+# one Python callable per group/pair. Sized so a partition's rows fit
+# a worker's heap at bench scale; at cluster scale it should track
+# total cores (it bounds the grouped stages' parallelism).
+_PARTS = 64
+
+_I64 = pa.int64()
+_F64 = pa.float64()
+
 
 def _documents(sf_dir: str):
     import ray.data as rd
 
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+
+
+def _u64_part(x: np.ndarray) -> np.ndarray:
+    """Partition id in [0, _PARTS) from any int64/uint64 key column."""
+    return (x.astype(np.uint64, copy=False) % np.uint64(_PARTS)).astype(np.int64)
+
+
+def _pair_part(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    """Partition id for (doc_a, doc_b) pair keys — FNV-ish combine so
+    co-ranked ids don't all land in one bucket."""
+    x = (a.astype(np.uint64) * np.uint64(0x100000001B3)) ^ b.astype(np.uint64)
+    x ^= x >> np.uint64(33)
+    x *= np.uint64(0xFF51AFD7ED558CCD)
+    return (x % np.uint64(_PARTS)).astype(np.int64)
+
+
+def _segment_pairs(starts: np.ndarray, counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """All within-segment index pairs (i<j by position), fully
+    vectorized: no per-segment Python. ``starts``/``counts`` describe
+    contiguous segments of a sorted array; returns absolute index
+    arrays (idx_a, idx_b). Pair p of a segment enumerates (a, b) with
+    a < b ordered by (b, a): p = b(b−1)/2 + a, inverted with a float
+    sqrt + two exact integer corrections (safe to p < 2^50)."""
+    c = counts.astype(np.int64)
+    npairs = c * (c - 1) // 2
+    total = int(npairs.sum())
+    if total == 0:
+        e = np.empty(0, np.int64)
+        return e, e.copy()
+    seg = np.repeat(np.arange(len(c), dtype=np.int64), npairs)
+    p = np.arange(total, dtype=np.int64) - np.repeat(np.cumsum(npairs) - npairs, npairs)
+    b = ((1.0 + np.sqrt(8.0 * p + 1.0)) / 2.0).astype(np.int64)
+    tb = b * (b - 1) // 2
+    b = np.where(tb > p, b - 1, b)
+    tb = b * (b - 1) // 2
+    b = np.where(p - tb >= b, b + 1, b)
+    tb = b * (b - 1) // 2
+    a = p - tb
+    base = starts.astype(np.int64)[seg]
+    return base + a, base + b
+
+
+def _shingle_batch(batch: pa.Table, n: int) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """(doc_ids, counts, flat_shingles) for a documents batch — one
+    Arrow tokenize pass + one polars token-hash pass + the numpy
+    window fold; values identical to per-doc ``shingle_hashes``."""
+    n_docs, doc_of_token, tokens = flat_tokens(batch["text"])
+    th = hash_tokens_u64(tokens)
+    counts, flat = batch_shingle_sets(doc_of_token, th, n_docs, n=n)
+    return batch["doc_id"].to_numpy(), counts, flat
 
 
 # ---------------------------------------------------------------------------
@@ -69,9 +136,12 @@ def exact_dedup(sf_dir: str):
     independently-seeded 64-bit xxhash passes over the text column —
     polars' native kernel, no per-row Python): 16 B/doc moves through
     the groupby instead of the text, and collision probability at 10¹²
-    docs is ~10⁻¹⁵. Only (keeper, size) leaves the group, so the hash
-    never appears in the result — the DuckDB oracle groups by raw text.
+    docs is ~10⁻¹⁵. The group reduce is Ray's NATIVE Min/Count
+    aggregate (vectorized partial aggregation per block before the
+    shuffle — no Python callable per distinct text). The hash never
+    appears in the result — the DuckDB oracle groups by raw text.
     """
+    from ray.data.aggregate import Count, Min
 
     def key_batch(batch: pa.Table) -> pa.Table:
         import polars as pl
@@ -81,18 +151,17 @@ def exact_dedup(sf_dir: str):
         h2 = s.hash(seed=0x85EBCA6B).to_numpy().view(np.int64)
         return pa.table(
             {
-                "h1": pa.array(h1, type=pa.int64()),
-                "h2": pa.array(h2, type=pa.int64()),
+                "h1": pa.array(h1, type=_I64),
+                "h2": pa.array(h2, type=_I64),
                 "doc_id": batch["doc_id"],
             }
         )
 
-    def keep_first(group: pa.Table) -> pa.Table:
-        ids = group["doc_id"].to_numpy()
+    def rename(batch: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "keeper_doc_id": pa.array([int(ids.min())], type=pa.int64()),
-                "group_size": pa.array([len(ids)], type=pa.int64()),
+                "keeper_doc_id": batch["keeper_doc_id"],
+                "group_size": batch["group_size"].cast(_I64),
             }
         )
 
@@ -100,23 +169,25 @@ def exact_dedup(sf_dir: str):
         _documents(sf_dir)
         .map_batches(key_batch, batch_format="pyarrow")
         .groupby(["h1", "h2"])
-        .map_groups(keep_first, batch_format="pyarrow")
+        .aggregate(
+            Min("doc_id", alias_name="keeper_doc_id"),
+            Count(alias_name="group_size"),
+        )
+        .select_columns(["keeper_doc_id", "group_size"])
+        .map_batches(rename, batch_format="pyarrow")
     )
 
 
 # ---------------------------------------------------------------------------
 def _shingle_rows(batch: pa.Table, n: int) -> pa.Table:
-    ids_out, sh_out, size_out = [], [], []
-    for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-        sh = shingle_hashes(tokenize(text), n=n)
-        ids_out.append(np.full(len(sh), doc_id, dtype=np.int64))
-        sh_out.append(sh.astype(np.int64))  # parquet-friendly signed view
-        size_out.append(np.full(len(sh), len(sh), dtype=np.int64))
+    """(doc_id, shingle, set_size) long rows for a batch — vectorized
+    (the round-3 per-doc tokenize/shingle loop is gone)."""
+    ids, counts, flat = _shingle_batch(batch, n)
     return pa.table(
         {
-            "doc_id": pa.array(np.concatenate(ids_out) if ids_out else [], type=pa.int64()),
-            "shingle": pa.array(np.concatenate(sh_out) if sh_out else [], type=pa.int64()),
-            "set_size": pa.array(np.concatenate(size_out) if size_out else [], type=pa.int64()),
+            "doc_id": pa.array(np.repeat(ids, counts), type=_I64),
+            "shingle": pa.array(flat.view(np.int64), type=_I64),
+            "set_size": pa.array(np.repeat(counts, counts), type=_I64),
         }
     )
 
@@ -136,23 +207,37 @@ def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.5, n: int = 3, max_df: int |
     intersection can undercount, making τ conservative). Pass
     ``max_df=None`` for the EXACT mode — the DuckDB-oracle entry in
     ``__ray_entry__`` pins that, production dedup should not.
+
+    Both grouped steps are hash-partitioned (``_PARTS``) and fully
+    vectorized inside each partition: pair emission is a sort +
+    segment-triu expansion, the Jaccard reduce a sort + reduceat —
+    never one Python callable per shingle or per pair.
     """
 
-    def pairs_of_group(group: pa.Table) -> pa.Table:
-        ids = np.sort(group["doc_id"].to_numpy())
-        sizes = dict(zip(group["doc_id"].to_numpy().tolist(), group["set_size"].to_numpy().tolist()))
-        if max_df is not None and len(ids) > max_df:
-            return pa.table(
-                {"doc_a": pa.array([], type=pa.int64()), "doc_b": pa.array([], type=pa.int64()),
-                 "size_a": pa.array([], type=pa.int64()), "size_b": pa.array([], type=pa.int64())}
-            )
-        a_idx, b_idx = np.triu_indices(len(ids), k=1)
+    def add_shingle_part(batch: pa.Table) -> pa.Table:
+        t = _shingle_rows(batch, n)
+        return t.append_column(
+            "part", pa.array(_u64_part(t["shingle"].to_numpy()), type=_I64)
+        )
+
+    def pairs_of_partition(group: pa.Table) -> pa.Table:
+        sh = group["shingle"].to_numpy()
+        ids = group["doc_id"].to_numpy()
+        sz = group["set_size"].to_numpy()
+        o = np.lexsort((ids, sh))
+        sh, ids, sz = sh[o], ids[o], sz[o]
+        bounds = np.flatnonzero(np.r_[True, sh[1:] != sh[:-1], True])
+        starts, counts = bounds[:-1], np.diff(bounds)
+        if max_df is not None:
+            keep = counts <= max_df
+            starts, counts = starts[keep], counts[keep]
+        ia, ib = _segment_pairs(starts, counts)
         return pa.table(
             {
-                "doc_a": pa.array(ids[a_idx], type=pa.int64()),
-                "doc_b": pa.array(ids[b_idx], type=pa.int64()),
-                "size_a": pa.array([sizes[int(i)] for i in ids[a_idx]], type=pa.int64()),
-                "size_b": pa.array([sizes[int(i)] for i in ids[b_idx]], type=pa.int64()),
+                "doc_a": pa.array(ids[ia], type=_I64),
+                "doc_b": pa.array(ids[ib], type=_I64),
+                "size_a": pa.array(sz[ia], type=_I64),
+                "size_b": pa.array(sz[ib], type=_I64),
             }
         )
 
@@ -161,9 +246,10 @@ def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.5, n: int = 3, max_df: int |
         row per pair with a partial intersection count, so the final
         pair shuffle moves one row per (pair, batch) instead of one
         per co-occurring shingle (the pre-aggregate-before-groupby
-        rule, SURVEY.md §2.7)."""
+        rule, SURVEY.md §2.7). Also stamps the pair's hash partition."""
         if batch.num_rows == 0:
-            return batch.append_column("inter_partial", pa.array([], type=pa.int64()))
+            t = batch.append_column("inter_partial", pa.array([], type=_I64))
+            return t.append_column("part2", pa.array([], type=_I64))
         a = batch["doc_a"].to_numpy()
         b = batch["doc_b"].to_numpy()
         order = np.lexsort((b, a))
@@ -174,47 +260,47 @@ def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.5, n: int = 3, max_df: int |
         firsts = order[bounds[:-1]]
         return pa.table(
             {
-                "doc_a": pa.array(a[firsts], type=pa.int64()),
-                "doc_b": pa.array(b[firsts], type=pa.int64()),
-                "size_a": pa.array(batch["size_a"].to_numpy()[firsts], type=pa.int64()),
-                "size_b": pa.array(batch["size_b"].to_numpy()[firsts], type=pa.int64()),
-                "inter_partial": pa.array(np.diff(bounds), type=pa.int64()),
+                "doc_a": pa.array(a[firsts], type=_I64),
+                "doc_b": pa.array(b[firsts], type=_I64),
+                "size_a": pa.array(batch["size_a"].to_numpy()[firsts], type=_I64),
+                "size_b": pa.array(batch["size_b"].to_numpy()[firsts], type=_I64),
+                "inter_partial": pa.array(np.diff(bounds), type=_I64),
+                "part2": pa.array(_pair_part(a[firsts], b[firsts]), type=_I64),
             }
         )
 
-    def jaccard_of_group(group: pa.Table) -> pa.Table:
-        import pyarrow.compute as pc
-
-        inter = int(pc.sum(group["inter_partial"]).as_py())
-        sa = int(group["size_a"][0].as_py())
-        sb = int(group["size_b"][0].as_py())
-        j = inter / (sa + sb - inter)
-        if j < tau:
-            return pa.table({"doc_a": pa.array([], type=pa.int64()),
-                             "doc_b": pa.array([], type=pa.int64()),
-                             "jaccard": pa.array([], type=pa.float64())})
+    def jaccard_of_partition(group: pa.Table) -> pa.Table:
+        a = group["doc_a"].to_numpy()
+        b = group["doc_b"].to_numpy()
+        sa = group["size_a"].to_numpy()
+        sb = group["size_b"].to_numpy()
+        ip = group["inter_partial"].to_numpy()
+        o = np.lexsort((b, a))
+        a, b, sa, sb, ip = a[o], b[o], sa[o], sb[o], ip[o]
+        bounds = np.flatnonzero(
+            np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1]), True]
+        )
+        starts = bounds[:-1]
+        inter = np.add.reduceat(ip, starts)
+        A, B, SA, SB = a[starts], b[starts], sa[starts], sb[starts]
+        j = inter / (SA + SB - inter)
+        keep = j >= tau
         return pa.table(
             {
-                "doc_a": pa.array([int(group["doc_a"][0].as_py())], type=pa.int64()),
-                "doc_b": pa.array([int(group["doc_b"][0].as_py())], type=pa.int64()),
-                "jaccard": pa.array([round6(j)], type=pa.float64()),
+                "doc_a": pa.array(A[keep], type=_I64),
+                "doc_b": pa.array(B[keep], type=_I64),
+                "jaccard": pa.array(round6(j[keep]), type=_F64),
             }
         )
 
-    def add_pair_key(batch: pa.Table) -> pa.Table:
-        key = [f"{a}_{b}" for a, b in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist())]
-        return batch.append_column("pair", pa.array(key))
-
-    ds = _documents(sf_dir).map_batches(
-        lambda b: _shingle_rows(b, n), batch_format="pyarrow"
-    )
     return (
-        ds.groupby("shingle")
-        .map_groups(pairs_of_group, batch_format="pyarrow")
+        _documents(sf_dir)
+        .map_batches(add_shingle_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(pairs_of_partition, batch_format="pyarrow")
         .map_batches(preagg_pairs, batch_format="pyarrow")
-        .map_batches(add_pair_key, batch_format="pyarrow")
-        .groupby("pair")
-        .map_groups(jaccard_of_group, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(jaccard_of_partition, batch_format="pyarrow")
     )
 
 
@@ -224,130 +310,203 @@ def minhash_lsh_pairs(sf_dir: str, tau: float = 0.5, n: int = 3, bands: int = MI
     verify. Precision 1.0 (every emitted pair is verified); recall is
     the LSH S-curve at (64 perms, ``bands`` bands × 64/bands rows) —
     tunable via tune.tune_minhash (the reference's optimize_index!
-    pattern applied to the LSH operating point)."""
+    pattern applied to the LSH operating point).
+
+    Signatures are the vectorized batch kernel (one token-hash pass,
+    64 permutation folds, ``minimum.reduceat`` per doc — no per-doc
+    Python, no md5); every grouped step below is hash-partitioned and
+    vectorized inside the partition."""
     if MINHASH_PERMS % bands:
         raise ValueError(f"bands must divide {MINHASH_PERMS}")
-    rows_per_band = MINHASH_PERMS // bands
 
     def sig_rows(batch: pa.Table) -> pa.Table:
-        out = {"band_key": [], "doc_id": []}
-        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            sh = shingle_hashes(tokenize(text), n=n)
-            sig = minhash_signature(sh)
-            for b in range(bands):
-                band = sig[b * rows_per_band : (b + 1) * rows_per_band]
-                key = f"{b}:" + hashlib.md5(band.tobytes()).hexdigest()[:16]
-                out["band_key"].append(key)
-                out["doc_id"].append(doc_id)
+        ids, counts, flat = _shingle_batch(batch, n)
+        sig = batch_minhash_signatures(counts, flat)
+        keys = band_keys(sig, bands)  # (n_docs × bands) int64
+        n_docs = len(ids)
+        band_col = np.tile(np.arange(bands, dtype=np.int64), n_docs)
+        key_col = keys.reshape(-1)
         return pa.table(
-            {"band_key": pa.array(out["band_key"]), "doc_id": pa.array(out["doc_id"], type=pa.int64())}
+            {
+                "band": pa.array(band_col, type=_I64),
+                "bkey": pa.array(key_col, type=_I64),
+                "doc_id": pa.array(np.repeat(ids, bands), type=_I64),
+                "part": pa.array(_u64_part(key_col), type=_I64),
+            }
         )
 
-    def candidates(group: pa.Table) -> pa.Table:
-        ids = np.unique(group["doc_id"].to_numpy())
-        a, b = np.triu_indices(len(ids), k=1)
+    def candidates_of_partition(group: pa.Table) -> pa.Table:
+        band = group["band"].to_numpy()
+        bkey = group["bkey"].to_numpy()
+        ids = group["doc_id"].to_numpy()
+        o = np.lexsort((ids, bkey, band))
+        band, bkey, ids = band[o], bkey[o], ids[o]
+        bounds = np.flatnonzero(
+            np.r_[True, (band[1:] != band[:-1]) | (bkey[1:] != bkey[:-1]), True]
+        )
+        ia, ib = _segment_pairs(bounds[:-1], np.diff(bounds))
+        a, b = ids[ia], ids[ib]
         return pa.table(
-            {"doc_a": pa.array(ids[a], type=pa.int64()), "doc_b": pa.array(ids[b], type=pa.int64())}
+            {
+                "doc_a": pa.array(a, type=_I64),
+                "doc_b": pa.array(b, type=_I64),
+                "part2": pa.array(_pair_part(a, b), type=_I64),
+            }
+        )
+
+    def distinct_of_partition(group: pa.Table) -> pa.Table:
+        a = group["doc_a"].to_numpy()
+        b = group["doc_b"].to_numpy()
+        o = np.lexsort((b, a))
+        a, b = a[o], b[o]
+        keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        return pa.table(
+            {"doc_a": pa.array(a[keep], type=_I64), "doc_b": pa.array(b[keep], type=_I64)}
         )
 
     cand = (
         _documents(sf_dir)
         .map_batches(sig_rows, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(candidates, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(candidates_of_partition, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(distinct_of_partition, batch_format="pyarrow")
     )
 
     # Exact verify as a CO-PARTITIONED JOIN on doc_id — no whole-corpus
     # broadcast anywhere: (1) distinct candidate pairs fan out to two
     # membership rows each; (2) membership rows union with the long
-    # (doc_id, shingle) table and co-group by doc_id, attaching each
-    # doc's shingle set to every pair it participates in; (3) a final
-    # groupby(pair) holds exactly the two sets it needs and computes
-    # the exact Jaccard. Shuffle volume is bounded by the shingle table
-    # plus candidate-pair fanout — the 100 TB join shape.
-    def dedup_pairs(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1)
-
-    def add_pair_key(batch: pa.Table) -> pa.Table:
-        key = [f"{a}_{b}" for a, b in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist())]
-        return batch.append_column("pair", pa.array(key))
-
-    distinct_pairs = (
-        cand.map_batches(add_pair_key, batch_format="pyarrow")
-        .groupby("pair")
-        .map_groups(dedup_pairs, batch_format="pyarrow")
-    )
-
+    # (doc_id, shingle) table and co-group by doc_id hash partition,
+    # attaching each doc's shingle set to every pair it participates
+    # in; (3) a final pair-partitioned group computes the exact Jaccard
+    # vectorized (explode + sort + duplicate count). Shuffle volume is
+    # bounded by the shingle table plus candidate-pair fanout — the
+    # 100 TB join shape.
     def memberships(batch: pa.Table) -> pa.Table:
         a = batch["doc_a"].to_numpy()
         b = batch["doc_b"].to_numpy()
-        pairs = batch["pair"].to_pylist()
+        doc = np.concatenate([a, b])
         return pa.table(
             {
-                "doc_id": pa.array(np.concatenate([a, b]), type=pa.int64()),
-                "shingle": pa.array([None] * (2 * len(pairs)), type=pa.int64()),
-                "pair": pa.array(pairs + pairs),
+                "doc_id": pa.array(doc, type=_I64),
+                "shingle": pa.nulls(len(doc), type=_I64),
+                "doc_a": pa.array(np.concatenate([a, a]), type=_I64),
+                "doc_b": pa.array(np.concatenate([b, b]), type=_I64),
+                "dpart": pa.array(_u64_part(doc), type=_I64),
             }
         )
 
     def shingle_side(batch: pa.Table) -> pa.Table:
         t = _shingle_rows(batch, n)
+        nrows = t.num_rows
+        doc = t["doc_id"].to_numpy()
         return pa.table(
             {
                 "doc_id": t["doc_id"],
                 "shingle": t["shingle"],
-                "pair": pa.array([None] * t.num_rows, type=pa.string()),
+                "doc_a": pa.nulls(nrows, type=_I64),
+                "doc_b": pa.nulls(nrows, type=_I64),
+                "dpart": pa.array(_u64_part(doc), type=_I64),
             }
         )
 
-    joined = distinct_pairs.map_batches(memberships, batch_format="pyarrow").union(
+    joined = cand.map_batches(memberships, batch_format="pyarrow").union(
         _documents(sf_dir).map_batches(shingle_side, batch_format="pyarrow")
     )
 
-    def attach_set(group: pa.Table) -> pa.Table:
-        pair_col = group["pair"].to_pylist()
-        doc_id = int(group["doc_id"][0].as_py())
-        sh = group["shingle"].drop_null().to_numpy(zero_copy_only=False)
-        shingles = np.sort(sh.astype(np.int64))
-        pairs = [q for q in pair_col if q is not None]
+    def attach_of_partition(group: pa.Table) -> pa.Table:
+        """One vectorized pass: every membership row picks up its
+        doc's sorted shingle set as a list column (offset-gather —
+        no per-doc or per-row Python)."""
+        is_mem = group["doc_a"].is_valid().to_numpy(zero_copy_only=False)
+        doc = group["doc_id"].to_numpy()
+        mem_doc = doc[is_mem]
+        mem_a = group["doc_a"].to_numpy(zero_copy_only=False)[is_mem].astype(np.int64)
+        mem_b = group["doc_b"].to_numpy(zero_copy_only=False)[is_mem].astype(np.int64)
+        sh_doc = doc[~is_mem]
+        sh_val = group["shingle"].to_numpy(zero_copy_only=False)[~is_mem].astype(np.int64)
+        o = np.lexsort((sh_val, sh_doc))
+        sh_doc, sh_val = sh_doc[o], sh_val[o]
+        bounds = np.flatnonzero(np.r_[True, sh_doc[1:] != sh_doc[:-1], True])
+        uniq = sh_doc[bounds[:-1]]
+        seg_start = bounds[:-1]
+        seg_count = np.diff(bounds)
+        pos = np.searchsorted(uniq, mem_doc)
+        posc = np.minimum(pos, max(len(uniq) - 1, 0))
+        found = (pos < len(uniq)) & (uniq[posc] == mem_doc) if len(uniq) else np.zeros(len(mem_doc), bool)
+        m_count = np.where(found, seg_count[posc], 0).astype(np.int64)
+        m_start = np.where(found, seg_start[posc], 0).astype(np.int64)
+        total = int(m_count.sum())
+        gather = np.repeat(m_start, m_count) + (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(m_count) - m_count, m_count)
+        )
+        offsets = np.zeros(len(mem_doc) + 1, dtype=np.int64)
+        np.cumsum(m_count, out=offsets[1:])
+        shingles = pa.ListArray.from_arrays(
+            pa.array(offsets, type=pa.int32()),
+            pa.array(sh_val[gather] if total else np.empty(0, np.int64), type=_I64),
+        )
         return pa.table(
             {
-                "pair": pa.array(pairs),
-                "doc_id": pa.array([doc_id] * len(pairs), type=pa.int64()),
-                "shingles": pa.array([shingles.tolist()] * len(pairs), type=pa.list_(pa.int64())),
+                "doc_a": pa.array(mem_a, type=_I64),
+                "doc_b": pa.array(mem_b, type=_I64),
+                "doc_id": pa.array(mem_doc, type=_I64),
+                "shingles": shingles,
+                "vpart": pa.array(_pair_part(mem_a, mem_b), type=_I64),
             }
         )
 
-    def verify_pair(group: pa.Table) -> pa.Table:
-        empty = pa.table(
-            {"doc_a": pa.array([], type=pa.int64()),
-             "doc_b": pa.array([], type=pa.int64()),
-             "jaccard": pa.array([], type=pa.float64())}
+    def verify_of_partition(group: pa.Table) -> pa.Table:
+        a = group["doc_a"].to_numpy()
+        b = group["doc_b"].to_numpy()
+        doc = group["doc_id"].to_numpy()
+        col = group["shingles"].combine_chunks()
+        arr = col.chunk(0) if isinstance(col, pa.ChunkedArray) else col
+        offs = np.asarray(arr.offsets.to_numpy(zero_copy_only=False), dtype=np.int64)
+        row_len = np.diff(offs)
+        row_off = offs[:-1]
+        flat_all = np.asarray(arr.values.to_numpy(zero_copy_only=False), dtype=np.int64)
+        o = np.lexsort((doc, b, a))
+        a, b, doc, row_len, row_off = a[o], b[o], doc[o], row_len[o], row_off[o]
+        pbounds = np.flatnonzero(
+            np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1]), True]
         )
-        if group.num_rows != 2:
-            return empty  # a candidate doc with no shingles cannot verify
-        docs = group["doc_id"].to_numpy()
-        order = np.argsort(docs)
-        sa = np.asarray(group["shingles"][int(order[0])].as_py(), dtype=np.int64)
-        sb = np.asarray(group["shingles"][int(order[1])].as_py(), dtype=np.int64)
-        inter = len(np.intersect1d(sa, sb, assume_unique=True))
-        union = len(sa) + len(sb) - inter
-        j = inter / union if union else 0.0
-        if j < tau:
-            return empty
+        pstart, pcount = pbounds[:-1], np.diff(pbounds)
+        npairs = len(pstart)
+        pair_of_row = np.repeat(np.arange(npairs, dtype=np.int64), pcount)
+        # explode lists in pair order
+        total = int(row_len.sum())
+        gather = np.repeat(row_off, row_len) + (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(np.cumsum(row_len) - row_len, row_len)
+        )
+        vals = flat_all[gather] if total else np.empty(0, np.int64)
+        pair_of_val = np.repeat(pair_of_row, row_len)
+        o2 = np.lexsort((vals, pair_of_val))
+        pv, vv = pair_of_val[o2], vals[o2]
+        dup = np.flatnonzero((pv[1:] == pv[:-1]) & (vv[1:] == vv[:-1]))
+        inter = np.bincount(pv[dup], minlength=npairs) if npairs else np.empty(0, np.int64)
+        tot = np.add.reduceat(row_len, pstart) if npairs else np.empty(0, np.int64)
+        two = pcount == 2
+        union = tot - inter
+        j = np.divide(
+            inter, union, out=np.zeros(npairs, dtype=np.float64), where=union > 0
+        )
+        keep = two & (j >= tau)
         return pa.table(
             {
-                "doc_a": pa.array([int(docs[order[0]])], type=pa.int64()),
-                "doc_b": pa.array([int(docs[order[1]])], type=pa.int64()),
-                "jaccard": pa.array([round6(j)], type=pa.float64()),
+                "doc_a": pa.array(a[pstart][keep], type=_I64),
+                "doc_b": pa.array(b[pstart][keep], type=_I64),
+                "jaccard": pa.array(round6(j[keep]), type=_F64),
             }
         )
 
     return (
-        joined.groupby("doc_id")
-        .map_groups(attach_set, batch_format="pyarrow")
-        .groupby("pair")
-        .map_groups(verify_pair, batch_format="pyarrow")
+        joined.groupby("dpart")
+        .map_groups(attach_of_partition, batch_format="pyarrow")
+        .groupby("vpart")
+        .map_groups(verify_of_partition, batch_format="pyarrow")
     )
 
 
@@ -379,16 +538,17 @@ def dedup_clusters(
 
     Distributed min-label propagation over Ray Data (the classic
     BSP/Pregel shape): each round co-groups the label table with the
-    edge list on node id, every edge forwards its endpoint's current
-    label to the other endpoint, and a ``groupby(node).min`` takes the
-    new label. Labels only decrease, so Σlabels is strictly decreasing
-    while anything changes — convergence is detected with a cheap
-    global sum instead of a per-node diff join. Per-round state is one
-    (node, label) row per doc (16 B/doc — the only thing materialized
-    between rounds); rounds = cluster diameter, small for dedup
-    graphs. A DuckDB recursive CTE is the oracle.
+    edge list on a node-hash partition, ONE vectorized pass per
+    partition forwards every node's current label along its edges
+    (searchsorted join — no per-node Python), and a native
+    ``groupby(node).min`` takes the new label. Labels only decrease,
+    so Σlabels is strictly decreasing while anything changes —
+    convergence is detected with a cheap global sum instead of a
+    per-node diff join. Per-round state is one (node, label) row per
+    doc (16 B/doc — the only thing materialized between rounds);
+    rounds = cluster diameter, small for dedup graphs. A DuckDB
+    recursive CTE is the oracle.
     """
-    import pyarrow.compute as pc
     from ray.data.aggregate import Min
 
     if edges is None:
@@ -413,34 +573,45 @@ def dedup_clusters(
     def edge_msgs(batch: pa.Table) -> pa.Table:
         a = batch["doc_a"].to_numpy()
         b = batch["doc_b"].to_numpy()
+        node = np.concatenate([a, b])
         return pa.table(
             {
-                "node": pa.array(np.concatenate([a, b]), type=pa.int64()),
-                "other": pa.array(np.concatenate([b, a]), type=pa.int64()),
-                "label": pa.array([None] * (2 * len(a)), type=pa.int64()),
+                "node": pa.array(node, type=_I64),
+                "other": pa.array(np.concatenate([b, a]), type=_I64),
+                "label": pa.nulls(2 * len(a), type=_I64),
+                "npart": pa.array(_u64_part(node), type=_I64),
             }
         )
 
     def label_msgs(batch: pa.Table) -> pa.Table:
-        nrows = batch.num_rows
+        node = batch["node"].to_numpy()
         return pa.table(
             {
                 "node": batch["node"],
-                "other": pa.array([None] * nrows, type=pa.int64()),
+                "other": pa.nulls(batch.num_rows, type=_I64),
                 "label": batch["label"],
+                "npart": pa.array(_u64_part(node), type=_I64),
             }
         )
 
-    def forward(group: pa.Table) -> pa.Table:
-        # exactly one label row per node; forward it along every edge
-        lab_col = group["label"].drop_null()
-        lab = int(lab_col[0].as_py())
-        node = int(group["node"][0].as_py())
-        others = group["other"].drop_null().to_numpy(zero_copy_only=False).astype(np.int64)
-        nodes = np.concatenate([[node], others])
-        labs = np.full(len(nodes), lab, dtype=np.int64)
+    def forward_partition(group: pa.Table) -> pa.Table:
+        """Vectorized label forwarding: each node has exactly one
+        label row in its partition; edges pick it up via a searchsorted
+        join and forward it to the other endpoint."""
+        is_lab = group["label"].is_valid().to_numpy(zero_copy_only=False)
+        node = group["node"].to_numpy()
+        ln = node[is_lab]
+        lv = group["label"].to_numpy(zero_copy_only=False)[is_lab].astype(np.int64)
+        o = np.argsort(ln)
+        ln, lv = ln[o], lv[o]
+        en = node[~is_lab]
+        eo = group["other"].to_numpy(zero_copy_only=False)[~is_lab].astype(np.int64)
+        pos = np.searchsorted(ln, en)
         return pa.table(
-            {"node": pa.array(nodes, type=pa.int64()), "label": pa.array(labs, type=pa.int64())}
+            {
+                "node": pa.array(np.concatenate([ln, eo]), type=_I64),
+                "label": pa.array(np.concatenate([lv, lv[pos]]), type=_I64),
+            }
         )
 
     prev_sum = None
@@ -450,8 +621,8 @@ def dedup_clusters(
             labels.map_batches(label_msgs, batch_format="pyarrow")
         )
         new_labels = (
-            msgs.groupby("node")
-            .map_groups(forward, batch_format="pyarrow")
+            msgs.groupby("npart")
+            .map_groups(forward_partition, batch_format="pyarrow")
             .groupby("node")
             .aggregate(Min("label", alias_name="label"))
             .materialize()
@@ -482,63 +653,79 @@ def dedup_clusters(
 def simhash_pairs(sf_dir: str, max_hamming: int = 3):
     """SimHash near-dup, EXACT w.r.t. hamming(simhash) ≤ max_hamming:
     (max_hamming+1) bands → pigeonhole guarantees every qualifying pair
-    shares at least one intact band; verification is exact popcount."""
+    shares at least one intact band; verification is exact popcount.
+    Signatures are the vectorized batch kernel (no Counter-per-doc);
+    candidate generation and dedup are hash-partitioned vectorized
+    passes."""
     nbands = max_hamming + 1
     band_bits = 64 // nbands
 
     def sig_rows(batch: pa.Table) -> pa.Table:
-        from collections import Counter
-
-        out = {"band_key": [], "doc_id": [], "sim": []}
-        for doc_id, text in zip(batch["doc_id"].to_pylist(), batch["text"].to_pylist()):
-            c = Counter(tokenize(text))
-            terms = np.array(sorted(c), dtype=object)
-            weights = np.array([c[t] for t in terms], dtype=np.float64)
-            sim = simhash64(terms, weights)
-            for b in range(nbands):
-                band_val = (sim >> (b * band_bits)) & ((1 << band_bits) - 1)
-                out["band_key"].append(f"{b}:{band_val}")
-                out["doc_id"].append(doc_id)
-                out["sim"].append(sim)
+        n_docs, doc_of_token, tokens = flat_tokens(batch["text"])
+        th = hash_tokens_u64(tokens)
+        sims = batch_simhash64(doc_of_token, th, n_docs)
+        ids = batch["doc_id"].to_numpy()
+        mask = np.uint64((1 << band_bits) - 1)
+        band_col = np.tile(np.arange(nbands, dtype=np.int64), n_docs)
+        shifts = (np.arange(nbands, dtype=np.uint64) * np.uint64(band_bits))[None, :]
+        bvals = ((sims[:, None] >> shifts) & mask).astype(np.int64).reshape(-1)
         return pa.table(
             {
-                "band_key": pa.array(out["band_key"]),
-                "doc_id": pa.array(out["doc_id"], type=pa.int64()),
-                "sim": pa.array(np.array(out["sim"], dtype=np.uint64).astype(np.int64)),
+                "band": pa.array(band_col, type=_I64),
+                "bval": pa.array(bvals, type=_I64),
+                "doc_id": pa.array(np.repeat(ids, nbands), type=_I64),
+                "sim": pa.array(sims.view(np.int64).repeat(nbands), type=_I64),
+                "part": pa.array(
+                    _u64_part(bvals * np.int64(nbands) + band_col), type=_I64
+                ),
             }
         )
 
-    def candidates(group: pa.Table) -> pa.Table:
+    def candidates_of_partition(group: pa.Table) -> pa.Table:
+        band = group["band"].to_numpy()
+        bval = group["bval"].to_numpy()
         ids = group["doc_id"].to_numpy()
         sims = group["sim"].to_numpy()
-        order = np.argsort(ids)
-        ids, sims = ids[order], sims[order]
-        a, b = np.triu_indices(len(ids), k=1)
-        ham = popcount64((sims[a].astype(np.uint64)) ^ (sims[b].astype(np.uint64)))
+        o = np.lexsort((ids, bval, band))
+        band, bval, ids, sims = band[o], bval[o], ids[o], sims[o]
+        bounds = np.flatnonzero(
+            np.r_[True, (band[1:] != band[:-1]) | (bval[1:] != bval[:-1]), True]
+        )
+        ia, ib = _segment_pairs(bounds[:-1], np.diff(bounds))
+        ham = popcount64(sims[ia].view(np.uint64) ^ sims[ib].view(np.uint64))
         keep = ham <= max_hamming
+        a, b = ids[ia][keep], ids[ib][keep]
         return pa.table(
             {
-                "doc_a": pa.array(ids[a][keep], type=pa.int64()),
-                "doc_b": pa.array(ids[b][keep], type=pa.int64()),
-                "hamming": pa.array(ham[keep].astype(np.int64), type=pa.int64()),
+                "doc_a": pa.array(a, type=_I64),
+                "doc_b": pa.array(b, type=_I64),
+                "hamming": pa.array(ham[keep], type=_I64),
+                "part2": pa.array(_pair_part(a, b), type=_I64),
             }
         )
 
-    def add_pair_key(batch: pa.Table) -> pa.Table:
-        key = [f"{a}_{b}" for a, b in zip(batch["doc_a"].to_pylist(), batch["doc_b"].to_pylist())]
-        return batch.append_column("pair", pa.array(key))
-
-    def first(group: pa.Table) -> pa.Table:
-        return group.slice(0, 1).select(["doc_a", "doc_b", "hamming"])
+    def distinct_of_partition(group: pa.Table) -> pa.Table:
+        a = group["doc_a"].to_numpy()
+        b = group["doc_b"].to_numpy()
+        h = group["hamming"].to_numpy()
+        o = np.lexsort((b, a))
+        a, b, h = a[o], b[o], h[o]
+        keep = np.r_[True, (a[1:] != a[:-1]) | (b[1:] != b[:-1])]
+        return pa.table(
+            {
+                "doc_a": pa.array(a[keep], type=_I64),
+                "doc_b": pa.array(b[keep], type=_I64),
+                "hamming": pa.array(h[keep], type=_I64),
+            }
+        )
 
     return (
         _documents(sf_dir)
         .map_batches(sig_rows, batch_format="pyarrow")
-        .groupby("band_key")
-        .map_groups(candidates, batch_format="pyarrow")
-        .map_batches(add_pair_key, batch_format="pyarrow")
-        .groupby("pair")
-        .map_groups(first, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(candidates_of_partition, batch_format="pyarrow")
+        .groupby("part2")
+        .map_groups(distinct_of_partition, batch_format="pyarrow")
     )
 
 
@@ -570,18 +757,13 @@ def embedding_neardup_pairs(sf_dir: str, tau: float = 0.3):
         bmat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
         bnorms = np.linalg.norm(bmat, axis=1)
         cos = (bmat @ all_mat.T) / np.outer(bnorms, all_norms)
-        keep_a, keep_b, vals = [], [], []
-        for r in range(len(bids)):
-            mask = (cos[r] >= tau) & (all_ids > bids[r])
-            for c in np.flatnonzero(mask):
-                keep_a.append(int(bids[r]))
-                keep_b.append(int(all_ids[c]))
-                vals.append(round6(float(cos[r, c])))
+        keep = (cos >= tau) & (all_ids[None, :] > bids[:, None])
+        r, c = np.nonzero(keep)
         return pa.table(
             {
-                "vec_a": pa.array(keep_a, type=pa.int64()),
-                "vec_b": pa.array(keep_b, type=pa.int64()),
-                "cosine": pa.array(vals, type=pa.float64()),
+                "vec_a": pa.array(bids[r], type=_I64),
+                "vec_b": pa.array(all_ids[c], type=_I64),
+                "cosine": pa.array(round6(cos[r, c]), type=_F64),
             }
         )
 
@@ -604,10 +786,12 @@ def decontaminate(
     object store; the training corpus then STREAMS through
     ``map_batches``, each batch probing with searchsorted — no
     all-to-all shuffle, no pair blowup, counts complete in-batch
-    because a train doc lives in exactly one batch. Same shingle
-    universe as :func:`ngram_jaccard_pairs` (hashed distinct n-grams,
-    whole-text gram for short docs) — the DuckDB oracle rebuilds it
-    relationally and must agree exactly."""
+    because a train doc lives in exactly one batch. The probe pass is
+    fully vectorized (batch shingle kernel + one searchsorted + one
+    lexsort — no per-doc Python). Same shingle universe as
+    :func:`ngram_jaccard_pairs` (hashed distinct n-grams, whole-text
+    gram for short docs) — the DuckDB oracle rebuilds it relationally
+    and must agree exactly."""
     import ray
 
     @ray.remote
@@ -639,35 +823,49 @@ def decontaminate(
         import ray as _ray
 
         sh_sorted, ev_doc = _ray.get(ref)
-        out_t, out_e, out_c = [], [], []
-        for doc_id, text in zip(
-            batch["doc_id"].to_pylist(), batch["text"].to_pylist()
-        ):
-            if doc_id % eval_mod == 0 or not len(sh_sorted):
-                continue
-            sh = shingle_hashes(tokenize(text), n=n).astype(np.int64)
-            lo = np.searchsorted(sh_sorted, sh, side="left")
-            hi = np.searchsorted(sh_sorted, sh, side="right")
-            widths = hi - lo
-            if not widths.any():
-                continue
-            # gather every (shingle hit → eval doc) occurrence; distinct
-            # shingles per doc make the per-eval-doc count = |∩ shingles|
-            tot = int(widths.sum())
-            idx = np.repeat(lo, widths) + (
-                np.arange(tot) - np.repeat(np.cumsum(widths) - widths, widths)
-            )
-            evs, counts = np.unique(ev_doc[idx], return_counts=True)
-            keep = counts >= min_shared
-            for e, c in zip(evs[keep], counts[keep]):
-                out_t.append(doc_id)
-                out_e.append(int(e))
-                out_c.append(int(c))
+        empty = pa.table(
+            {
+                "train_doc_id": pa.array([], type=_I64),
+                "eval_doc_id": pa.array([], type=_I64),
+                "shared_ngrams": pa.array([], type=_I64),
+            }
+        )
+        if not len(sh_sorted):
+            return empty
+        ids, counts, flat = _shingle_batch(batch, n)
+        flat = flat.view(np.int64)
+        # mask out eval docs (they don't probe themselves)
+        doc_of_sh = np.repeat(np.arange(len(ids), dtype=np.int64), counts)
+        train_ok = (ids % eval_mod) != 0
+        m = train_ok[doc_of_sh]
+        sh, dsh = flat[m], doc_of_sh[m]
+        if not len(sh):
+            return empty
+        lo = np.searchsorted(sh_sorted, sh, side="left")
+        hi = np.searchsorted(sh_sorted, sh, side="right")
+        widths = hi - lo
+        tot = int(widths.sum())
+        if tot == 0:
+            return empty
+        idx = np.repeat(lo, widths) + (
+            np.arange(tot, dtype=np.int64)
+            - np.repeat(np.cumsum(widths) - widths, widths)
+        )
+        train_of_hit = np.repeat(dsh, widths)
+        ev_of_hit = ev_doc[idx]
+        o = np.lexsort((ev_of_hit, train_of_hit))
+        th, eh = train_of_hit[o], ev_of_hit[o]
+        bounds = np.flatnonzero(
+            np.r_[True, (th[1:] != th[:-1]) | (eh[1:] != eh[:-1]), True]
+        )
+        cnt = np.diff(bounds)
+        firsts = bounds[:-1]
+        keep = cnt >= min_shared
         return pa.table(
             {
-                "train_doc_id": pa.array(out_t, type=pa.int64()),
-                "eval_doc_id": pa.array(out_e, type=pa.int64()),
-                "shared_ngrams": pa.array(out_c, type=pa.int64()),
+                "train_doc_id": pa.array(ids[th[firsts][keep]], type=_I64),
+                "eval_doc_id": pa.array(eh[firsts][keep], type=_I64),
+                "shared_ngrams": pa.array(cnt[keep], type=_I64),
             }
         )
 
