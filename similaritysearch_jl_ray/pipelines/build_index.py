@@ -147,6 +147,8 @@ def build_index(
     ``False`` drops the sidecar for position-free workloads (≈cf extra
     varints per term is the cost).
     """
+    import time as _time
+
     import ray.data as rd
 
     os.makedirs(index_dir, exist_ok=True)
@@ -154,6 +156,14 @@ def build_index(
     stats_path = os.path.join(index_dir, "stats.json")
     postings_dir = os.path.join(index_dir, "postings")
     meta_dir = os.path.join(index_dir, "meta")
+    timings: dict[str, float] = {}
+    _t0 = _time.perf_counter()
+
+    def _lap(stage: str) -> None:
+        nonlocal _t0
+        now = _time.perf_counter()
+        timings[stage] = round(now - _t0, 3)
+        _t0 = now
 
     # ---- stage A: doc map (doc_id, url, lang) — projected, no html ------
     if not _done(docmap_dir):
@@ -163,6 +173,7 @@ def build_index(
             docmap_dir, compression="zstd"
         )
         _mark_done(docmap_dir)
+    _lap("A_docmap")
 
     # ---- stage C: df SKETCH → head-term set (sampled, cheap) ------------
     # Salting is a performance decision, not a correctness one, so the
@@ -198,6 +209,7 @@ def build_index(
         os.replace(tmp, sketch_path)
     with open(sketch_path) as f:
         sketch = json.load(f)
+    _lap("C_sketch")
 
     # ---- stage D: salted shuffle → encoded runs, per-part resume --------
     os.makedirs(meta_dir, exist_ok=True)
@@ -284,24 +296,43 @@ def build_index(
             return pa.Table.from_pylist(rows, schema=RUN_SCHEMA)
 
         # D1: FUSED extract → tokenize → encode → partitioned WRITE of
-        # local runs, one streaming pass over the raw pages (no token
+        # local runs, ONE map_batches over the raw pages (no token
         # intermediate, no all-to-all operator — the hash partitioning
         # happens in the parquet layout itself). Ray's
         # groupby().map_groups() measured 95 s on these wide binary
         # rows even with a trivial UDF; a per-part merge task over the
         # partitioned files does the same exchange in seconds and is
-        # the per-segment-merger shape a 100 TB build wants.
+        # the per-segment-merger shape a 100 TB build wants. The three
+        # sub-steps run in-process per block (round-4: the staged
+        # version re-shipped the token table — ~10× the run bytes —
+        # through the object store between stages, and the row-count
+        # batch_size on the tokenize stage serialized blocks through a
+        # coalescing buffer; fusing removed both). ``tokenize_batch_
+        # size`` still bounds the token-table working set via internal
+        # slicing; encoding stays once-per-block so each (term, salt)
+        # yields one run per block.
         import ray
 
         runs_dir = os.path.join(index_dir, "runs_tmp")
         shutil.rmtree(runs_dir, ignore_errors=True)
         tok = tokenize_batch_positions if with_positions else tokenize_batch
+
+        def encode_pages(batch: pa.Table) -> pa.Table:
+            ext = extract_batch(batch)
+            if ext.num_rows == 0:
+                return pa.Table.from_pylist([], schema=RUN_SCHEMA)
+            toks = [
+                tok(ext.slice(i, tokenize_batch_size))
+                for i in range(0, ext.num_rows, tokenize_batch_size)
+            ]
+            tok_tbl = pa.concat_tables(toks).combine_chunks() if len(toks) > 1 else toks[0]
+            return encode_local(tok_tbl)
+
         (
-            pages_ds.map_batches(extract_batch, batch_format="pyarrow")
-            .map_batches(tok, batch_format="pyarrow", batch_size=tokenize_batch_size)
-            .map_batches(encode_local, batch_format="pyarrow", batch_size=None)
+            pages_ds.map_batches(encode_pages, batch_format="pyarrow", batch_size=None)
             .write_parquet(runs_dir, partition_cols=["part"], compression="zstd")
         )
+        _lap("D1_encode_shuffle")
 
         # D2: one merge task per output partition. Arrow-native: the
         # part table is never converted to Python rows — single-run
@@ -407,6 +438,7 @@ def build_index(
             os.replace(tmp, os.path.join(meta_dir, f"part={meta['part']}.json"))
             if on_part_complete is not None:
                 on_part_complete(meta)
+        _lap("D2_merge")
         shutil.rmtree(runs_dir, ignore_errors=True)
 
     # ---- stage E: finalize EXACT global stats from merge metadata -------
@@ -430,6 +462,7 @@ def build_index(
             "head_df_fraction": head_df_fraction,
             "with_positions": bool(with_positions),
             "head_terms": sketch["head_terms"],
+            "build_timings": timings,
         }
         tmp = stats_path + ".tmp"
         with open(tmp, "w") as f:

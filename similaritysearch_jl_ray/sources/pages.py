@@ -32,28 +32,72 @@ def page_url(source: str, lang: str, doc_id: int) -> str:
     return f"https://{source}.example.com/{lang}/{doc_id:08d}"
 
 
+def _batch_urls(sources: pa.Array, langs: pa.Array, ids: pa.Array) -> pa.Array:
+    """Vectorized :func:`page_url` (byte-identical per row)."""
+    import pyarrow.compute as pc
+
+    padded = pc.utf8_lpad(pc.cast(ids, pa.string()), 8, "0")
+    return pc.binary_join_element_wise(
+        "https://",
+        sources,
+        ".example.com/",
+        langs,
+        "/",
+        padded,
+        "",
+    )
+
+
+def _batch_wrap_html(texts: pa.Array, urls: pa.Array, ids: pa.Array) -> pa.Array:
+    """Vectorized :func:`..functions.text.wrap_html` — byte-identical
+    per row (tests/test_text.py checks every fixture row). The escape
+    is the same three substring replacements ``html.escape(quote=
+    False)`` performs, in the same order (& first)."""
+    import pyarrow.compute as pc
+
+    def esc(col):
+        for ent, ch in (("&", "&amp;"), ("<", "&lt;"), (">", "&gt;")):
+            col = pc.replace_substring(col, pattern=ent, replacement=ch)
+        return col
+
+    title = pc.binary_join_element_wise("doc ", pc.cast(ids, pa.string()), "")
+    doc = pc.binary_join_element_wise(
+        '<!doctype html><html><head><meta charset="utf-8"><title>',
+        esc(title),
+        '</title><link rel="canonical" href="',
+        urls,
+        '"></head><body><nav>home | about | contact</nav>'
+        '<article data-ss="text">',
+        esc(texts),
+        "</article><footer>&copy; example</footer></body></html>",
+        "",
+    )
+    return pc.cast(doc, pa.binary())
+
+
 def pages_from_documents(batch: pa.Table, replicate: int = 1, stride: int = 0, with_html: bool = True) -> pa.Table:
-    """documents batch → pages batch (vectorized except the html wrap)."""
+    """documents batch → pages batch, Arrow kernels end to end (the
+    url/html synthesis used to be per-row Python — it sat inside the
+    timed build path via the docmap pass and the head sketch)."""
     out_tables = []
     doc_ids = batch["doc_id"].to_numpy()
-    texts = batch["text"].to_pylist()
-    langs = batch["lang"].to_pylist()
-    sources = batch["source"].to_pylist()
+    text_col = batch["text"].combine_chunks()
+    lang_col = batch["lang"].combine_chunks()
+    source_col = batch["source"].combine_chunks()
     for r in range(replicate):
-        ids = doc_ids + r * stride
-        urls = [page_url(s, l, int(i)) for s, l, i in zip(sources, langs, ids)]
+        ids = pa.array(doc_ids + r * stride, type=pa.int64())
+        urls = _batch_urls(source_col, lang_col, ids)
         cols = {
-            "doc_id": pa.array(ids, type=pa.int64()),
-            "url": pa.array(urls, type=pa.string()),
+            "doc_id": ids,
+            "url": urls,
             "warc_ts": pa.array(
-                (WARC_EPOCH_US + ids * 1_000_000).astype("int64"), type=pa.int64()
+                WARC_EPOCH_US + (doc_ids + r * stride) * 1_000_000, type=pa.int64()
             ).cast(pa.timestamp("us")),
-            "lang": pa.array(langs, type=pa.string()),
+            "lang": lang_col,
         }
         if with_html:
-            htmls = [wrap_html(t, u, title=f"doc {i}") for t, u, i in zip(texts, urls, ids)]
-            cols["html"] = pa.array(htmls, type=pa.binary())
-            cols["text"] = pa.array(texts, type=pa.string())
+            cols["html"] = _batch_wrap_html(text_col, urls, ids)
+            cols["text"] = text_col
         out_tables.append(pa.table(cols))
     return pa.concat_tables(out_tables)
 
