@@ -300,6 +300,10 @@ class Bm25Scorer:
         self._impact_cache: dict[str, tuple] = {}
         self._dense_cache: dict[str, object] = {}
         self._pos_cache: dict[str, tuple] = {}
+        # occurrence-key cache for the positional fast path: per term
+        # (doc_ids, occ_offsets, sorted uint64 keys doc<<32|pos) — see
+        # _term_occ
+        self._occ_cache: dict[str, tuple] = {}
         # doc-id span this scorer serves (bounds dense rescore arrays;
         # in sharded mode the shard width bounds it, the 100 TB story)
         self._span = doc_range if doc_range is not None else (0, st["max_doc"] + 1)
@@ -952,6 +956,62 @@ class Bm25Scorer:
             return e, e, e.copy()
         return np.concatenate(pi), np.concatenate(pt), np.concatenate(pp)
 
+    # fixed occurrence-key shift: key = doc_id << 32 | pos. Valid while
+    # max_doc < 2^32 and every position < 2^32 − 256 (the phrase/near
+    # probes add at most the query length / window to a key); outside
+    # that envelope the dynamic-M fallback path runs instead.
+    _OCC_SHIFT = np.uint64(32)
+    _OCC_POS_MASK = np.uint64(0xFFFFFFFF)
+
+    def _occ_eligible(self) -> bool:
+        base, hi = self._span
+        return base >= 0 and hi < (1 << 32)
+
+    def _term_occ(self, term: str) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(doc_ids, occ_offsets, keys): the term's occurrences as ONE
+        sorted uint64 key array ``doc_id << 32 | pos`` with per-doc
+        segment offsets — cached per actor. Positional serving probes
+        these arrays directly with ``searchsorted`` (no per-query key
+        building, no per-query position gathers — at bench scale those
+        two were ~60%% of warm dense-phrase latency). Memory matches
+        the decoded-positions cache it replaces (8 B/occurrence);
+        ``_pos_cache`` is dropped for the term to avoid double
+        retention (positions recover as ``keys & 0xFFFFFFFF``)."""
+        hit = self._occ_cache.get(term)
+        if hit is None:
+            ids, tfs, pos = self._term_positions(term)
+            if len(pos) and int(pos.max()) >= (1 << 32) - 256:
+                raise ValueError("position exceeds the occurrence-key envelope")
+            off = np.zeros(len(ids) + 1, dtype=np.int64)
+            np.cumsum(tfs, out=off[1:])
+            keys = (
+                np.repeat(ids, tfs).astype(np.uint64) << self._OCC_SHIFT
+            ) | pos.astype(np.uint64)
+            hit = (ids, off, keys)
+            self._occ_cache[term] = hit
+            self._pos_cache.pop(term, None)
+        return hit
+
+    def _occ_keys_for(self, term: str, docs: np.ndarray) -> np.ndarray:
+        """The term's occurrence keys RESTRICTED to the sorted
+        candidate ``docs`` — one vectorized segment gather from the
+        cached key array."""
+        ids, off, keys = self._term_occ(term)
+        if not len(docs) or not len(ids):
+            return keys[:0]
+        pos_c, valid = in_sorted(ids, docs)
+        pos_c = pos_c[valid]
+        starts = off[pos_c]
+        lens = off[pos_c + 1] - starts
+        tot = int(lens.sum())
+        if tot == 0:
+            return keys[:0]
+        seg = np.cumsum(lens) - lens
+        idx = np.repeat(starts, lens) + (
+            np.arange(tot, dtype=np.int64) - np.repeat(seg, lens)
+        )
+        return keys[idx]
+
     def _score_phrase(self, toks: list[str]) -> tuple[list[tuple[int, float]], int, int]:
         """Positional phrase match + BM25 ranking, index-only.
 
@@ -979,16 +1039,69 @@ class Bm25Scorer:
     def _phrase_candidates(self, toks: list[str]) -> tuple[np.ndarray, int]:
         """Sorted doc_ids containing the contiguous phrase (+ postings
         touched) — the candidate half of :meth:`_score_phrase`, shared
-        with phrase leaves of boolean trees."""
+        with phrase leaves of boolean trees.
+
+        Fast path (fixed-shift occurrence keys, :meth:`_term_occ`):
+        anchors = the RAREST slot's occurrences restricted to the
+        doc-level AND set, shifted to phrase starts; every other slot
+        is then one ``searchsorted`` membership probe of ``anchor + i``
+        against its cached full key array — no per-query key building,
+        no per-slot position gathers. Survivors' doc halves are the
+        candidates. Falls back to the dynamic-M merge outside the
+        32-bit key envelope."""
         if any(not self._has_term(t) for t in toks):
             return np.empty(0, np.int64), 0
-        # doc-level AND first; position bytes decode only for runs
-        # containing a surviving candidate (_term_positions_for)
         and_docs = self._and_docs(sorted(set(toks)))
-        npost = 0
         if len(toks) == 1 or not len(and_docs):
             return and_docs, int(len(and_docs))
-        else:
+        if self._occ_eligible():
+            try:
+                return self._phrase_candidates_fast(toks, and_docs)
+            except ValueError:
+                pass  # position envelope exceeded → dynamic fallback
+        return self._phrase_candidates_dynamic(toks, and_docs)
+
+    def _phrase_candidates_fast(
+        self, toks: list[str], and_docs: np.ndarray
+    ) -> tuple[np.ndarray, int]:
+        # rarest slot by posting count (cheap proxy for occurrence mass)
+        dfs = [len(self._term_arrays(t)[0]) for t in toks]
+        r = int(np.argmin(dfs))
+        anchors = self._occ_keys_for(toks[r], and_docs)
+        npost = len(anchors)
+        if r > 0 and len(anchors):
+            # phrase start P = pos_r − r must be ≥ 0
+            anchors = anchors[(anchors & self._OCC_POS_MASK) >= np.uint64(r)]
+            anchors = anchors - np.uint64(r)
+        # probe remaining slots, smallest occurrence array first
+        others = sorted(
+            (i for i in range(len(toks)) if i != r),
+            key=lambda i: dfs[i],
+        )
+        for i in others:
+            if not len(anchors):
+                break
+            keys_i = self._term_occ(toks[i])[2]
+            npost += len(and_docs)  # probe bookkeeping (cost counter)
+            if not len(keys_i):
+                anchors = anchors[:0]
+                break
+            probe = anchors + np.uint64(i)
+            lo = np.searchsorted(keys_i, probe)
+            loc = np.minimum(lo, len(keys_i) - 1)
+            anchors = anchors[(lo < len(keys_i)) & (keys_i[loc] == probe)]
+        cand = (
+            np.unique((anchors >> self._OCC_SHIFT)).astype(np.int64)
+            if len(anchors)
+            else np.empty(0, np.int64)
+        )
+        return cand, int(npost)
+
+    def _phrase_candidates_dynamic(
+        self, toks: list[str], and_docs: np.ndarray
+    ) -> tuple[np.ndarray, int]:
+        npost = 0
+        if True:  # (kept at old indentation — the fallback body is unchanged)
             # key base: big enough that pos never collides across docs
             maxpos = 0
             streams = []
@@ -1036,12 +1149,23 @@ class Bm25Scorer:
         occurrence of t in ``[κ, κ+w]``. With ``M > maxpos + w + 1``
         the probe can't cross a doc boundary, so each per-term check is
         one ``searchsorted`` over that term's sorted occurrence keys —
-        no per-doc Python, cost O(total_occurrences · T · log)."""
+        no per-doc Python, cost O(total_occurrences · T · log).
+
+        Fast path mirrors :meth:`_phrase_candidates_fast`: anchors
+        gather once per term from the cached occurrence-key arrays
+        (restricted to the AND set); the window probes run against the
+        FULL cached arrays — the fixed 32-bit shift guarantees
+        ``anchor + w`` cannot cross a doc boundary."""
         and_docs = self._and_docs(terms)
         if not len(and_docs):
             return np.empty(0, np.int64), 0
         if len(terms) == 1:
             return and_docs, int(len(and_docs))
+        if self._occ_eligible() and w < (1 << 31):
+            try:
+                return self._near_candidates_fast(terms, w, and_docs)
+            except ValueError:
+                pass  # position envelope exceeded → dynamic fallback
         streams = []
         npost = 0
         maxpos = 0
@@ -1069,6 +1193,32 @@ class Bm25Scorer:
                 return np.empty(0, np.int64), npost
         return (
             np.unique((anchors[ok] // M).astype(np.int64)),
+            npost,
+        )
+
+    def _near_candidates_fast(
+        self, terms: list[str], w: int, and_docs: np.ndarray
+    ) -> tuple[np.ndarray, int]:
+        anchors_l = []
+        npost = 0
+        for t in terms:
+            a = self._occ_keys_for(t, and_docs)
+            if not len(a):
+                return np.empty(0, np.int64), npost
+            anchors_l.append(a)
+            npost += len(a)
+        anchors = np.concatenate(anchors_l)
+        ok = np.ones(len(anchors), dtype=bool)
+        W = np.uint64(w)
+        for t in terms:
+            kt = self._term_occ(t)[2]
+            lo = np.searchsorted(kt, anchors)
+            lo_c = np.minimum(lo, len(kt) - 1)
+            ok &= (lo < len(kt)) & (kt[lo_c] <= anchors + W)
+            if not ok.any():
+                return np.empty(0, np.int64), npost
+        return (
+            np.unique((anchors[ok] >> self._OCC_SHIFT)).astype(np.int64),
             npost,
         )
 
