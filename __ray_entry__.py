@@ -1093,6 +1093,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         ).neighborhood_filter(sf, kind="kcenters"),
         "permuted_knn_search": lambda sf: ann.permuted_knn_search(sf, k=8, n_queries=10),
         "neardup_embeddings": lambda sf: ann.neardup_embeddings(sf, eps=1.2),
+        # SearchGraph (the reference's flagship navigable-graph ANN):
+        # approximate by design → rows-only; macrorecall >= 0.8 vs the
+        # brute gold is pinned in tests/test_dedup_ann.py (the
+        # reference's own CI bar, test/testsearchgraph.jl:22-26)
+        "searchgraph_knn": lambda sf: __import__(
+            "similaritysearch_jl_ray.pipelines.searchgraph",
+            fromlist=["searchgraph_knn"],
+        ).searchgraph_knn(sf, k=8, n_queries=20),
         # -- ANN scale path + transforms ----------------------------------
         # full probe == exact → shares the brute-force oracle
         "knn_search_ivf_full": lambda sf: __import__(

@@ -1,0 +1,339 @@
+"""SearchGraph: navigable-graph ANN with beam search — the reference's
+flagship index re-expressed Ray-Data-first (SURVEY.md §2 "what's
+missing" closure; the reference's own CI bar is reproduced in
+tests/test_dedup_ann.py: build the graph, search, macrorecall ≥ 0.8 vs
+the exhaustive gold — ``/root/reference/test/testsearchgraph.jl:22-26``).
+
+The reference builds incrementally: each insert beam-searches its own
+neighborhood under a lock-guarded shared adjacency
+(``/root/reference/src/searchgraph/insertions.jl:40-99``) and prunes it
+with a SAT-family filter (``neighborhood.jl``). A shared mutable
+adjacency is exactly what Ray Data should NOT express, so the build is
+re-shaped batch-parallel with the same ingredients:
+
+1. **kNN candidate graph** — the exact ``allknn`` pipeline (corpus
+   broadcast via an object-store ref, nodes stream through
+   ``map_batches``); ``build_k`` candidates per node.
+2. **SAT pruning per node** (``DistalSatNeighborhood`` analog,
+   distal-first scan) inside the same batch pass — O(build_k²) numpy
+   per node, linear in N overall and embarrassingly parallel.
+3. **Reverse links** (``connect_reverse_links!``,
+   ``insertions.jl:40-99``): edges symmetrize through one sort
+   (the Ray-side "shuffle = sync"), capped at ``max_degree`` keeping
+   the CLOSEST neighbors (the reference's pruning rule).
+4. **Freeze to CSR** (``StaticAdjList``/``adjstatic.jl:25-46`` analog)
+   + entry points = farthest-first centers; the whole read-only graph
+   ships as ONE object-store ref that every search actor maps
+   zero-copy.
+
+Search is the reference's ``beamsearch!`` contract
+(``src/searchgraph/beamsearch.jl:30-97``): a TopK beam (covradius
+pruning, (dist, id) tie rule — functions/topk.py), best-first
+expansion of unvisited neighbors, stop when the closest frontier
+candidate can no longer improve a full beam. Per-expansion distance
+evaluation is one vectorized kernel over the node's ≤max_degree
+neighbors; the visited set is an actor-resident mark scratch (no
+allocation per query).
+
+Scale note (100 TB): the CSR graph is 8 B × N × max_degree + the
+vector matrix — the documented broadcast-memory bound, same as the
+IVF refine path; beyond it, shard nodes by id range (doc-range pinned
+searchers, one graph per shard, merge by the TopK contract) exactly
+like sharded BM25 serving. Build cost is dominated by the allknn
+candidate stage — swap in the IVF-bucketed allknn for beyond-memory
+builds.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+
+from ..functions.rounding import round6
+from ..functions.topk import TopK
+
+__all__ = [
+    "build_searchgraph",
+    "searchgraph_knn",
+    "GraphSearcher",
+]
+
+_GRAPH_REFS: dict[tuple, object] = {}
+
+
+def _sat_prune(
+    cand_ids: np.ndarray,
+    cand_dists: np.ndarray,
+    cand_mat: np.ndarray,
+    max_out: int,
+) -> np.ndarray:
+    """Distal-first SAT filter over one node's candidate list
+    (reference ``DistalSatNeighborhood``): scanning candidates
+    farthest-first, keep c unless an already-kept neighbor is closer
+    to c than the node itself is. Returns kept candidate ids
+    (≤ max_out). Vectorized against the kept set per step (the kept
+    set is ≤ max_out ≤ 32 — bounded work per node)."""
+    order = np.argsort(-cand_dists, kind="stable")
+    kept: list[int] = []
+    kept_rows: list[np.ndarray] = []
+    for j in order:
+        c = cand_mat[j]
+        if kept_rows:
+            dk = np.linalg.norm(np.asarray(kept_rows) - c[None, :], axis=1)
+            if (dk < cand_dists[j]).any():
+                continue
+        kept.append(int(cand_ids[j]))
+        kept_rows.append(c)
+    if len(kept) > max_out:
+        # keep the closest max_out of the kept set (degree cap)
+        kd = {int(i): float(d) for i, d in zip(cand_ids, cand_dists)}
+        kept = sorted(kept, key=lambda i: (kd[i], i))[:max_out]
+    return np.asarray(kept, dtype=np.int64)
+
+
+def build_searchgraph(
+    sf_dir: str,
+    build_k: int = 12,
+    max_degree: int = 16,
+    metric: str = "l2",
+    n_entry: int = 4,
+):
+    """Build the graph; returns an ObjectRef of
+    ``(ids, mat, indptr, indices, entries)`` (CSR over POSITIONS into
+    ``ids``/``mat``, which are vec_id-ascending). Cached per
+    (file state, knobs) like ann._corpus_ref."""
+    import os
+
+    import ray
+
+    from .ann import _corpus_ref, _dists
+
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    key = (sf_dir, int(st.st_mtime_ns), int(st.st_size), build_k, max_degree, metric, n_entry)
+    ref = _GRAPH_REFS.get(key)
+    if ref is not None:
+        return ref
+    for k in [k for k in _GRAPH_REFS if k[0] == sf_dir]:
+        del _GRAPH_REFS[k]
+
+    corpus = _corpus_ref(sf_dir)
+
+    def edge_batch(batch: pa.Table) -> pa.Table:
+        """kNN candidates + SAT prune for a batch of nodes → directed
+        edge rows (src, dst, dist)."""
+        all_ids, all_mat = ray.get(corpus)
+        q_ids = batch["vec_id"].to_numpy().astype(np.int64)
+        q_mat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        d = _dists(all_mat, q_mat, metric)  # (corpus, batch)
+        src_l, dst_l, dist_l = [], [], []
+        # positions of all corpus rows by id (ids are sorted ascending)
+        for j, qid in enumerate(q_ids):
+            dj = d[:, j]
+            mask = all_ids != qid
+            ids_m, dj_m = all_ids[mask], dj[mask]
+            sel = np.lexsort((ids_m, dj_m))[:build_k]
+            cand_ids, cand_d = ids_m[sel], dj_m[sel]
+            cand_pos = np.searchsorted(all_ids, cand_ids)
+            kept = _sat_prune(cand_ids, cand_d, all_mat[cand_pos], max_degree)
+            kd = dict(zip(cand_ids.tolist(), cand_d.tolist()))
+            src_l.append(np.full(len(kept), qid, dtype=np.int64))
+            dst_l.append(kept)
+            dist_l.append(np.asarray([kd[int(i)] for i in kept], dtype=np.float64))
+        return pa.table(
+            {
+                "src": pa.array(np.concatenate(src_l), type=pa.int64()),
+                "dst": pa.array(np.concatenate(dst_l), type=pa.int64()),
+                "dist": pa.array(np.concatenate(dist_l), type=pa.float64()),
+            }
+        )
+
+    from .ann import load_embeddings
+
+    edges = (
+        load_embeddings(sf_dir)
+        .map_batches(edge_batch, batch_format="pyarrow", batch_size=128)
+        .to_pandas()
+    )
+
+    @ray.remote
+    def freeze(edges_src, edges_dst, edges_dist, corpus, max_degree, n_entry):
+        """Symmetrize + degree-cap + CSR freeze + entry points — one
+        task, result lives in the object store. (``corpus`` arrives
+        already dereferenced — Ray resolves top-level ObjectRef args.)"""
+        all_ids, all_mat = corpus
+        n = len(all_ids)
+        # reverse links: every directed edge also enters dst's list
+        s = np.concatenate([edges_src, edges_dst])
+        t = np.concatenate([edges_dst, edges_src])
+        w = np.concatenate([edges_dist, edges_dist])
+        # unique (src, dst), keep min dist (dist is symmetric anyway)
+        o = np.lexsort((t, w, s))
+        s, t, w = s[o], t[o], w[o]
+        keep = np.r_[True, (s[1:] != s[:-1]) | (t[1:] != t[:-1])]
+        s, t, w = s[keep], t[keep], w[keep]
+        # degree cap: keep the closest max_degree per src (rows are
+        # sorted by (src, dist) after the lexsort+dedup above)
+        o2 = np.lexsort((t, w, s))
+        s, t, w = s[o2], t[o2], w[o2]
+        bounds = np.flatnonzero(np.r_[True, s[1:] != s[:-1], True])
+        starts, counts = bounds[:-1], np.diff(bounds)
+        rank_in_src = np.arange(len(s)) - np.repeat(starts, counts)
+        keep2 = rank_in_src < max_degree
+        s, t = s[keep2], t[keep2]
+        # CSR over positions
+        src_pos = np.searchsorted(all_ids, s)
+        dst_pos = np.searchsorted(all_ids, t)
+        indptr = np.zeros(n + 1, dtype=np.int64)
+        np.add.at(indptr, src_pos + 1, 1)
+        np.cumsum(indptr, out=indptr)
+        indices = np.empty(len(dst_pos), dtype=np.int64)
+        order = np.argsort(src_pos, kind="stable")
+        indices[:] = dst_pos[order]
+        # entry points: farthest-first centers (fft seed = position 0)
+        entries = [0]
+        dmin = np.linalg.norm(all_mat - all_mat[0][None, :], axis=1)
+        for _ in range(n_entry - 1):
+            nxt = int(np.argmax(dmin))
+            entries.append(nxt)
+            dmin = np.minimum(
+                dmin, np.linalg.norm(all_mat - all_mat[nxt][None, :], axis=1)
+            )
+        return all_ids, all_mat, indptr, indices, np.asarray(entries, dtype=np.int64)
+
+    ref = freeze.remote(
+        edges["src"].to_numpy(),
+        edges["dst"].to_numpy(),
+        edges["dist"].to_numpy(),
+        corpus,
+        max_degree,
+        n_entry,
+    )
+    _GRAPH_REFS[key] = ref
+    return ref
+
+
+class GraphSearcher:
+    """Actor-pool beam searcher (the reference's ``beamsearch!``
+    contract, ``beamsearch.jl:30-97``): graph + vectors map zero-copy
+    from the broadcast ref in ``__init__``; per query a TopK beam of
+    width ``bs`` expands best-first until the nearest frontier node
+    can't improve a full beam (covradius stop). Visited marks are an
+    actor-resident scratch — no per-query allocation."""
+
+    def __init__(self, graph_ref, k: int = 8, bs: int = 32, metric: str = "l2"):
+        import ray
+
+        self.ids, self.mat, self.indptr, self.indices, self.entries = ray.get(graph_ref)
+        self.k = k
+        self.bs = max(bs, k)
+        self.metric = metric
+        self._visited = np.zeros(len(self.ids), dtype=bool)
+        if metric == "cosine":
+            self._norms = np.linalg.norm(self.mat, axis=1)
+
+    def _dist_to(self, pos: np.ndarray, q: np.ndarray, qn: float) -> np.ndarray:
+        sub = self.mat[pos]
+        if self.metric == "l2":
+            diff = sub - q[None, :]
+            return np.sqrt((diff * diff).sum(axis=1))
+        return 1.0 - (sub @ q) / (self._norms[pos] * qn)
+
+    def search_one(self, q: np.ndarray) -> tuple[list[tuple[float, int]], int]:
+        import heapq
+
+        qn = float(np.linalg.norm(q)) if self.metric == "cosine" else 0.0
+        beam = TopK(self.bs)
+        visited = self._visited
+        touched: list[np.ndarray] = []
+        ent = self.entries
+        d0 = self._dist_to(ent, q, qn)
+        visited[ent] = True
+        touched.append(ent)
+        frontier: list[tuple[float, int]] = []
+        ndists = len(ent)
+        for dd, pp in zip(d0, ent):
+            beam.push(float(dd), int(pp))
+            heapq.heappush(frontier, (float(dd), int(pp)))
+        while frontier:
+            d_u, u = heapq.heappop(frontier)
+            if len(beam) >= self.bs and d_u > beam.covradius():
+                break  # nearest unexpanded node can't improve the beam
+            nb = self.indices[self.indptr[u] : self.indptr[u + 1]]
+            nb = nb[~visited[nb]]
+            if not len(nb):
+                continue
+            visited[nb] = True
+            touched.append(nb)
+            dn = self._dist_to(nb, q, qn)
+            ndists += len(nb)
+            cov = beam.covradius() if len(beam) >= self.bs else np.inf
+            for dd, pp in zip(dn, nb):
+                fd = float(dd)
+                if beam.push(fd, int(pp)) or fd <= cov:
+                    heapq.heappush(frontier, (fd, int(pp)))
+        for arr in touched:
+            visited[arr] = False  # reset only touched slots
+        items = beam.items()[: self.k]  # ascending (dist, pos)
+        return items, ndists
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch["query_id"].to_numpy().astype(np.int64)
+        qmat = np.stack(batch["embedding"].to_numpy()).astype(np.float64)
+        out_q, out_r, out_v, out_d, out_c = [], [], [], [], []
+        for j, qid in enumerate(qids):
+            items, ndists = self.search_one(qmat[j])
+            out_q.append(np.full(len(items), qid, dtype=np.int64))
+            out_r.append(np.arange(1, len(items) + 1, dtype=np.int64))
+            out_v.append(np.asarray([int(self.ids[p]) for _, p in items], dtype=np.int64))
+            out_d.append(np.asarray([round6(d) for d, _ in items], dtype=np.float64))
+            out_c.append(np.full(len(items), ndists, dtype=np.int64))
+        cat = np.concatenate
+        return pa.table(
+            {
+                "query_id": pa.array(cat(out_q) if out_q else [], type=pa.int64()),
+                "rank": pa.array(cat(out_r) if out_r else [], type=pa.int64()),
+                "vec_id": pa.array(cat(out_v) if out_v else [], type=pa.int64()),
+                "dist": pa.array(cat(out_d) if out_d else [], type=pa.float64()),
+                "dists_evaluated": pa.array(cat(out_c) if out_c else [], type=pa.int64()),
+            }
+        )
+
+
+def searchgraph_knn(
+    sf_dir: str,
+    k: int = 8,
+    n_queries: int = 20,
+    bs: int = 32,
+    build_k: int = 12,
+    max_degree: int = 16,
+    metric: str = "l2",
+    concurrency: int = 2,
+):
+    """``SearchGraph(dist, db)`` + ``searchbatch`` analog: approximate
+    top-k for the fixed query set via beam search over the navigable
+    graph. Same result schema as :func:`ann.knn_search` (+ the
+    ``dists_evaluated`` cost column — the reference's ``costdist``);
+    recall vs the exhaustive gold is pinned in pytest and tunable via
+    ``tune.tune_searchgraph`` (``MinRecall`` over the beam width, the
+    reference's ``BeamSearchSpace`` knob)."""
+    import ray.data as rd
+
+    from .ann import _read_matrix
+
+    graph = build_searchgraph(
+        sf_dir, build_k=build_k, max_degree=max_degree, metric=metric
+    )
+    qids, qmat = _read_matrix(sf_dir, max_vec_id=n_queries)
+    qds = rd.from_items(
+        [
+            {"query_id": int(q), "embedding": qmat[i].tolist()}
+            for i, q in enumerate(qids)
+        ]
+    ).repartition(concurrency)
+    return qds.map_batches(
+        GraphSearcher,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        fn_constructor_kwargs={"graph_ref": graph, "k": k, "bs": bs, "metric": metric},
+        batch_size=64,
+    )

@@ -25,6 +25,7 @@ __all__ = [
     "ParetoRecall",
     "tune_ivf",
     "tune_minhash",
+    "tune_searchgraph",
     "tune_wand_prefix",
     "tune_wand_ranges",
 ]
@@ -146,4 +147,40 @@ def tune_minhash(
              "objective": error.score(recall, cost)}
         )
     best = min(rows, key=lambda r: r["objective"])
+    return {"best": best, "table": rows}
+
+
+def tune_searchgraph(
+    sf_dir: str,
+    k: int = 8,
+    n_queries: int = 20,
+    bs_grid=(8, 16, 32, 64),
+    error=MinRecall(0.8),
+) -> dict:
+    """Tune the SearchGraph beam width against the exhaustive gold —
+    the reference's ``optimize_index!`` over ``BeamSearchSpace``
+    (``/root/reference/src/opt.jl:139-235``, ``optbs.jl:103-107``)
+    reduced to its serving knob: recall = macrorecall vs brute top-k,
+    cost = mean distance evaluations per query normalized by corpus
+    size (the reference's ``costdist``). ``MinRecall(0.8)`` is the
+    reference's own CI bar (``test/testsearchgraph.jl:22-26``)."""
+    from .searchgraph import searchgraph_knn
+
+    gold = _gold_lists(sf_dir, k, n_queries)
+    rows = []
+    for bs in bs_grid:
+        got = searchgraph_knn(sf_dir, k=k, n_queries=n_queries, bs=bs).to_pandas()
+        got_lists = {
+            int(q): g.sort_values("rank")["vec_id"].astype(int).tolist()
+            for q, g in got.groupby("query_id")
+        }
+        recall = macrorecall(gold, got_lists)
+        n_corpus = max(1, int(got["dists_evaluated"].max() or 1))
+        cost = float(got["dists_evaluated"].mean()) / n_corpus
+        rows.append(
+            {"bs": bs, "recall": round(recall, 4), "cost": round(cost, 4),
+             "objective": error.score(recall, cost)}
+        )
+    best = min(rows, key=lambda r: r["objective"])
+    # setconfig! analog: the committed config is the kwargs dict
     return {"best": best, "table": rows}

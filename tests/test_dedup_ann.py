@@ -325,3 +325,48 @@ def test_ivfpq_recall_and_encoding(ray_session):
     books = pq_train(mat, m=4, n_codes=8)
     c = pq_encode(mat, books)
     assert c.shape == (64, 4) and c.max() < 8
+
+
+def test_searchgraph_recall_bar(ray_session):
+    """The reference's SearchGraph CI bar
+    (/root/reference/test/testsearchgraph.jl:22-26,60-67): build the
+    navigable graph, beam-search the query set, macrorecall >= 0.8 vs
+    the exhaustive gold — here at the default serving knobs, plus
+    result-contract invariants (ascending dists, ranks 1..k, self
+    found at dist 0 for corpus queries)."""
+    from similaritysearch_jl_ray.functions.perf import macrorecall
+    from similaritysearch_jl_ray.pipelines.ann import knn_search
+    from similaritysearch_jl_ray.pipelines.searchgraph import searchgraph_knn
+
+    k, nq = 8, 20
+    got = searchgraph_knn(SF_DIR, k=k, n_queries=nq).to_pandas()
+    gold = knn_search(SF_DIR, k=k, n_queries=nq).to_pandas()
+    gl = {
+        int(q): g.sort_values("rank")["vec_id"].astype(int).tolist()
+        for q, g in gold.groupby("query_id")
+    }
+    sl = {
+        int(q): g.sort_values("rank")["vec_id"].astype(int).tolist()
+        for q, g in got.groupby("query_id")
+    }
+    assert macrorecall(gl, sl) >= 0.8
+    for qid, g in got.groupby("query_id"):
+        g = g.sort_values("rank")
+        assert list(g["rank"]) == list(range(1, len(g) + 1))
+        d = g["dist"].to_numpy()
+        assert (np.diff(d) >= -1e-12).all()
+        # corpus queries find themselves first (dist 0)
+        assert int(g.iloc[0]["vec_id"]) == int(qid) and g.iloc[0]["dist"] == 0.0
+
+
+def test_tune_searchgraph_minrecall(ray_session):
+    """BeamSearchSpace tuning (opt.jl:139-235 analog): the grid search
+    commits the cheapest beam width meeting MinRecall(0.8); wider beams
+    never reduce recall on the fixture."""
+    from similaritysearch_jl_ray.pipelines.tune import MinRecall, tune_searchgraph
+
+    res = tune_searchgraph(SF_DIR, bs_grid=(8, 32), error=MinRecall(0.8))
+    assert res["best"]["recall"] >= 0.8
+    recs = [r["recall"] for r in res["table"]]
+    assert recs[-1] >= recs[0] - 0.05  # wider beam ~monotone on fixture
+    assert res["best"]["cost"] <= max(r["cost"] for r in res["table"])
