@@ -209,6 +209,50 @@ def _resolve_pack(pack_ref) -> dict:
     return merged
 
 
+class _LRU:
+    """Minimal insertion-order LRU (dicts preserve order) for the
+    per-actor caches keyed by USER INPUT (expansion patterns, fuzzy
+    tokens) or by decoded heavy state (position runs, occurrence
+    keys): real traffic has unbounded key diversity, so every such
+    cache needs an eviction bound (the reader's max_cached_terms
+    pattern applied actor-side)."""
+
+    __slots__ = ("cap", "_d")
+
+    def __init__(self, cap: int):
+        self.cap = cap
+        self._d: dict = {}
+
+    def __len__(self) -> int:
+        return len(self._d)
+
+    def get(self, key):
+        d = self._d
+        hit = d.get(key)
+        if hit is not None:
+            del d[key]
+            d[key] = hit  # bump to most-recent
+        return hit
+
+    def put(self, key, value) -> None:
+        d = self._d
+        if key in d:
+            del d[key]
+        elif len(d) >= self.cap:
+            d.pop(next(iter(d)))
+        d[key] = value
+
+    def pop(self, key, default=None):
+        return self._d.pop(key, default)
+
+
+# eviction bounds: expansion caches hold small term lists (count cap
+# generous); positional caches hold ~8 B/occurrence arrays (cap keeps
+# the worst case around a few hundred MB on web-scale terms)
+_EXPANSION_CACHE_CAP = 4096
+_POSITIONAL_CACHE_CAP = 512
+
+
 def _regex_literal_prefix(pat: str) -> str:
     """Mandatory literal prefix of a regex — characters every match
     MUST start with, used to narrow the dictionary scan to a binary-
@@ -299,11 +343,11 @@ class Bm25Scorer:
         self._scores_cache: dict[str, tuple] = {}
         self._impact_cache: dict[str, tuple] = {}
         self._dense_cache: dict[str, object] = {}
-        self._pos_cache: dict[str, tuple] = {}
+        self._pos_cache = _LRU(_POSITIONAL_CACHE_CAP)
         # occurrence-key cache for the positional fast path: per term
         # (doc_ids, occ_offsets, sorted uint64 keys doc<<32|pos) — see
-        # _term_occ
-        self._occ_cache: dict[str, tuple] = {}
+        # _term_occ (LRU: heavy arrays, unbounded vocab)
+        self._occ_cache = _LRU(_POSITIONAL_CACHE_CAP)
         # doc-id span this scorer serves (bounds dense rescore arrays;
         # in sharded mode the shard width bounds it, the 100 TB story)
         self._span = doc_range if doc_range is not None else (0, st["max_doc"] + 1)
@@ -386,7 +430,7 @@ class Bm25Scorer:
         Levenshtein-automaton walk over the same sorted array."""
         cache = getattr(self, "_fuzzy_cache", None)
         if cache is None:
-            cache = self._fuzzy_cache = {}
+            cache = self._fuzzy_cache = _LRU(_EXPANSION_CACHE_CAP)
         hit = cache.get((tok, max_edits))
         if hit is None:
             from ..functions.distances import string_distance
@@ -399,7 +443,7 @@ class Bm25Scorer:
                 for t in cand
                 if string_distance(tok, str(t), "levenshtein") <= max_edits
             ]
-            cache[(tok, max_edits)] = hit
+            cache.put((tok, max_edits), hit)
         return hit
 
     def _expand_wildcard(self, pat: str) -> list[str]:
@@ -412,7 +456,7 @@ class Bm25Scorer:
 
         cache = getattr(self, "_wild_cache", None)
         if cache is None:
-            cache = self._wild_cache = {}
+            cache = self._wild_cache = _LRU(_EXPANSION_CACHE_CAP)
         hit = cache.get(pat)
         if hit is None:
             stem = re.split(r"[*?]", pat, maxsplit=1)[0]
@@ -428,7 +472,7 @@ class Bm25Scorer:
                 )
             )
             hit = [str(t) for t in cand if rx.fullmatch(str(t))]
-            cache[pat] = hit
+            cache.put(pat, hit)
         return hit
 
     def _expand_regexp(self, pat: str) -> list[str]:
@@ -447,7 +491,7 @@ class Bm25Scorer:
 
         cache = getattr(self, "_regexp_cache", None)
         if cache is None:
-            cache = self._regexp_cache = {}
+            cache = self._regexp_cache = _LRU(_EXPANSION_CACHE_CAP)
         hit = cache.get(pat)
         if hit is None:
             if len(pat) > 1000:
@@ -465,7 +509,7 @@ class Bm25Scorer:
                 hit = [str(t) for t in cand[keep]]
             else:
                 hit = []
-            cache[pat] = hit
+            cache.put(pat, hit)
         return hit
 
     def _expanded_terms(self, text: str) -> list[str]:
@@ -877,7 +921,7 @@ class Bm25Scorer:
                 pos = pos[np.repeat(keep, tfs)]
                 ids, tfs = ids[keep], tfs[keep]
         hit = (ids, tfs, pos)
-        self._pos_cache[term] = hit
+        self._pos_cache.put(term, hit)
         return hit
 
     def _and_docs(self, terms: list[str]) -> np.ndarray:
@@ -928,7 +972,7 @@ class Bm25Scorer:
 
         cache = getattr(self, "_pos_run_cache", None)
         if cache is None:
-            cache = self._pos_run_cache = {}
+            cache = self._pos_run_cache = _LRU(_POSITIONAL_CACHE_CAP)
         pi, pt, pp = [], [], []
         for ri, r in enumerate(self.reader.runs(term)):
             if not len(r.block_first):
@@ -940,7 +984,8 @@ class Bm25Scorer:
             if hit is None:
                 ids_r, tfs_r, _ = decode_all(r)
                 pos_r = decode_positions(r, tfs_r)
-                hit = cache[(term, ri)] = (ids_r, tfs_r, pos_r)
+                hit = (ids_r, tfs_r, pos_r)
+                cache.put((term, ri), hit)
             ids_r, tfs_r, pos_r = hit
             _, keep = in_sorted(docs, ids_r)
             if keep.all():
@@ -988,7 +1033,7 @@ class Bm25Scorer:
                 np.repeat(ids, tfs).astype(np.uint64) << self._OCC_SHIFT
             ) | pos.astype(np.uint64)
             hit = (ids, off, keys)
-            self._occ_cache[term] = hit
+            self._occ_cache.put(term, hit)
             self._pos_cache.pop(term, None)
         return hit
 

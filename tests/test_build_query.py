@@ -920,3 +920,25 @@ def test_regexp_redos_guard(index_dir):
     assert time.perf_counter() - t0 < 5.0
     with pytest.raises(ValueError, match="too long"):
         scorer._expanded_terms("a" * 1001)
+
+
+def test_actor_caches_bounded(index_dir):
+    """A long stream of distinct expansion queries must not grow the
+    per-actor caches without bound (the round-3 unbounded-dict leak)."""
+    from similaritysearch_jl_ray.pipelines.query import (
+        _EXPANSION_CACHE_CAP,
+        Bm25Scorer,
+    )
+
+    sc = Bm25Scorer(index_dir, k=3, mode="fuzzy")
+    for i in range(_EXPANSION_CACHE_CAP + 500):
+        sc._expand_fuzzy(f"zq{i:06d}", 1)
+    assert len(sc._fuzzy_cache) <= _EXPANSION_CACHE_CAP
+    sw = Bm25Scorer(index_dir, k=3, mode="wildcard")
+    for i in range(200):
+        sw._expand_wildcard(f"zq{i:04d}*")
+    assert len(sw._wild_cache) <= 4096
+    sr = Bm25Scorer(index_dir, k=3, mode="regexp")
+    for i in range(200):
+        sr._expand_regexp(f"zq{i:04d}[a-z]*")
+    assert len(sr._regexp_cache) <= 4096
