@@ -422,12 +422,66 @@ class Bm25Scorer:
         hi = np.searchsorted(d, stem + "￿", side="left")
         return [str(t) for t in d[lo:hi]]
 
+    def _dict_lens(self) -> np.ndarray:
+        lens = getattr(self, "_dict_lens_cache", None)
+        if lens is None:
+            d = self._dictionary()
+            lens = self._dict_lens_cache = np.fromiter(
+                (len(t) for t in d), dtype=np.int64, count=len(d)
+            )
+        return lens
+
+    def _gram_index(self) -> dict[str, np.ndarray]:
+        """Character-trigram → sorted dictionary-index postings, built
+        once per actor (one linear pass over the vocabulary — the same
+        one-time cost class as ``_dictionary`` itself). This is the
+        sublinear candidate generator for fuzzy expansion: a term
+        within ``e`` edits of the query token must share at least
+        ``|G(tok)| − 3e`` of the token's distinct trigrams (one edit
+        touches at most the 3 windows covering it), so counting gram
+        postings replaces the O(vocab) Levenshtein scan per query."""
+        idx = getattr(self, "_gram_index_cache", None)
+        if idx is None:
+            d = self._dictionary()
+            grams: dict[str, list[int]] = {}
+            for i, t in enumerate(d):
+                t = str(t)
+                for g in {t[j : j + 3] for j in range(len(t) - 2)}:
+                    grams.setdefault(g, []).append(i)
+            idx = self._gram_index_cache = {
+                g: np.asarray(lst, dtype=np.int64) for g, lst in grams.items()
+            }
+        return idx
+
+    def _fuzzy_candidate_idx(self, tok: str, max_edits: int) -> np.ndarray:
+        """Dictionary indices that can possibly be within ``max_edits``
+        of ``tok`` — trigram count-filter + length prune, a provable
+        SUPERSET of the true matches (the caller verifies exactly, so
+        results are identical to the full scan). Falls back to the
+        length-pruned full range when the trigram bound degenerates
+        (short tokens: |G(tok)| ≤ 3·e)."""
+        lens = self._dict_lens()
+        tok_grams = {tok[j : j + 3] for j in range(len(tok) - 2)}
+        thresh = len(tok_grams) - 3 * max_edits
+        if thresh >= 1:
+            gi = self._gram_index()
+            posts = [gi[g] for g in tok_grams if g in gi]
+            if not posts:
+                return np.empty(0, np.int64)
+            cat = np.concatenate(posts)
+            cat.sort(kind="stable")
+            bounds = np.flatnonzero(np.r_[True, cat[1:] != cat[:-1], True])
+            counts = np.diff(bounds)
+            cand = cat[bounds[:-1][counts >= thresh]]
+            return cand[np.abs(lens[cand] - len(tok)) <= max_edits]
+        return np.flatnonzero(np.abs(lens - len(tok)) <= max_edits)
+
     def _expand_fuzzy(self, tok: str, max_edits: int) -> list[str]:
         """Dictionary terms within plain Levenshtein ``max_edits`` of
-        ``tok`` (exact included). Length-pruned linear dictionary scan,
-        cached per (token, d) per actor — right-sized for pinned-shard
-        vocabularies; a web-scale dictionary would swap in a
-        Levenshtein-automaton walk over the same sorted array."""
+        ``tok`` (exact included). Sublinear in vocabulary: trigram-
+        prefiltered candidates (:meth:`_fuzzy_candidate_idx`) verified
+        with the exact Levenshtein kernel; cached per (token, e) per
+        actor."""
         cache = getattr(self, "_fuzzy_cache", None)
         if cache is None:
             cache = self._fuzzy_cache = _LRU(_EXPANSION_CACHE_CAP)
@@ -436,8 +490,7 @@ class Bm25Scorer:
             from ..functions.distances import string_distance
 
             d = self._dictionary()
-            lens = np.fromiter((len(t) for t in d), dtype=np.int64, count=len(d))
-            cand = d[np.abs(lens - len(tok)) <= max_edits]
+            cand = d[self._fuzzy_candidate_idx(tok, max_edits)]
             hit = [
                 str(t)
                 for t in cand

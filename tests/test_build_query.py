@@ -942,3 +942,47 @@ def test_actor_caches_bounded(index_dir):
     for i in range(200):
         sr._expand_regexp(f"zq{i:04d}[a-z]*")
     assert len(sr._regexp_cache) <= 4096
+
+
+def test_fuzzy_trigram_prefilter_exact_and_sublinear(index_dir):
+    """The trigram-prefiltered fuzzy expansion must equal the full
+    length-pruned Levenshtein scan on EVERY probe (superset + exact
+    verify), and examine a small fraction of a large synthetic
+    vocabulary (the sublinearity bar for web vocab sizes)."""
+    import numpy as np
+
+    from similaritysearch_jl_ray.functions.distances import string_distance
+
+    sc = Bm25Scorer(index_dir, k=3, mode="fuzzy")
+    d = sc._dictionary()
+    # exactness on the real dictionary for a spread of probes
+    probes = [str(t) for t in d[:: max(1, len(d) // 8)]] + [
+        "merge", "mergx", "xerge", "databases", "zz", "a",
+    ]
+    for tok in probes:
+        for e in (1, 2):
+            want = [
+                str(t)
+                for t in d[np.abs(sc._dict_lens() - len(tok)) <= e]
+                if string_distance(tok, str(t), "levenshtein") <= e
+            ]
+            assert sc._expand_fuzzy(tok, e) == want, (tok, e)
+    # sublinearity on a 200k-term synthetic dictionary
+    rng = np.random.default_rng(11)
+    alpha = np.array(list("abcdefghijklmnopqrstuvwxyz"))
+    vocab = np.unique(
+        np.array(
+            ["".join(rng.choice(alpha, size=rng.integers(6, 12))) for _ in range(200_000)],
+            dtype=object,
+        )
+    )
+    sc._dict_cache = vocab
+    sc._dict_lens_cache = None
+    sc.__dict__.pop("_dict_lens_cache", None)
+    sc._gram_index_cache = None
+    sc.__dict__.pop("_gram_index_cache", None)
+    tok = str(vocab[12345])
+    cand = sc._fuzzy_candidate_idx(tok, 1)
+    assert len(cand) < 0.02 * len(vocab), len(cand)  # <2% of vocab examined
+    got = sc._expand_fuzzy(tok, 1)
+    assert tok in got
