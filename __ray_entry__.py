@@ -94,6 +94,45 @@ ORDER BY query_id, rank
 """
 
 
+def _field_scores_subquery(docs_src: str) -> str:
+    """Per-field (query_id, doc_id, fscore) as a self-contained nested
+    WITH — per-field N/avgdl/df come from the field's own text, same
+    as the per-field index."""
+    return f"""(
+  WITH {_tok_ctes(docs_src)},
+  q AS (SELECT * FROM {_queries_sql()})
+  SELECT q.query_id, tf.doc_id, {_BM25_SUM} AS fscore
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+)"""
+
+
+def _fields_sql(w_body: float = 1.0, w_title: float = 2.0) -> str:
+    title_src = "(SELECT doc_id, substr(text, 1, 40) AS text FROM documents)"
+    return f"""
+WITH body AS (SELECT * FROM {_field_scores_subquery("documents")} b0),
+title AS (SELECT * FROM {_field_scores_subquery(title_src)} t0),
+comb AS (
+  SELECT coalesce(b.query_id, t.query_id) AS query_id,
+         coalesce(b.doc_id, t.doc_id) AS doc_id,
+         {w_body} * coalesce(b.fscore, 0) + {w_title} * coalesce(t.fscore, 0) AS fscore
+  FROM body b FULL JOIN title t ON b.query_id = t.query_id AND b.doc_id = t.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, fscore,
+         row_number() OVER (PARTITION BY query_id ORDER BY fscore DESC, doc_id) AS rank
+  FROM comb
+)
+SELECT query_id, rank, doc_id, round(fscore, {_ROUND}) AS score
+FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
 def _phrase_sql() -> str:
     from similaritysearch_jl_ray.pipelines.queryset import phrase_values_sql
 
@@ -306,6 +345,32 @@ def _index_export(sf_dir: str):
     from similaritysearch_jl_ray.pipelines.export import index_export
 
     return index_export(ensure_index(sf_dir))
+
+
+def _bm25_fields(sf_dir: str):
+    """Multi-field weighted BM25 (body + title): each field has its
+    own index (own N/avgdl/df); score = 1.0·BM25_body + 2.0·BM25_title
+    over the union of matches — Lucene MultiFieldQueryParser
+    semantics, the sum-of-fields member of the BM25F family. The title
+    field is the fixture contract text[:40] (sources/pages.py
+    TITLE_CHARS), which the oracle derives as substr(text, 1, 40)."""
+    from similaritysearch_jl_ray.functions.rounding import round6
+    from similaritysearch_jl_ray.pipelines.entry_helpers import (
+        ensure_field_index,
+        ensure_index,
+    )
+    from similaritysearch_jl_ray.pipelines.query import multifield_search
+
+    res = multifield_search(
+        {"body": ensure_index(sf_dir), "title": ensure_field_index(sf_dir, "title")},
+        {"body": 1.0, "title": 2.0},
+        k=K,
+    ).to_pandas()
+    res = res[["query_id", "rank", "doc_id", "score"]].astype(
+        {"query_id": "int64", "rank": "int64", "doc_id": "int64", "score": "float64"}
+    )
+    res["score"] = round6(res["score"].to_numpy())
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
 def _bm25_phrase(sf_dir: str):
@@ -1034,6 +1099,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_and": lambda sf: _bm25_query(sf, "and"),
         "bm25_topk_lang_en": lambda sf: _bm25_query(sf, "wand", lang="en"),
         "bm25_topk_phrase": _bm25_phrase,
+        "bm25_topk_fields": _bm25_fields,
         "bm25_topk_bool": _bm25_bool,
         "bm25_topk_tree": _bm25_tree,
         "bm25_topk_deleted": _bm25_deleted,
@@ -1214,6 +1280,7 @@ FROM tf JOIN dl ON dl.doc_id = tf.doc_id
             doc_join="JOIN documents dd ON dd.doc_id = tf.doc_id AND dd.lang = 'en'"
         ),
         "bm25_topk_phrase": _phrase_sql(),
+        "bm25_topk_fields": _fields_sql(),
         "bm25_topk_bool": _bool_sql(),
         "bm25_topk_tree": _tree_sql(),
         # tombstone mask: stats over the FULL corpus, only the result

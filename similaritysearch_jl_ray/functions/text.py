@@ -26,6 +26,8 @@ __all__ = [
     "wrap_html",
     "extract_text",
     "batch_extract_text",
+    "extract_title",
+    "batch_extract_title",
     "tokenize",
     "TOKEN_RE",
     "batch_token_counts",
@@ -87,6 +89,33 @@ def batch_extract_text(html):
     for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&amp;", "&")):
         body = pc.replace_substring(body, pattern=ent, replacement=ch)
     return pc.fill_null(body, "")
+
+
+_TITLE_RE = re.compile(rb"<title>(.*?)</title>", re.S)
+
+
+def extract_title(html_bytes: bytes) -> str:
+    """The page's <title> payload (unescaped) — the second scorable
+    field (fixture contract: text[:TITLE_CHARS], sources/pages.py)."""
+    m = _TITLE_RE.search(html_bytes)
+    if m is None:
+        return ""
+    return _html.unescape(m.group(1).decode("utf-8"))
+
+
+def batch_extract_title(html) -> pa.Array:
+    """Vectorized :func:`extract_title` (same 3-entity unescape
+    argument as :func:`batch_extract_text`)."""
+    import pyarrow.compute as pc
+
+    arr = html.combine_chunks() if isinstance(html, pa.ChunkedArray) else html
+    if not isinstance(arr, pa.Array):
+        arr = pa.array(list(arr), type=pa.binary())
+    ext = pc.extract_regex(arr, pattern=r"(?s)<title>(?P<t>.*?)</title>")
+    t = pc.cast(pc.struct_field(ext, "t"), pa.string())
+    for ent, ch in (("&lt;", "<"), ("&gt;", ">"), ("&amp;", "&")):
+        t = pc.replace_substring(t, pattern=ent, replacement=ch)
+    return pc.fill_null(t, "")
 
 
 def tokenize(text: str) -> list[str]:

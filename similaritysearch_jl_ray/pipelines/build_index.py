@@ -128,6 +128,7 @@ def build_index(
     tokenize_batch_size: int = 1024,
     on_part_complete=None,
     with_positions: bool = True,
+    extract_fn=None,
 ) -> dict:
     """Build (or resume) the index; returns the stats dict.
 
@@ -146,10 +147,19 @@ def build_index(
     phrase queries run off the index alone (query.phrase_search) —
     ``False`` drops the sidecar for position-free workloads (≈cf extra
     varints per term is the cost).
+
+    ``extract_fn`` (default ``extract_batch`` — the body field) maps a
+    pages batch to (doc_id, url, lang, text); pass
+    ``stages.tokenize.extract_title_batch`` to index the TITLE field —
+    per-field indexes are the multi-field/BM25F serving substrate
+    (query.multifield_search).
     """
     import time as _time
 
     import ray.data as rd
+
+    if extract_fn is None:
+        extract_fn = extract_batch
 
     os.makedirs(index_dir, exist_ok=True)
     docmap_dir = os.path.join(index_dir, "docmap")
@@ -189,7 +199,7 @@ def build_index(
         sample_n = int(min(n_docs, 4096))
         sample = (
             pages_ds.limit(sample_n)
-            .map_batches(extract_batch, batch_format="pyarrow")
+            .map_batches(extract_fn, batch_format="pyarrow")
             .map_batches(tokenize_batch, batch_format="pyarrow", batch_size=tokenize_batch_size)
         )
         df_sketch: Counter = Counter()
@@ -318,7 +328,7 @@ def build_index(
         tok = tokenize_batch_positions if with_positions else tokenize_batch
 
         def encode_pages(batch: pa.Table) -> pa.Table:
-            ext = extract_batch(batch)
+            ext = extract_fn(batch)
             if ext.num_rows == 0:
                 return pa.Table.from_pylist([], schema=RUN_SCHEMA)
             toks = [

@@ -18,6 +18,7 @@ from ..config import INDEX_LAYOUT_VERSION, SCORE_ROUND_DECIMALS
 __all__ = [
     "cached_index_dir",
     "ensure_index",
+    "ensure_field_index",
     "ensure_index_variant",
     "SCORE_ROUND_DECIMALS",
 ]
@@ -39,6 +40,23 @@ def ensure_index(sf_dir: str, **build_kwargs) -> str:
 
     d = cached_index_dir(sf_dir)
     build_index(pages_dataset(sf_dir), d, **build_kwargs)
+    return d
+
+
+def ensure_field_index(sf_dir: str, field: str = "title", **build_kwargs) -> str:
+    """Per-field index (multi-field/BM25F serving): same build over
+    the same pages, extracting the named field as the text — cached
+    beside the body index."""
+    from ..sources.pages import pages_dataset
+    from ..stages.tokenize import extract_title_batch
+    from .build_index import build_index
+
+    if field != "title":
+        raise ValueError(f"unknown field {field!r}")
+    d = cached_index_dir(sf_dir) + f"_{field}"
+    build_index(
+        pages_dataset(sf_dir), d, extract_fn=extract_title_batch, **build_kwargs
+    )
     return d
 
 

@@ -2187,6 +2187,120 @@ def near_search(
     ).select_columns(["query_id", "rank", "doc_id", "score"])
 
 
+class MultiFieldScorer:
+    """Weighted multi-field BM25 (Lucene ``MultiFieldQueryParser`` /
+    per-field BooleanQuery semantics): each field carries its OWN
+    index (own N, avgdl, df), a query scores ``Σ_f w_f · BM25_f(doc)``
+    over the union of per-field matches. This is the sum-of-fields
+    member of the BM25F family (true BM25F folds weights into tf
+    before saturation — Robertson/Zaragoza §BM25F); the sum form is
+    what a per-field index substrate expresses exactly and what the
+    DuckDB oracle mirrors term for term.
+
+    One actor holds one reader per field — the same pinned-state shape
+    as :class:`Bm25Scorer`, doubled."""
+
+    def __init__(
+        self,
+        field_dirs: dict[str, str],
+        weights: dict[str, float],
+        k: int = 10,
+    ):
+        self.k = k
+        self.fields = sorted(field_dirs)  # deterministic combine order
+        self.weights = {f: float(weights.get(f, 1.0)) for f in self.fields}
+        self.scorers = {
+            f: Bm25Scorer(field_dirs[f], k=k, mode="exhaustive")
+            for f in self.fields
+        }
+
+    def score_query(self, text: str):
+        per_field: list[tuple[float, np.ndarray, np.ndarray]] = []
+        npost = 0
+        for f in self.fields:
+            sc = self.scorers[f]
+            terms = sc._query_terms(text)
+            if not terms:
+                continue
+            uniq, scores, np_f, _ = sc._accumulate_query(terms)
+            npost += np_f
+            per_field.append((self.weights[f], uniq, scores))
+        if not per_field:
+            return [], 0, 0
+        union = per_field[0][1]
+        for _, u, _s in per_field[1:]:
+            union = np.union1d(union, u)
+        total = np.zeros(len(union), dtype=np.float64)
+        # fixed field order; w·s + 0.0 for absent docs — the same
+        # multiply/add sequence the oracle's COALESCE sum evaluates
+        for w, u, s in per_field:
+            pos, valid = in_sorted(u, union)
+            total += np.where(valid, w * s[pos], 0.0)
+        idx = topk_indices(total, union, self.k)
+        return (
+            [(int(union[j]), float(total[j])) for j in idx],
+            int(npost),
+            len(per_field),
+        )
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids = batch["query_id"].to_pylist()
+        texts = batch["text"].to_pylist()
+        out_q, out_r, out_d, out_s = [], [], [], []
+        for qid, text in zip(qids, texts):
+            hits, _, _ = self.score_query(text)
+            out_q.extend([qid] * len(hits))
+            out_r.extend(range(1, len(hits) + 1))
+            out_d.extend(d for d, _ in hits)
+            out_s.extend(s for _, s in hits)
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, type=pa.int64()),
+                "rank": pa.array(out_r, type=pa.int64()),
+                "doc_id": pa.array(out_d, type=pa.int64()),
+                "score": pa.array(out_s, type=pa.float64()),
+            }
+        )
+
+
+def multifield_search(
+    field_dirs: dict[str, str],
+    weights: dict[str, float],
+    k: int = 10,
+    queries=None,
+    *,
+    concurrency: int | tuple = 2,
+    batch_size: int = 64,
+):
+    """Multi-field weighted BM25 top-k over per-field indexes (body +
+    title by default in the driver entry). Queries → actor pool of
+    :class:`MultiFieldScorer` (each actor pins every field's reader
+    once) → long results. At scale the per-field indexes shard
+    identically by doc range, so field-sharded serving composes with
+    the doc-sharded pool exactly like single-field serving."""
+    import ray.data as rd
+
+    from .queryset import REFERENCE_QUERIES
+
+    queries = queries if queries is not None else REFERENCE_QUERIES
+    qds = rd.from_items([{"query_id": qid, "text": t} for qid, t in queries])
+    if not isinstance(concurrency, tuple):
+        qds = qds.repartition(
+            concurrency if isinstance(concurrency, int) else 2
+        )
+    return qds.map_batches(
+        MultiFieldScorer,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+        fn_constructor_kwargs={
+            "field_dirs": field_dirs,
+            "weights": weights,
+            "k": k,
+        },
+    )
+
+
 def paged_search(
     index_dir: str,
     k: int = 10,

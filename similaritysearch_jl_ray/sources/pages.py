@@ -27,6 +27,10 @@ __all__ = ["pages_from_documents", "pages_dataset", "WARC_EPOCH_US", "page_url"]
 # 2025-01-01T00:00:00Z in microseconds; warc_ts = epoch + doc_id seconds
 WARC_EPOCH_US = 1735689600000000
 
+# the synthesized page title = text[:TITLE_CHARS] — the second
+# scorable field; SQL twin: substr(text, 1, TITLE_CHARS)
+TITLE_CHARS = 40
+
 
 def page_url(source: str, lang: str, doc_id: int) -> str:
     return f"https://{source}.example.com/{lang}/{doc_id:08d}"
@@ -52,7 +56,12 @@ def _batch_wrap_html(texts: pa.Array, urls: pa.Array, ids: pa.Array) -> pa.Array
     """Vectorized :func:`..functions.text.wrap_html` — byte-identical
     per row (tests/test_text.py checks every fixture row). The escape
     is the same three substring replacements ``html.escape(quote=
-    False)`` performs, in the same order (& first)."""
+    False)`` performs, in the same order (& first).
+
+    The page TITLE is the text's first ``TITLE_CHARS`` characters —
+    the second scorable field (multi-field/BM25F serving); the DuckDB
+    oracle derives it as ``substr(text, 1, TITLE_CHARS)`` (ASCII
+    corpus: codeunits == characters)."""
     import pyarrow.compute as pc
 
     def esc(col):
@@ -60,7 +69,7 @@ def _batch_wrap_html(texts: pa.Array, urls: pa.Array, ids: pa.Array) -> pa.Array
             col = pc.replace_substring(col, pattern=ent, replacement=ch)
         return col
 
-    title = pc.binary_join_element_wise("doc ", pc.cast(ids, pa.string()), "")
+    title = pc.utf8_slice_codeunits(texts, 0, TITLE_CHARS)
     doc = pc.binary_join_element_wise(
         '<!doctype html><html><head><meta charset="utf-8"><title>',
         esc(title),

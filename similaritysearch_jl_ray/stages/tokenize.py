@@ -10,9 +10,9 @@ from __future__ import annotations
 
 import pyarrow as pa
 
-from ..functions.text import batch_extract_text, batch_token_counts
+from ..functions.text import batch_extract_text, batch_extract_title, batch_token_counts
 
-__all__ = ["extract_batch", "tokenize_batch", "tokenize_batch_positions"]
+__all__ = ["extract_batch", "extract_title_batch", "tokenize_batch", "tokenize_batch_positions"]
 
 
 def extract_batch(batch: pa.Table) -> pa.Table:
@@ -26,6 +26,19 @@ def extract_batch(batch: pa.Table) -> pa.Table:
             "url": batch["url"],
             "lang": batch["lang"],
             "text": batch_extract_text(batch["html"]),
+        }
+    )
+
+
+def extract_title_batch(batch: pa.Table) -> pa.Table:
+    """pages batch → (doc_id, url, lang, text) where text is the TITLE
+    field — feeds a per-field index build (multi-field serving)."""
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "url": batch["url"],
+            "lang": batch["lang"],
+            "text": batch_extract_title(batch["html"]),
         }
     )
 

@@ -20,7 +20,7 @@ def test_wrap_extract_byte_identical_fixture():
     t = pq.read_table(f"{SF_DIR}/documents.parquet")
     for row in t.to_pylist():
         url = f"https://{row['source']}.example.com/{row['lang']}/{row['doc_id']:08d}"
-        html = wrap_html(row["text"], url, title=f"doc {row['doc_id']}")
+        html = wrap_html(row["text"], url, title=row["text"][:40])
         assert extract_text(html) == row["text"]
 
 
@@ -112,3 +112,25 @@ def test_pack_documents_invariants(ray_session):
     for _, grp in res.groupby("shard"):
         b = grp.sort_values("doc_id")["bin_id"].to_numpy()
         assert b[0] == 0 and (np.diff(b) >= 0).all() and (np.diff(b) <= 1).all()
+
+
+def test_vectorized_page_synthesis_byte_identical():
+    """pages_from_documents (Arrow-kernel synthesis) must emit the
+    EXACT bytes of scalar wrap_html with title = text[:TITLE_CHARS] and
+    the page_url contract, for every fixture row."""
+    from similaritysearch_jl_ray.functions.text import extract_title
+    from similaritysearch_jl_ray.sources.pages import (
+        TITLE_CHARS,
+        page_url,
+        pages_from_documents,
+    )
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet")
+    out = pages_from_documents(docs)
+    srcs = docs["source"].to_pylist()
+    for i, row in enumerate(out.to_pylist()):
+        want_url = page_url(srcs[i], row["lang"], row["doc_id"])
+        want_html = wrap_html(row["text"], want_url, title=row["text"][:TITLE_CHARS])
+        assert row["url"] == want_url
+        assert row["html"] == want_html
+        assert extract_title(row["html"]) == row["text"][:TITLE_CHARS]
