@@ -79,6 +79,7 @@ def run_bench() -> dict:
     )
     build_sec = time.perf_counter() - t0
     n_docs = stats["n_docs"]
+    build_timings = stats.get("build_timings", {})
 
     # ---- query serving ---------------------------------------------------
     import ray.data as rd
@@ -158,6 +159,7 @@ def run_bench() -> dict:
             timings["steady_n_phrase"] / timings["steady_phrase"], 1
         ),
         "total_postings": stats["total_tokens"],
+        "build_stage_sec": stats.get("build_timings", {}),
     }
     ray.shutdown()
     return out

@@ -195,16 +195,20 @@ def build_index(
     if not os.path.exists(sketch_path):
         from collections import Counter
 
-        n_docs = rd.read_parquet(docmap_dir, columns=["doc_id"]).count()
+        import pyarrow.dataset as pads
+
+        # metadata-only row count (no Ray job — the old
+        # rd.read_parquet().count() plus the two sample map stages were
+        # ~40% of a bench-config build's wall time in job overhead)
+        n_docs = pads.dataset(docmap_dir, format="parquet").count_rows()
         sample_n = int(min(n_docs, 4096))
-        sample = (
-            pages_ds.limit(sample_n)
-            .map_batches(extract_fn, batch_format="pyarrow")
-            .map_batches(tokenize_batch, batch_format="pyarrow", batch_size=tokenize_batch_size)
-        )
         df_sketch: Counter = Counter()
-        for t in sample.iter_batches(batch_format="pyarrow"):
-            enc = t["term"].combine_chunks().dictionary_encode()
+        # the sample tokenizes DRIVER-SIDE (4096 docs ≈ 0.2 s of Arrow
+        # kernels — cheaper than one Ray stage launch); limit() stops
+        # the upstream read after the first blocks
+        for t in pages_ds.limit(sample_n).iter_batches(batch_format="pyarrow"):
+            tok = tokenize_batch(extract_fn(t))
+            enc = tok["term"].combine_chunks().dictionary_encode()
             counts = np.bincount(enc.indices.to_numpy(), minlength=len(enc.dictionary))
             for term, c in zip(enc.dictionary.to_pylist(), counts):
                 df_sketch[term] += int(c)  # one row per (doc, term) = df
