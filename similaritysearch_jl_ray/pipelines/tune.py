@@ -26,6 +26,9 @@ __all__ = [
     "tune_ivf",
     "tune_minhash",
     "tune_searchgraph",
+    "optimize_searchgraph",
+    "OptRadius",
+    "ParetoRadius",
     "tune_wand_prefix",
     "tune_wand_ranges",
 ]
@@ -184,3 +187,143 @@ def tune_searchgraph(
     best = min(rows, key=lambda r: r["objective"])
     # setconfig! analog: the committed config is the kwargs dict
     return {"best": best, "table": rows}
+
+
+def _kfun(x: float) -> float:
+    # opt.jl:95 — saturating cost shaping for the radius objectives
+    return 1.0 - 1.0 / (1.0 + x)
+
+
+@dataclasses.dataclass(frozen=True)
+class OptRadius:
+    """Radius-bucketed objective (opt.jl:13-15, :204-206): configs are
+    scored by their mean covering radius relative to the worst seen,
+    quantized to ``tol`` buckets — prefers the cheapest config whose
+    result radius is within tolerance of the best."""
+
+    tol: float = 0.1
+
+
+class ParetoRadius:
+    """Radius/cost Pareto objective (opt.jl:17, :201-203):
+    ``_kfun(cost) + _kfun(radius̄/R)``."""
+
+
+def optimize_searchgraph(
+    sf_dir: str,
+    kind=MinRecall(0.9),
+    k: int = 8,
+    n_queries: int = 20,
+    space: dict | None = None,
+    initialpopulation: int = 8,
+    bsize: int = 3,
+    mutbsize: int = 4,
+    crossbsize: int = 3,
+    maxiters: int = 8,
+    seed: int = 0xC0FFEE,
+) -> dict:
+    """The reference's STOCHASTIC ``optimize_index!`` loop
+    (``/root/reference/src/opt.jl:139-235`` — SearchModels population
+    search over ``BeamSearchSpace``), reproduced over the SearchGraph
+    serving knobs: an initial random population, then per iteration
+    keep the ``bsize`` best by the error function, add ``mutbsize``
+    mutants (log-scale jitter) and ``crossbsize`` crosses (rounded
+    geometric mean of two parents), re-evaluate, stop on cost
+    convergence (|Δcost| ≤ 1e-3, opt.jl:226-228) or ``maxiters``.
+
+    Error functions mirror opt.jl's ``getcost`` (lines 189-209):
+    ``MinRecall(r)`` → ``1 + (r − recall)`` below the floor else
+    normalized cost; ``ParetoRecall`` → ``cost² + (1−recall)²``;
+    ``ParetoRadius`` → ``_kfun(cost) + _kfun(radius̄/R)``;
+    ``OptRadius(tol)`` → radius bucket index. cost = mean distance
+    evaluations / max seen (M), radius = mean covering radius of the
+    k-results / max seen (R) — both normalizers fixed by the initial
+    population (opt.jl inspect_population, lines 180-188).
+
+    The committed config (``setconfig!`` analog) is the returned
+    ``best['conf']`` kwargs dict for :func:`searchgraph_knn`."""
+    import numpy as np
+
+    from .searchgraph import searchgraph_knn
+
+    space = space or {"bs": (k, 256)}
+    lo, hi = space["bs"]
+    rng = np.random.default_rng(seed)
+    recall_based = isinstance(kind, (MinRecall, ParetoRecall))
+    gold = _gold_lists(sf_dir, k, n_queries) if recall_based else None
+
+    evaluated: dict[int, dict] = {}
+
+    def evaluate(bs: int) -> dict:
+        perf = evaluated.get(bs)
+        if perf is not None:
+            return perf
+        got = searchgraph_knn(sf_dir, k=k, n_queries=n_queries, bs=bs).to_pandas()
+        by_q = got.groupby("query_id")
+        cost = float(by_q["dists_evaluated"].first().mean())
+        radius = float(by_q["dist"].max().mean())  # covering radius per query
+        recall = None
+        if gold is not None:
+            got_lists = {
+                int(q): g.sort_values("rank")["vec_id"].astype(int).tolist()
+                for q, g in by_q
+            }
+            recall = macrorecall(gold, got_lists)
+        perf = {"bs": bs, "cost": cost, "radius": radius, "recall": recall}
+        evaluated[bs] = perf
+        return perf
+
+    def clamp(bs: float) -> int:
+        return int(min(hi, max(lo, round(bs))))
+
+    # initial population: log-uniform over the space (BeamSearchSpace's
+    # random init)
+    pop_bs = sorted(
+        {
+            clamp(np.exp(rng.uniform(np.log(lo), np.log(hi))))
+            for _ in range(initialpopulation)
+        }
+    )
+    population = [evaluate(b) for b in pop_bs]
+    M = max(p["cost"] for p in population) or 1.0
+    R = max(p["radius"] for p in population) or 1.0
+
+    def getcost(p: dict) -> float:
+        cost = p["cost"] / M
+        if isinstance(kind, ParetoRecall):
+            return cost**2 + (1.0 - p["recall"]) ** 2
+        if isinstance(kind, ParetoRadius):
+            return _kfun(cost) + _kfun(p["radius"] / R)
+        if isinstance(kind, MinRecall):
+            r = p["recall"]
+            return 1.0 + max(kind.min_recall - r, 0.0) if r < kind.min_recall else cost
+        if isinstance(kind, OptRadius):
+            return round((p["radius"] / R) / kind.tol)
+        raise ValueError(f"unknown optimization goal {kind!r}")
+
+    history = []
+    prev_best = None
+    for it in range(maxiters):
+        population.sort(key=getcost)
+        best = population[:bsize]
+        history.append({"iter": it, "best_bs": best[0]["bs"], "cost": getcost(best[0])})
+        if prev_best is not None and abs(getcost(best[0]) - prev_best) <= 1e-3:
+            break
+        prev_best = getcost(best[0])
+        nxt = {p["bs"] for p in best}
+        for _ in range(mutbsize):  # mutate: log-scale jitter of a parent
+            parent = best[int(rng.integers(len(best)))]
+            nxt.add(clamp(parent["bs"] * float(np.exp(rng.normal(0.0, 0.5)))))
+        for _ in range(crossbsize):  # cross: rounded geometric mean
+            a = best[int(rng.integers(len(best)))]
+            b = best[int(rng.integers(len(best)))]
+            nxt.add(clamp(np.sqrt(a["bs"] * b["bs"])))
+        population = [evaluate(bs) for bs in sorted(nxt)]
+
+    population.sort(key=getcost)
+    best = population[0]
+    return {
+        "best": {"conf": {"bs": best["bs"], "k": k}, **best, "objective": getcost(best)},
+        "history": history,
+        "evaluated": sorted(evaluated.values(), key=lambda p: p["bs"]),
+    }

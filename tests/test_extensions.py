@@ -231,3 +231,43 @@ def test_permuted_search_same_geometry(ray_session):
         p = perm[perm.query_id == qid]
         assert set(d["vec_id"]) == set(p["vec_id"])
         assert sorted(d["dist"]) == pytest.approx(sorted(p["dist"]), abs=1e-9)
+
+
+def test_optimize_searchgraph_stochastic(ray_session):
+    """The stochastic optimize_index! loop (opt.jl:139-235 analog):
+    population search over the beam-width space converges to a config
+    meeting MinRecall on the fixture; the radius objectives run and
+    return finite costs (OptRadius prefers cheaper configs within the
+    radius tolerance bucket)."""
+    from similaritysearch_jl_ray.pipelines.tune import (
+        MinRecall,
+        OptRadius,
+        optimize_searchgraph,
+    )
+
+    res = optimize_searchgraph(
+        SF_DIR,
+        kind=MinRecall(0.8),
+        initialpopulation=4,
+        bsize=2,
+        mutbsize=2,
+        crossbsize=2,
+        maxiters=3,
+    )
+    assert res["best"]["recall"] >= 0.8
+    assert res["best"]["conf"]["bs"] >= 8
+    assert len(res["history"]) >= 1
+    # radius objective: no gold needed, still converges to a config
+    res2 = optimize_searchgraph(
+        SF_DIR,
+        kind=OptRadius(0.2),
+        initialpopulation=3,
+        bsize=2,
+        mutbsize=1,
+        crossbsize=1,
+        maxiters=2,
+    )
+    assert res2["best"]["radius"] > 0
+    import math
+
+    assert math.isfinite(res2["best"]["objective"])
