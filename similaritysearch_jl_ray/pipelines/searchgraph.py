@@ -54,6 +54,7 @@ from ..functions.topk import TopK
 
 __all__ = [
     "build_searchgraph",
+    "append_searchgraph",
     "searchgraph_knn",
     "GraphSearcher",
 ]
@@ -97,26 +98,35 @@ def build_searchgraph(
     max_degree: int = 16,
     metric: str = "l2",
     n_entry: int = 4,
+    max_vec_id: int | None = None,
 ):
     """Build the graph; returns an ObjectRef of
     ``(ids, mat, indptr, indices, entries)`` (CSR over POSITIONS into
     ``ids``/``mat``, which are vec_id-ascending). Cached per
-    (file state, knobs) like ann._corpus_ref."""
+    (file state, knobs) like ann._corpus_ref. ``max_vec_id`` builds
+    over the id-prefix subset (pushdown read) — the base graph for
+    :func:`append_searchgraph` tests/workflows."""
     import os
 
     import ray
 
-    from .ann import _corpus_ref, _dists
+    from .ann import _corpus_ref, _dists, _read_matrix
 
     st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
-    key = (sf_dir, int(st.st_mtime_ns), int(st.st_size), build_k, max_degree, metric, n_entry)
+    key = (
+        sf_dir, int(st.st_mtime_ns), int(st.st_size),
+        build_k, max_degree, metric, n_entry, max_vec_id,
+    )
     ref = _GRAPH_REFS.get(key)
     if ref is not None:
         return ref
     for k in [k for k in _GRAPH_REFS if k[0] == sf_dir]:
         del _GRAPH_REFS[k]
 
-    corpus = _corpus_ref(sf_dir)
+    if max_vec_id is None:
+        corpus = _corpus_ref(sf_dir)
+    else:
+        corpus = ray.put(_read_matrix(sf_dir, max_vec_id=max_vec_id))
 
     def edge_batch(batch: pa.Table) -> pa.Table:
         """kNN candidates + SAT prune for a batch of nodes → directed
@@ -149,8 +159,16 @@ def build_searchgraph(
 
     from .ann import load_embeddings
 
+    emb_ds = load_embeddings(sf_dir)
+    if max_vec_id is not None:
+
+        def _cut(batch: pa.Table) -> pa.Table:
+            keep = batch["vec_id"].to_numpy() < max_vec_id
+            return batch.filter(pa.array(keep))
+
+        emb_ds = emb_ds.map_batches(_cut, batch_format="pyarrow")
     edges = (
-        load_embeddings(sf_dir)
+        emb_ds
         .map_batches(edge_batch, batch_format="pyarrow", batch_size=128)
         .to_pandas()
     )
@@ -210,6 +228,165 @@ def build_searchgraph(
     )
     _GRAPH_REFS[key] = ref
     return ref
+
+
+def append_searchgraph(
+    graph_ref,
+    new_ids: np.ndarray,
+    new_mat: np.ndarray,
+    *,
+    build_k: int = 12,
+    max_degree: int = 16,
+    metric: str = "l2",
+    bs: int = 32,
+):
+    """Incremental insertion — the reference's ``push_item!`` on a
+    SearchGraph (``/root/reference/src/searchgraph/insertions.jl:
+    40-99``): each new item beam-searches its own neighborhood in the
+    CURRENT graph (seeing previously appended items, exactly the
+    reference's sequential semantics), SAT-prunes it, connects forward
+    links and reverse links with the closest-first degree cap.
+
+    Ray shape: appends are the SMALL side (the big side is the frozen
+    graph), so the whole batch inserts inside ONE Ray task against the
+    broadcast CSR — new edges accumulate in a delta overlay (the
+    adjacency analog of the index's delta segments) and one freeze
+    merges overlay + CSR into the new graph ref. For bulk appends at
+    scale, chunk the batch and chain this call; each chunk's inserts
+    see every earlier chunk. Returns the new graph ObjectRef."""
+    import heapq
+
+    import ray
+
+    @ray.remote
+    def _append(graph, new_ids, new_mat):
+        ids, mat, indptr, indices, entries = graph
+        n_old = len(ids)
+        all_mat = np.concatenate([mat, new_mat.astype(np.float64)])
+        all_ids = np.concatenate([ids, np.asarray(new_ids, dtype=np.int64)])
+        if metric == "cosine":
+            norms = np.linalg.norm(all_mat, axis=1)
+        # delta overlay: positions ≥ n_old own fresh rows; old rows
+        # grow through `overlay` (reverse links), pruned on overflow
+        new_rows: dict[int, np.ndarray] = {}
+        overlay: dict[int, list[int]] = {}
+
+        def neighbors(u: int) -> np.ndarray:
+            if u >= n_old:
+                base = new_rows.get(u, np.empty(0, np.int64))
+            else:
+                base = indices[indptr[u] : indptr[u + 1]]
+            extra = overlay.get(u)
+            if extra:
+                return np.concatenate([base, np.asarray(extra, dtype=np.int64)])
+            return base
+
+        def dist_to(pos: np.ndarray, q: np.ndarray) -> np.ndarray:
+            sub = all_mat[pos]
+            if metric == "l2":
+                diff = sub - q[None, :]
+                return np.sqrt((diff * diff).sum(axis=1))
+            qn = float(np.linalg.norm(q))
+            return 1.0 - (sub @ q) / (norms[pos] * qn)
+
+        visited = np.zeros(len(all_mat), dtype=bool)
+
+        def beam_search(q: np.ndarray, k: int, n_visible: int):
+            """Top-k positions among the first ``n_visible`` nodes —
+            the beamsearch.jl contract over the overlay adjacency."""
+            beam = TopK(max(bs, k))
+            ent = entries
+            d0 = dist_to(ent, q)
+            visited[ent] = True
+            touched = [np.asarray(ent)]
+            frontier: list[tuple[float, int]] = []
+            for dd, pp in zip(d0, ent):
+                beam.push(float(dd), int(pp))
+                heapq.heappush(frontier, (float(dd), int(pp)))
+            while frontier:
+                d_u, u = heapq.heappop(frontier)
+                if len(beam) >= beam.k and d_u > beam.covradius():
+                    break
+                nb = neighbors(u)
+                nb = nb[nb < n_visible]
+                nb = nb[~visited[nb]]
+                if not len(nb):
+                    continue
+                visited[nb] = True
+                touched.append(nb)
+                dn = dist_to(nb, q)
+                cov = beam.covradius()
+                for dd, pp in zip(dn, nb):
+                    fd = float(dd)
+                    if beam.push(fd, int(pp)) or fd <= cov:
+                        heapq.heappush(frontier, (fd, int(pp)))
+            for arr in touched:
+                visited[arr] = False
+            return beam.items()[:k]  # ascending (dist, pos)
+
+        def cap_row(u: int) -> None:
+            """Degree cap, keeping the CLOSEST neighbors (the
+            reference's reverse-link pruning rule)."""
+            nb = neighbors(u)
+            if len(nb) <= max_degree:
+                return
+            d = dist_to(nb, all_mat[u])
+            keep = nb[np.lexsort((nb, d))[:max_degree]]
+            if u >= n_old:
+                new_rows[u] = keep
+                overlay.pop(u, None)
+            else:
+                base = indices[indptr[u] : indptr[u + 1]]
+                # old CSR rows are immutable; the overlay holds the
+                # SURVIVING extras and a mask of dropped base links
+                extras = [int(x) for x in keep if x not in set(base.tolist())]
+                overlay[u] = extras
+                dropped = set(base.tolist()) - set(keep.tolist())
+                if dropped:
+                    # record drops as a negative overlay: store kept
+                    # base explicitly by replacing the row via new_rows
+                    new_rows[u] = keep
+                    overlay.pop(u, None)
+
+        for j in range(len(new_ids)):
+            v = n_old + j
+            items = beam_search(all_mat[v], build_k, n_visible=v)
+            if items:
+                cand_pos = np.asarray([p for _, p in items], dtype=np.int64)
+                cand_d = np.asarray([d for d, _ in items], dtype=np.float64)
+                kept_ids = _sat_prune(cand_pos, cand_d, all_mat[cand_pos], max_degree)
+            else:
+                kept_ids = np.empty(0, np.int64)
+            new_rows[v] = kept_ids
+            for u in kept_ids:
+                overlay.setdefault(int(u), []).append(v)
+                cap_row(int(u))
+
+        # freeze: merge CSR + overlay/new_rows into a new CSR
+        n_all = len(all_ids)
+        rows = []
+        for u in range(n_all):
+            if u in new_rows and u < n_old:
+                rows.append(new_rows[u])
+            elif u < n_old:
+                base = indices[indptr[u] : indptr[u + 1]]
+                extra = overlay.get(u)
+                rows.append(
+                    np.concatenate([base, np.asarray(extra, dtype=np.int64)])
+                    if extra
+                    else base
+                )
+            else:
+                rows.append(new_rows.get(u, np.empty(0, np.int64)))
+        counts = np.asarray([len(r) for r in rows], dtype=np.int64)
+        new_indptr = np.zeros(n_all + 1, dtype=np.int64)
+        np.cumsum(counts, out=new_indptr[1:])
+        new_indices = (
+            np.concatenate(rows) if counts.sum() else np.empty(0, np.int64)
+        )
+        return all_ids, all_mat, new_indptr, new_indices, entries
+
+    return _append.remote(graph_ref, np.asarray(new_ids), np.asarray(new_mat))
 
 
 class GraphSearcher:

@@ -370,3 +370,47 @@ def test_tune_searchgraph_minrecall(ray_session):
     recs = [r["recall"] for r in res["table"]]
     assert recs[-1] >= recs[0] - 0.05  # wider beam ~monotone on fixture
     assert res["best"]["cost"] <= max(r["cost"] for r in res["table"])
+
+
+def test_searchgraph_incremental_append(ray_session):
+    """push_item! parity (insertions.jl:40-99 re-shaped): build the
+    graph over the first 400 vectors, append the last 100 (each insert
+    beam-searches the CURRENT graph, SAT-prunes, adds capped reverse
+    links); the appended graph must (a) find every appended vector by
+    its own embedding at dist 0 (navigable in-links exist) and (b)
+    keep macrorecall >= 0.8 vs the full brute gold — the reference's
+    rebuild-keeps-recall bar (testsearchgraph.jl:73-86)."""
+    import ray
+
+    from similaritysearch_jl_ray.functions.perf import macrorecall
+    from similaritysearch_jl_ray.pipelines.ann import _read_matrix, knn_search
+    from similaritysearch_jl_ray.pipelines.searchgraph import (
+        GraphSearcher,
+        append_searchgraph,
+        build_searchgraph,
+    )
+
+    base = build_searchgraph(SF_DIR, max_vec_id=400)
+    all_ids, all_mat = _read_matrix(SF_DIR)
+    new_mask = all_ids >= 400
+    g2 = append_searchgraph(base, all_ids[new_mask], all_mat[new_mask])
+    searcher = GraphSearcher(g2, k=8, bs=32)
+    assert len(searcher.ids) == len(all_ids)
+    # (a) appended vectors are navigable: self found at rank 1, dist 0
+    for vid in [400, 433, 499]:
+        pos = int(np.searchsorted(all_ids, vid))
+        items, _ = searcher.search_one(all_mat[pos])
+        assert int(searcher.ids[items[0][1]]) == vid and items[0][0] == 0.0
+    # (b) recall bar over the standard query set
+    k, nq = 8, 20
+    gold = knn_search(SF_DIR, k=k, n_queries=nq).to_pandas()
+    gl = {
+        int(q): g.sort_values("rank")["vec_id"].astype(int).tolist()
+        for q, g in gold.groupby("query_id")
+    }
+    qids, qmat = _read_matrix(SF_DIR, max_vec_id=nq)
+    sl = {}
+    for i, qid in enumerate(qids):
+        items, _ = searcher.search_one(qmat[i])
+        sl[int(qid)] = [int(searcher.ids[p]) for _, p in items]
+    assert macrorecall(gl, sl) >= 0.8
