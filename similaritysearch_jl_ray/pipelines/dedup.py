@@ -427,15 +427,22 @@ def minhash_lsh_pairs(sf_dir: str, tau: float = 0.5, n: int = 3, bands: int = MI
         sh_val = group["shingle"].to_numpy(zero_copy_only=False)[~is_mem].astype(np.int64)
         o = np.lexsort((sh_val, sh_doc))
         sh_doc, sh_val = sh_doc[o], sh_val[o]
-        bounds = np.flatnonzero(np.r_[True, sh_doc[1:] != sh_doc[:-1], True])
-        uniq = sh_doc[bounds[:-1]]
-        seg_start = bounds[:-1]
-        seg_count = np.diff(bounds)
-        pos = np.searchsorted(uniq, mem_doc)
-        posc = np.minimum(pos, max(len(uniq) - 1, 0))
-        found = (pos < len(uniq)) & (uniq[posc] == mem_doc) if len(uniq) else np.zeros(len(mem_doc), bool)
-        m_count = np.where(found, seg_count[posc], 0).astype(np.int64)
-        m_start = np.where(found, seg_start[posc], 0).astype(np.int64)
+        if len(sh_doc):
+            bounds = np.flatnonzero(np.r_[True, sh_doc[1:] != sh_doc[:-1], True])
+            uniq = sh_doc[bounds[:-1]]
+            seg_start = bounds[:-1]
+            seg_count = np.diff(bounds)
+        else:
+            uniq = seg_start = seg_count = np.empty(0, np.int64)
+        if len(uniq):
+            pos = np.searchsorted(uniq, mem_doc)
+            posc = np.minimum(pos, len(uniq) - 1)
+            found = (pos < len(uniq)) & (uniq[posc] == mem_doc)
+            m_count = np.where(found, seg_count[posc], 0).astype(np.int64)
+            m_start = np.where(found, seg_start[posc], 0).astype(np.int64)
+        else:  # no shingle rows in this partition (all-empty docs)
+            m_count = np.zeros(len(mem_doc), dtype=np.int64)
+            m_start = np.zeros(len(mem_doc), dtype=np.int64)
         total = int(m_count.sum())
         gather = np.repeat(m_start, m_count) + (
             np.arange(total, dtype=np.int64)

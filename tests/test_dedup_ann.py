@@ -414,3 +414,30 @@ def test_searchgraph_incremental_append(ray_session):
         items, _ = searcher.search_one(qmat[i])
         sl[int(qid)] = [int(searcher.ids[p]) for _, p in items]
     assert macrorecall(gl, sl) >= 0.8
+
+
+def test_minhash_verify_empty_doc_edge(ray_session, tmp_path):
+    """Candidate docs with EMPTY text (no shingles) must flow through
+    the partitioned verify join without errors and never verify (the
+    empty-shingle-partition IndexError regression)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from similaritysearch_jl_ray.pipelines.dedup import minhash_lsh_pairs
+
+    d = str(tmp_path / "sf")
+    import os
+
+    os.makedirs(d)
+    rows = {
+        "doc_id": list(range(8)),
+        # two identical pairs + four empty docs (empty docs share the
+        # sentinel signature → they become LSH candidates of each other)
+        "text": ["alpha beta gamma delta"] * 2 + [""] * 4 + ["zeta eta theta iota"] * 2,
+    }
+    pq.write_table(pa.table(rows), f"{d}/documents.parquet")
+    got = minhash_lsh_pairs(d, tau=0.5).to_pandas()
+    pairs = set(zip(got["doc_a"].astype(int), got["doc_b"].astype(int)))
+    assert (0, 1) in pairs and (6, 7) in pairs
+    # empty docs never verify (J undefined → 0)
+    assert not any(a in (2, 3, 4, 5) or b in (2, 3, 4, 5) for a, b in pairs)
