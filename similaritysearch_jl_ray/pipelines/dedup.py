@@ -613,7 +613,14 @@ def dedup_clusters(
         ln, lv = ln[o], lv[o]
         en = node[~is_lab]
         eo = group["other"].to_numpy(zero_copy_only=False)[~is_lab].astype(np.int64)
-        pos = np.searchsorted(ln, en)
+        if len(en):
+            if not len(ln):
+                raise ValueError("edge references doc_ids absent from the corpus")
+            pos = np.searchsorted(ln, np.minimum(en, ln[-1]))
+            if not (ln[np.minimum(pos, len(ln) - 1)] == en).all():
+                raise ValueError("edge references doc_ids absent from the corpus")
+        else:
+            pos = np.empty(0, np.int64)
         return pa.table(
             {
                 "node": pa.array(np.concatenate([ln, eo]), type=_I64),
