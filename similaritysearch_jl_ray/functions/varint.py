@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import numpy as np
 
-__all__ = ["encode_varints", "decode_varints", "varint_sizes"]
+__all__ = ["encode_varints", "encode_varints_raw", "decode_varints", "varint_sizes"]
 
 _MAX_VARINT_BYTES = 10  # 64-bit values
 
@@ -34,17 +34,19 @@ def varint_sizes(values: np.ndarray) -> np.ndarray:
     return bits
 
 
-def encode_varints(values: np.ndarray) -> bytes:
-    """Encode a uint64 array as a concatenated LEB128 byte stream."""
+def encode_varints_raw(values: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Encode a uint64 array as LEB128, returning the raw byte array plus
+    the per-value byte offsets (``byte_before``, length ``len(values)+1``
+    with a trailing total) — the grouped encoder slices per-group payloads
+    out of one stream with these, no per-group encode call."""
     v = np.asarray(values, dtype=np.uint64)
     if v.size == 0:
-        return b""
+        return np.empty(0, dtype=np.uint8), np.zeros(1, dtype=np.int64)
     sizes = varint_sizes(v)
-    total = int(sizes.sum())
-    out = np.empty(total, dtype=np.uint8)
-    # byte positions: starts[i] = offset of value i
-    starts = np.zeros(len(v), dtype=np.int64)
-    np.cumsum(sizes[:-1], out=starts[1:])
+    byte_before = np.zeros(len(v) + 1, dtype=np.int64)
+    np.cumsum(sizes, out=byte_before[1:])
+    out = np.empty(int(byte_before[-1]), dtype=np.uint8)
+    starts = byte_before[:-1]
     # fill byte-by-byte over the (≤10) byte slots — vectorized across values
     rem = v.copy()
     for slot in range(int(sizes.max())):
@@ -55,7 +57,12 @@ def encode_varints(values: np.ndarray) -> bytes:
         chunk[more] |= 0x80
         out[pos] = chunk
         rem[mask] >>= np.uint64(7)
-    return out.tobytes()
+    return out, byte_before
+
+
+def encode_varints(values: np.ndarray) -> bytes:
+    """Encode a uint64 array as a concatenated LEB128 byte stream."""
+    return encode_varints_raw(values)[0].tobytes()
 
 
 def decode_varints(buf: bytes | np.ndarray, count: int | None = None) -> np.ndarray:

@@ -52,7 +52,7 @@ from ..config import (
     Bm25Params,
 )
 from ..stages.tokenize import extract_batch, tokenize_batch, tokenize_batch_positions
-from ..state.segment import encode_postings
+from ..state.segment import encode_postings, encode_postings_grouped
 
 __all__ = ["build_index", "term_part", "IndexBuildError"]
 
@@ -281,6 +281,8 @@ def build_index(
                 doc_ids, tf, dl = doc_ids[keep], tf[keep], dl[keep]
                 rows_idx = rows_idx[keep]
             salt = np.where(head_of_code[codes], doc_ids // salt_div, 0).astype(np.int64)
+            if len(codes) == 0:
+                return pa.Table.from_pylist([], schema=RUN_SCHEMA)
             # sort by (code, salt, doc) directly — a packed single key
             # would collide when salt >= salt_factor (legal for sparse
             # or offset id spaces, e.g. delta-segment appends)
@@ -289,25 +291,38 @@ def build_index(
             bounds = np.flatnonzero(
                 np.r_[True, (c_s[1:] != c_s[:-1]) | (s_s[1:] != s_s[:-1]), True]
             )
-            rows = []
-            for a, b in zip(bounds[:-1], bounds[1:]):
-                sl = order[a:b]
-                code = int(codes[sl[0]])
-                t = vocab[code]
-                pos = (
-                    _seg_gather(pos_flat, pos_starts[rows_idx[sl]], tf[sl])
-                    if with_positions
-                    else None
-                )
-                enc = encode_postings(
-                    doc_ids[sl], tf[sl], dl[sl], block_size=block_size, positions=pos
-                )
-                row = enc.to_row(t)
-                row["salt"] = int(salt[sl[0]])
-                row["part"] = int(part_of_code[code])
-                row["skey"] = f"{t}\x00{row['salt']}"
-                rows.append(row)
-            return pa.Table.from_pylist(rows, schema=RUN_SCHEMA)
+            # ONE vectorized encode over every (term, salt) group — the
+            # per-group encode_postings loop was vocab-level Python
+            # (byte-identical per group; pinned by tests/test_segment.py)
+            pos_sorted = (
+                _seg_gather(pos_flat, pos_starts[rows_idx[order]], tf[order])
+                if with_positions
+                else None
+            )
+            cols = encode_postings_grouped(
+                doc_ids[order],
+                tf[order],
+                dl[order],
+                bounds,
+                block_size=block_size,
+                positions=pos_sorted,
+            )
+            import pyarrow.compute as pc
+
+            g0 = bounds[:-1]
+            g_codes = c_s[g0]
+            terms_arr = enc_col.dictionary.take(pa.array(g_codes, type=pa.int64()))
+            salt_arr = pa.array(s_s[g0], type=pa.int64())
+            cols = dict(cols)
+            cols["term"] = terms_arr
+            cols["salt"] = salt_arr
+            cols["part"] = pa.array(part_of_code[g_codes], type=pa.int64())
+            cols["skey"] = pc.binary_join_element_wise(
+                terms_arr, pc.cast(salt_arr, pa.string()), "\x00"
+            )
+            return pa.Table.from_pydict(
+                {n: cols[n] for n in RUN_SCHEMA.names}, schema=RUN_SCHEMA
+            )
 
         # D1: FUSED extract → tokenize → encode → partitioned WRITE of
         # local runs, ONE map_batches over the raw pages (no token

@@ -41,16 +41,32 @@ import dataclasses
 import numpy as np
 
 from ..config import POSTING_BLOCK_SIZE
-from ..functions.varint import decode_varints, encode_varints, varint_sizes
+from ..functions.varint import (
+    decode_varints,
+    encode_varints,
+    encode_varints_raw,
+    varint_sizes,
+)
 
 __all__ = [
     "EncodedPostings",
     "encode_postings",
+    "encode_postings_grouped",
     "concat_runs",
     "decode_all",
     "decode_blocks",
     "decode_positions",
 ]
+
+
+def _ranges(lengths: np.ndarray) -> np.ndarray:
+    """[0..l0-1, 0..l1-1, ...] for the given segment lengths."""
+    tot = int(lengths.sum())
+    if tot == 0:
+        return np.empty(0, dtype=np.int64)
+    seg_starts = np.zeros(len(lengths), dtype=np.int64)
+    np.cumsum(lengths[:-1], out=seg_starts[1:])
+    return np.arange(tot, dtype=np.int64) - np.repeat(seg_starts, lengths)
 
 
 @dataclasses.dataclass
@@ -201,15 +217,6 @@ def encode_postings(
     total_vals = int(nvals.sum())
     stream = np.empty(total_vals, dtype=np.uint64)
 
-    def _ranges(lengths: np.ndarray) -> np.ndarray:
-        # [0..l0-1, 0..l1-1, ...] for the given segment lengths
-        tot = int(lengths.sum())
-        if tot == 0:
-            return np.empty(0, dtype=np.int64)
-        seg_starts = np.zeros(len(lengths), dtype=np.int64)
-        np.cumsum(lengths[:-1], out=seg_starts[1:])
-        return np.arange(tot, dtype=np.int64) - np.repeat(seg_starts, lengths)
-
     # gaps section: within-block diffs of doc_ids
     all_gaps = np.diff(doc_ids).astype(np.uint64) if n > 1 else np.empty(0, np.uint64)
     dst_gap = np.repeat(val_starts, reps) + _ranges(reps)
@@ -239,6 +246,155 @@ def encode_postings(
         block_min_dl=np.minimum.reduceat(dls, starts),
         pos_payload=pos_payload,
     )
+
+
+def encode_postings_grouped(
+    doc_ids: np.ndarray,
+    tfs: np.ndarray,
+    dls: np.ndarray,
+    group_offsets: np.ndarray,
+    block_size: int = POSTING_BLOCK_SIZE,
+    positions: np.ndarray | None = None,
+) -> dict:
+    """Encode MANY terms' posting lists in one vectorized pass.
+
+    The per-(term, salt)-group ``encode_postings`` loop was the last
+    Python-per-group work in the build hot path (vocab-level: ~1 call
+    per unique term per block — millions at web vocab). This encodes
+    every group's blocks into ONE value stream, varint-encodes it in
+    one call, and slices per-group payloads out by offset — bit-
+    identical bytes per group to calling ``encode_postings`` on each
+    group's slice (pinned by tests/test_segment.py).
+
+    ``group_offsets`` (int64, length ``n_groups+1``): group ``g`` is
+    rows ``[go[g], go[g+1])`` of the input arrays; every group must be
+    non-empty and strictly increasing in doc_id. ``positions`` (flat,
+    ``tfs[i]`` values per row, row-contiguous) spans ALL groups.
+
+    Returns a dict of **pyarrow arrays**, one element per group:
+    ``df cf run_first run_last payload pos_payload block_first
+    block_last block_count block_offset block_vstart block_max_tf
+    block_min_dl`` — ready to assemble into the run-table schema with
+    the caller's key columns; list/binary columns are built from flat
+    buffers + offsets (no per-group Python objects anywhere).
+    """
+    import pyarrow as pa
+
+    go = np.ascontiguousarray(group_offsets, dtype=np.int64)
+    k = len(go) - 1
+    doc_ids = np.asarray(doc_ids, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    dls = np.asarray(dls, dtype=np.int64)
+    n = len(doc_ids)
+    if k < 0 or go[0] != 0 or go[-1] != n:
+        raise ValueError("group_offsets must span [0, len(doc_ids)]")
+    sizes_g = np.diff(go)
+    if (sizes_g <= 0).any():
+        raise ValueError("empty groups are not allowed")
+    if n > 1:
+        d = np.diff(doc_ids)
+        bad = d <= 0
+        bad[go[1:-1] - 1] = False  # group-crossing diffs don't count
+        if bad.any():
+            raise ValueError("postings must be strictly increasing by doc_id within each group")
+
+    # ---- positions sidecar (delta stream over ALL groups at once) ----
+    pos_u8 = pos_byte_before = None
+    if positions is not None:
+        positions = np.asarray(positions, dtype=np.int64)
+        total_pos = int(tfs.sum())
+        if len(positions) != total_pos:
+            raise ValueError("positions length must equal sum(tfs)")
+        post_starts = np.zeros(n, dtype=np.int64)
+        np.cumsum(tfs[:-1], out=post_starts[1:])
+        deltas = np.empty(total_pos, dtype=np.int64)
+        if total_pos:
+            deltas[0] = positions[0]
+            deltas[1:] = positions[1:] - positions[:-1]
+            deltas[post_starts] = positions[post_starts]  # absolute first per posting
+            if (deltas < 0).any():
+                raise ValueError("positions must be ascending within each posting")
+        pos_u8, pos_byte_before = encode_varints_raw(deltas.astype(np.uint64))
+        grp_pos_vstart = post_starts[go[:-1]]
+        pos_offsets = np.empty(k + 1, dtype=np.int64)
+        pos_offsets[:-1] = pos_byte_before[grp_pos_vstart]
+        pos_offsets[-1] = len(pos_u8)
+
+    # ---- block layout (blocks tile the whole input contiguously) -----
+    nblk_g = (sizes_g + block_size - 1) // block_size
+    tot_blk = int(nblk_g.sum())
+    blk_grp_start = np.zeros(k, dtype=np.int64)
+    np.cumsum(nblk_g[:-1], out=blk_grp_start[1:])
+    loc = np.arange(tot_blk, dtype=np.int64) - np.repeat(blk_grp_start, nblk_g)
+    bstarts = np.repeat(go[:-1], nblk_g) + loc * block_size
+    bends = np.minimum(bstarts + block_size, np.repeat(go[1:], nblk_g))
+    counts = bends - bstarts
+    # consecutive blocks tile [0, n): reduceat segments == blocks
+    block_max_tf = np.maximum.reduceat(tfs, bstarts) if n else np.empty(0, np.int64)
+    block_min_dl = np.minimum.reduceat(dls, bstarts) if n else np.empty(0, np.int64)
+
+    # ---- one value stream: per block gaps(c-1) ++ tfs(c) ++ dls(c) ----
+    reps = counts - 1
+    nvals = 3 * counts - 1
+    val_starts = np.zeros(tot_blk, dtype=np.int64)
+    np.cumsum(nvals[:-1], out=val_starts[1:])
+    total_vals = int(nvals.sum())
+    stream = np.empty(total_vals, dtype=np.uint64)
+    all_gaps = np.diff(doc_ids).astype(np.uint64) if n > 1 else np.empty(0, np.uint64)
+    dst_gap = np.repeat(val_starts, reps) + _ranges(reps)
+    src_gap = np.repeat(bstarts, reps) + _ranges(reps)
+    stream[dst_gap] = all_gaps[src_gap]
+    # tf/dl sections: block-contiguous sources tile the input in order
+    stream[np.repeat(val_starts + reps, counts) + _ranges(counts)] = tfs.astype(np.uint64)
+    stream[np.repeat(val_starts + reps + counts, counts) + _ranges(counts)] = dls.astype(
+        np.uint64
+    )
+    payload_u8, byte_before = encode_varints_raw(stream)
+    if len(payload_u8) >= (1 << 31):  # pa.binary() offsets are int32
+        raise ValueError("grouped payload exceeds 2 GiB; encode in smaller batches")
+
+    grp_vstart = val_starts[blk_grp_start]
+    grp_byte_start = byte_before[grp_vstart]
+    block_vstart = val_starts - np.repeat(grp_vstart, nblk_g)
+    block_offset = byte_before[val_starts] - np.repeat(grp_byte_start, nblk_g)
+    pay_offsets = np.empty(k + 1, dtype=np.int64)
+    pay_offsets[:-1] = grp_byte_start
+    pay_offsets[-1] = len(payload_u8)
+
+    def _binary(offsets: np.ndarray, data: np.ndarray) -> pa.Array:
+        return pa.Array.from_buffers(
+            pa.binary(),
+            len(offsets) - 1,
+            [None, pa.py_buffer(offsets.astype(np.int32).tobytes()), pa.py_buffer(data.tobytes())],
+        )
+
+    def _list64(lengths: np.ndarray, values: np.ndarray) -> pa.Array:
+        off = np.zeros(len(lengths) + 1, dtype=np.int32)
+        np.cumsum(lengths, out=off[1:])
+        return pa.ListArray.from_arrays(pa.array(off, type=pa.int32()), pa.array(values))
+
+    if positions is not None:
+        pos_arr = _binary(pos_offsets, pos_u8)
+    else:
+        pos_arr = _binary(np.zeros(k + 1, dtype=np.int64), np.empty(0, np.uint8))
+    return {
+        "df": pa.array(sizes_g, type=pa.int64()),
+        "cf": pa.array(np.add.reduceat(tfs, go[:-1]) if n else np.empty(0, np.int64), type=pa.int64()),
+        "run_first": pa.array(doc_ids[go[:-1]], type=pa.int64()),
+        "run_last": pa.array(doc_ids[go[1:] - 1], type=pa.int64()),
+        "payload": _binary(pay_offsets, payload_u8),
+        "pos_payload": pos_arr,
+        "block_first": _list64(nblk_g, doc_ids[bstarts]),
+        "block_last": _list64(nblk_g, doc_ids[bends - 1]),
+        "block_count": pa.ListArray.from_arrays(
+            pa.array(np.r_[0, np.cumsum(nblk_g)].astype(np.int32), type=pa.int32()),
+            pa.array(counts.astype(np.int32), type=pa.int32()),
+        ),
+        "block_offset": _list64(nblk_g, block_offset),
+        "block_vstart": _list64(nblk_g, block_vstart),
+        "block_max_tf": _list64(nblk_g, block_max_tf),
+        "block_min_dl": _list64(nblk_g, block_min_dl),
+    }
 
 
 def concat_runs(runs: list[EncodedPostings]) -> EncodedPostings:

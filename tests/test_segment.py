@@ -126,3 +126,62 @@ def test_row_roundtrip():
     back = EncodedPostings.from_row(row)
     out_ids, out_tfs, out_dls = decode_all(back)
     assert (out_ids == ids).all() and (out_tfs == tfs).all() and (out_dls == dls).all()
+
+
+def test_grouped_encode_bit_identical():
+    """encode_postings_grouped must produce byte-identical payloads and
+    identical block metadata to calling encode_postings per group —
+    the build's fused D1 stage relies on this (build_index.encode_local)."""
+    from similaritysearch_jl_ray.state.segment import encode_postings_grouped
+
+    rng = np.random.default_rng(11)
+    for trial in range(8):
+        k = int(rng.integers(1, 10))
+        groups = []
+        for _ in range(k):
+            n = int(rng.integers(1, 300))
+            ids = np.sort(rng.choice(10**6, size=n, replace=False)).astype(np.int64)
+            tfs = rng.integers(1, 6, size=n).astype(np.int64)
+            dls = rng.integers(5, 500, size=n).astype(np.int64)
+            pos = np.concatenate(
+                [np.sort(rng.choice(1000, size=t, replace=False)) for t in tfs]
+            ).astype(np.int64)
+            groups.append((ids, tfs, dls, pos))
+        doc_ids = np.concatenate([g[0] for g in groups])
+        tfs = np.concatenate([g[1] for g in groups])
+        dls = np.concatenate([g[2] for g in groups])
+        pos = np.concatenate([g[3] for g in groups])
+        go = np.r_[0, np.cumsum([len(g[0]) for g in groups])]
+        bs = int(rng.choice([4, 16, 128]))
+        with_pos = trial % 2 == 0
+        out = encode_postings_grouped(
+            doc_ids, tfs, dls, go, block_size=bs, positions=pos if with_pos else None
+        )
+        for g, (ids, tf, dl, p) in enumerate(groups):
+            ref = encode_postings(ids, tf, dl, block_size=bs, positions=p if with_pos else None)
+            row = ref.to_row("t")
+            assert out["df"][g].as_py() == ref.df
+            assert out["cf"][g].as_py() == ref.cf
+            assert out["run_first"][g].as_py() == row["run_first"]
+            assert out["run_last"][g].as_py() == row["run_last"]
+            assert out["payload"][g].as_py() == bytes(ref.payload)
+            assert out["pos_payload"][g].as_py() == (bytes(ref.pos_payload) if with_pos else b"")
+            for name in (
+                "block_first", "block_last", "block_count", "block_offset",
+                "block_vstart", "block_max_tf", "block_min_dl",
+            ):
+                assert out[name][g].as_py() == row[name], (trial, g, name)
+
+
+def test_grouped_encode_validation():
+    from similaritysearch_jl_ray.state.segment import encode_postings_grouped
+
+    one = np.ones(2, np.int64)
+    with pytest.raises(ValueError):  # non-increasing within a group
+        encode_postings_grouped(np.array([3, 2]), one, one, np.array([0, 2]))
+    with pytest.raises(ValueError):  # empty group
+        encode_postings_grouped(np.array([1, 2]), one, one, np.array([0, 0, 2]))
+    # decreasing ACROSS a group boundary is legal
+    encode_postings_grouped(
+        np.array([5, 9, 2, 3]), np.ones(4, np.int64), np.ones(4, np.int64), np.array([0, 2, 4])
+    )
