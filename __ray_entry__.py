@@ -133,6 +133,52 @@ ORDER BY query_id, rank
 """
 
 
+def _bm25f_sql(w_body: float = 1.0, w_title: float = 2.0) -> str:
+    """TRUE BM25F oracle: weights fold into tf BEFORE saturation
+    (tf̃ = Σ_f w_f·tf_f/B_f, score = Σ_t idf(df_∪)·tf̃(k1+1)/(tf̃+k1));
+    df is document frequency over the union of fields, idf/N shared."""
+    return f"""
+WITH
+bt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM documents),
+btf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM bt GROUP BY doc_id, term),
+bdl AS (SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS dl FROM documents),
+tsrc AS (SELECT doc_id, substr(text, 1, 40) AS text FROM documents),
+tt AS (SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term FROM tsrc),
+ttf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM tt GROUP BY doc_id, term),
+tdl AS (SELECT doc_id, len(regexp_extract_all(lower(text), '[a-z0-9]+'))::BIGINT AS dl FROM tsrc),
+st AS (SELECT (SELECT count(*) FROM documents)::DOUBLE AS n,
+              (SELECT sum(dl) FROM bdl)::DOUBLE / (SELECT count(*) FROM documents) AS bavg,
+              (SELECT sum(dl) FROM tdl)::DOUBLE / (SELECT count(*) FROM documents) AS tavg),
+u AS (
+  SELECT coalesce(b.term, t.term) AS term,
+         coalesce(b.doc_id, t.doc_id) AS doc_id,
+         {w_body} * coalesce(b.tf, 0) / ((1 - {_B}) + {_B} * bdl.dl / st.bavg)
+       + {w_title} * coalesce(t.tf, 0) / ((1 - {_B}) + {_B} * tdl.dl / st.tavg) AS tfde
+  FROM btf b FULL JOIN ttf t ON b.term = t.term AND b.doc_id = t.doc_id
+  JOIN bdl ON bdl.doc_id = coalesce(b.doc_id, t.doc_id)
+  JOIN tdl ON tdl.doc_id = coalesce(b.doc_id, t.doc_id)
+  CROSS JOIN st
+),
+dfa AS (SELECT term, count(*)::BIGINT AS df FROM u GROUP BY term),
+q AS (SELECT * FROM {_queries_sql()}),
+scores AS (
+  SELECT q.query_id, u.doc_id,
+         sum( ln(1 + (st.n - dfa.df + 0.5) / (dfa.df + 0.5))
+              * u.tfde * ({_K1} + 1) / (u.tfde + {_K1}) ) AS fscore
+  FROM q JOIN u ON u.term = q.term JOIN dfa ON dfa.term = q.term CROSS JOIN st
+  GROUP BY q.query_id, u.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, fscore,
+         row_number() OVER (PARTITION BY query_id ORDER BY fscore DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(fscore, {_ROUND}) AS score
+FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
 def _phrase_sql() -> str:
     from similaritysearch_jl_ray.pipelines.queryset import phrase_values_sql
 
@@ -362,6 +408,29 @@ def _bm25_fields(sf_dir: str):
     from similaritysearch_jl_ray.pipelines.query import multifield_search
 
     res = multifield_search(
+        {"body": ensure_index(sf_dir), "title": ensure_field_index(sf_dir, "title")},
+        {"body": 1.0, "title": 2.0},
+        k=K,
+    ).to_pandas()
+    res = res[["query_id", "rank", "doc_id", "score"]].astype(
+        {"query_id": "int64", "rank": "int64", "doc_id": "int64", "score": "float64"}
+    )
+    res["score"] = round6(res["score"].to_numpy())
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _bm25f(sf_dir: str):
+    """TRUE BM25F (weights inside the saturation, per-field length
+    norms, union document frequency — Robertson/Zaragoza) over the same
+    body + title per-field indexes as ``bm25_topk_fields``."""
+    from similaritysearch_jl_ray.functions.rounding import round6
+    from similaritysearch_jl_ray.pipelines.entry_helpers import (
+        ensure_field_index,
+        ensure_index,
+    )
+    from similaritysearch_jl_ray.pipelines.query import bm25f_search
+
+    res = bm25f_search(
         {"body": ensure_index(sf_dir), "title": ensure_field_index(sf_dir, "title")},
         {"body": 1.0, "title": 2.0},
         k=K,
@@ -1100,6 +1169,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_lang_en": lambda sf: _bm25_query(sf, "wand", lang="en"),
         "bm25_topk_phrase": _bm25_phrase,
         "bm25_topk_fields": _bm25_fields,
+        "bm25_topk_bm25f": _bm25f,
         "bm25_topk_bool": _bm25_bool,
         "bm25_topk_tree": _bm25_tree,
         "bm25_topk_deleted": _bm25_deleted,
@@ -1281,6 +1351,7 @@ FROM tf JOIN dl ON dl.doc_id = tf.doc_id
         ),
         "bm25_topk_phrase": _phrase_sql(),
         "bm25_topk_fields": _fields_sql(),
+        "bm25_topk_bm25f": _bm25f_sql(),
         "bm25_topk_bool": _bool_sql(),
         "bm25_topk_tree": _tree_sql(),
         # tombstone mask: stats over the FULL corpus, only the result

@@ -2301,6 +2301,118 @@ def multifield_search(
     )
 
 
+class Bm25FScorer:
+    """TRUE BM25F (Robertson & Zaragoza, "simple BM25F"): field weights
+    fold into the term frequency BEFORE saturation —
+
+        tf̃(t,d) = Σ_f  w_f · tf_f(t,d) / B_f(d),
+        B_f(d)  = (1 − b) + b · dl_f(d)/avgdl_f,
+        score(d) = Σ_t  idf(df_∪(t)) · tf̃·(k1+1) / (tf̃ + k1)
+
+    vs :class:`MultiFieldScorer`'s Σ_f w_f·BM25_f, which saturates each
+    field separately. ``df_∪(t)`` is the DOCUMENT frequency over the
+    union of fields (a doc counts once if any field contains t) and
+    idf/N are shared across fields — the reference formulation's
+    "document as one bag with boosted zones". Same per-field index
+    substrate as MultiFieldScorer (the reference's per-zone posting
+    decomposition); only the combination math differs.
+    """
+
+    def __init__(
+        self,
+        field_dirs: dict[str, str],
+        weights: dict[str, float],
+        k: int = 10,
+        params: Bm25Params | None = None,
+    ):
+        from ..functions.bm25 import idf as _idf
+
+        self._idf = _idf
+        self.k = k
+        self.fields = sorted(field_dirs)  # deterministic combine order
+        self.weights = {f: float(weights.get(f, 1.0)) for f in self.fields}
+        self.readers = {f: IndexReader(field_dirs[f]) for f in self.fields}
+        ns = {self.readers[f].n_docs for f in self.fields}
+        if len(ns) != 1:
+            raise ValueError(f"BM25F fields must index the same corpus (n_docs {ns})")
+        self.n_docs = ns.pop()
+        st = self.readers[self.fields[0]].stats
+        self.params = params or Bm25Params(k1=st["k1"], b=st["b"])
+        self.heap = TopK(k)
+
+    def score_query(self, text: str):
+        p = self.params
+        toks = sorted(
+            {t for t in tokenize(text) if any(t in self.readers[f] for f in self.fields)}
+        )
+        if not toks:
+            return [], 0, 0
+        ids_l, contrib_l = [], []
+        npost = 0
+        for t in toks:
+            per_field = []
+            for f in self.fields:
+                rdr = self.readers[f]
+                ids, tfs, dls = rdr.postings_cached(t)
+                if len(ids) == 0:
+                    continue
+                # w_f · tf / B_f — weight inside the normalized tf
+                bf = (1.0 - p.b) + p.b * dls.astype(np.float64) / rdr.avgdl
+                per_field.append((ids, self.weights[f] * tfs.astype(np.float64) / bf))
+                npost += len(ids)
+            if len(per_field) == 1:
+                union, tfde = per_field[0]
+            else:
+                union = per_field[0][0]
+                for ids, _ in per_field[1:]:
+                    union = np.union1d(union, ids)
+                tfde = np.zeros(len(union), dtype=np.float64)
+                # fixed sorted-field order = the oracle's expression order
+                for ids, w_tf in per_field:
+                    pos, valid = in_sorted(ids, union)
+                    tfde += np.where(valid, w_tf[pos], 0.0)
+            w = float(self._idf(len(union), self.n_docs))  # df over the field union
+            ids_l.append(union)
+            contrib_l.append(w * tfde * (p.k1 + 1.0) / (tfde + p.k1))
+        uniq, scores = _accumulate(ids_l, contrib_l)
+        idx = topk_indices(scores, uniq, self.k)
+        return (
+            [(int(uniq[j]), float(scores[j])) for j in idx],
+            int(npost),
+            len(toks),
+        )
+
+    __call__ = MultiFieldScorer.__call__
+
+
+def bm25f_search(
+    field_dirs: dict[str, str],
+    weights: dict[str, float],
+    k: int = 10,
+    queries=None,
+    *,
+    concurrency: int | tuple = 2,
+    batch_size: int = 64,
+):
+    """True-BM25F top-k over per-field indexes (see :class:`Bm25FScorer`).
+    Same actor-pool / sharding shape as :func:`multifield_search`."""
+    import ray.data as rd
+
+    from .queryset import REFERENCE_QUERIES
+
+    queries = queries if queries is not None else REFERENCE_QUERIES
+    qds = rd.from_items([{"query_id": qid, "text": t} for qid, t in queries])
+    if not isinstance(concurrency, tuple):
+        qds = qds.repartition(concurrency if isinstance(concurrency, int) else 2)
+    return qds.map_batches(
+        Bm25FScorer,
+        batch_format="pyarrow",
+        concurrency=concurrency,
+        batch_size=batch_size,
+        fn_constructor_kwargs={"field_dirs": field_dirs, "weights": weights, "k": k},
+    )
+
+
 def paged_search(
     index_dir: str,
     k: int = 10,
