@@ -86,11 +86,23 @@ def _accumulate(ids_list, partial_list):
     return uniq, scores
 
 
+def _deleted_sig(arr) -> tuple | None:
+    """Compact content signature of a tombstone set (None = no
+    tombstones) — lets a scorer recognize that a pack's arrays were
+    masked against exactly its own visibility set."""
+    if arr is None or len(arr) == 0:
+        return None
+    import zlib as _zlib
+
+    return (int(len(arr)), int(_zlib.crc32(np.ascontiguousarray(arr).tobytes())))
+
+
 def build_serving_pack(
     index_dir: str,
     params: Bm25Params | None = None,
     parts: list[int] | None = None,
     doc_range: tuple[int, int] | None = None,
+    apply_tombstones: bool = True,
 ) -> dict:
     """Pre-decode the index into flat numpy arrays for broadcast.
 
@@ -108,12 +120,28 @@ def build_serving_pack(
     rdr = IndexReader(index_dir, parts=parts, doc_range=doc_range)
     st = rdr.stats
     p = params or Bm25Params(k1=st["k1"], b=st["b"])
+    # tombstone-aware pack: apply the visibility mask ONCE at pack
+    # build (df/idf stay global — partials are computed first, Lucene
+    # live-docs semantics), so pack-served actors keep the imp/dense
+    # fast paths on deleted-heavy indexes instead of re-deriving
+    # per-term masked arrays per actor. The pack records the masked
+    # set's signature; a scorer whose own tombstone snapshot matches
+    # skips its per-term re-filtering entirely.
+    deleted = None
+    if apply_tombstones:
+        from .lifecycle import deleted_ids
+
+        deleted = deleted_ids(index_dir, doc_range)
     terms, blocks, imp, dense = {}, {}, {}, {}
     span = int(st["max_doc"]) + 1 if doc_range is None else int(doc_range[1] - doc_range[0])
     base = 0 if doc_range is None else int(doc_range[0])
     for term in rdr.terms:
         ids, tfs, dls = rdr.postings(term)
         partial = rdr.idf(term) * tf_norm(tfs, dls, rdr.avgdl, p)
+        if deleted is not None and len(ids):
+            _, drop = in_sorted(deleted, ids)
+            if drop.any():
+                ids, partial = ids[~drop], partial[~drop]
         terms[term] = (ids, partial)
         # head terms only ship the derived sections: the impact-ordered
         # copy (impact desc, doc_id asc) and the dense rescore array.
@@ -140,7 +168,14 @@ def build_serving_pack(
                 [w * tf_norm(r.block_max_tf, r.block_min_dl, rdr.avgdl, p) for r in runs]
             ),
         )
-    return {"stats": st, "terms": terms, "blocks": blocks, "imp": imp, "dense": dense}
+    return {
+        "stats": st,
+        "terms": terms,
+        "blocks": blocks,
+        "imp": imp,
+        "dense": dense,
+        "deleted_sig": _deleted_sig(deleted),
+    }
 
 
 _PACK_CACHE: dict[tuple, object] = {}
@@ -155,7 +190,19 @@ def _index_fingerprint(index_dir: str) -> tuple:
 
     st = os.stat(os.path.join(index_dir, "stats.json"))
     deltas = tuple(sorted(n for n in os.listdir(index_dir) if n.startswith("delta=")))
-    return (int(st.st_mtime_ns), int(st.st_size), deltas)
+    # tombstones participate: packs are masked against them, so
+    # delete_docs/purge must invalidate any cached pack
+    tomb_dir = os.path.join(index_dir, "tombstones")
+    tombs: tuple = ()
+    if os.path.isdir(tomb_dir):
+        tombs = tuple(
+            sorted(
+                (n, os.stat(os.path.join(tomb_dir, n)).st_mtime_ns)
+                for n in os.listdir(tomb_dir)
+                if n.endswith(".parquet")
+            )
+        )
+    return (int(st.st_mtime_ns), int(st.st_size), deltas, tombs)
 
 
 def _pack_ref(index_dir: str):
@@ -202,7 +249,17 @@ def _resolve_pack(pack_ref) -> dict:
     if "part_refs" not in outer:
         return outer
     parts = ray.get(outer["part_refs"])
-    merged = {"stats": parts[0]["stats"], "terms": {}, "blocks": {}, "imp": {}, "dense": {}}
+    merged = {
+        "stats": parts[0]["stats"],
+        "terms": {},
+        "blocks": {},
+        "imp": {},
+        "dense": {},
+        # every part pack is masked against the same index-wide
+        # tombstone snapshot (deleted_ids(index_dir)), so any part's
+        # signature speaks for the merged pack
+        "deleted_sig": parts[0].get("deleted_sig"),
+    }
     for p in parts:
         for section in ("terms", "blocks", "imp", "dense"):
             merged[section].update(p.get(section, {}))
@@ -326,6 +383,14 @@ class Bm25Scorer:
             self.pack = _resolve_pack(pack_ref)
             st = self.pack["stats"]
             self.reader = None
+            # pack arrays already masked against exactly this actor's
+            # tombstone snapshot → drop the per-term re-filter and keep
+            # the imp/dense fast paths (positional modes raise on the
+            # pack path, so no reader-side decode can bypass the mask)
+            if self._deleted is not None and self.pack.get("deleted_sig") == _deleted_sig(
+                self._deleted
+            ):
+                self._deleted = None
         else:
             # pinned construction: the actor loads ONLY its parts /
             # doc-range-overlapping runs (reader pushes the range

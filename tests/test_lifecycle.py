@@ -415,3 +415,44 @@ def test_merge_empty_part_leaves_no_empty_dirs(ray_session, tmp_path):
     compact_deltas(out)  # must not crash on empty/missing parts
     m = Bm25Scorer(out, k=10, mode="exhaustive")
     assert m.stats["n_docs"] == 60
+
+
+def test_delete_pack_path_keeps_fast_sections(ray_session, tmp_path):
+    """Tombstone-aware packs: build_serving_pack masks its arrays
+    against the tombstone snapshot, so a pack-served scorer recognizes
+    the signature, drops its per-term re-filter, and keeps the
+    imp/dense fast paths — results identical to reader-path serving;
+    a STALE pack (built before the delete) falls back to scorer-side
+    masking and stays correct."""
+    import ray
+
+    from similaritysearch_jl_ray.pipelines.lifecycle import delete_docs
+    from similaritysearch_jl_ray.pipelines.query import build_serving_pack
+
+    d = _build_full(ray_session, tmp_path, "delpack")
+    stale_pack = build_serving_pack(d)  # pre-delete snapshot
+    pre = Bm25Scorer(d, k=20, mode="exhaustive")
+    before = {t: pre.score_query(t)[0] for _, t in REFERENCE_QUERIES[:4]}
+    dead = sorted({doc for hits in before.values() for doc, _ in hits[:2]})
+    delete_docs(d, dead)
+
+    pack = build_serving_pack(d)
+    assert pack["deleted_sig"] is not None
+    ref = ray.put(pack)
+    packed = Bm25Scorer(d, k=20, mode="wand", pack_ref=ref)
+    # signature matched → re-filter dropped, fast sections live
+    assert packed._deleted is None
+    assert pack["imp"], "fixture must have head terms"
+    head = next(iter(pack["imp"]))
+    # identity vs the ACTOR-side pack (ray.put/get re-materializes the
+    # arrays as zero-copy views — new ndarray objects, same buffers)
+    assert packed._term_impacts(head)[0] is packed.pack["imp"][head][0]
+    assert packed._term_dense(head) is packed.pack["dense"][head]
+    reader_side = Bm25Scorer(d, k=20, mode="exhaustive")
+    stale = Bm25Scorer(d, k=20, mode="wand", pack_ref=ray.put(stale_pack))
+    assert stale._deleted is not None  # sig mismatch → keeps masking
+    for _, text in REFERENCE_QUERIES[:4]:
+        want = reader_side.score_query(text)[0]
+        assert packed.score_query(text)[0] == want
+        assert stale.score_query(text)[0] == want
+        assert not set(dead).intersection(doc for doc, _ in want)
