@@ -20,6 +20,8 @@ __all__ = [
     "pairwise",
     "set_distance",
     "string_distance",
+    "levenshtein_dists",
+    "levenshtein_mask",
     "EditDistanceScratch",
 ]
 
@@ -143,6 +145,55 @@ def string_distance(a: str, b: str, kind: str) -> int:
             prev = cur
         return prev[-1]
     raise ValueError(kind)
+
+
+def levenshtein_dists(tok: str, cands) -> np.ndarray:
+    """Plain Levenshtein distance of ``tok`` to MANY candidates in one
+    vectorized DP — the verify half of fuzzy expansion and the scan
+    kernel of spell suggestion. The classic candidate-major
+    vectorization: one (n_cands × maxlen) byte matrix, ``len(tok)``
+    row updates, with the left-to-right dependency resolved by the
+    ``min-accumulate(x − j) + j`` prefix trick. ASCII fast path (the
+    tokenizer's [a-z0-9] alphabet); any non-ASCII candidate set falls
+    back to the scalar kernel. Identical to
+    ``string_distance(..., "levenshtein")`` per candidate (tested)."""
+    k = len(cands)
+    if k == 0:
+        return np.zeros(0, dtype=np.int64)
+    try:
+        q = np.frombuffer(tok.encode("ascii"), dtype=np.uint8)
+        joined = "".join(str(c) for c in cands).encode("ascii")
+    except UnicodeEncodeError:
+        return np.fromiter(
+            (string_distance(tok, str(c), "levenshtein") for c in cands),
+            dtype=np.int64,
+            count=k,
+        )
+    lens = np.fromiter((len(str(c)) for c in cands), dtype=np.int64, count=k)
+    nmax = int(lens.max()) if k else 0
+    flat = np.frombuffer(joined, dtype=np.uint8)
+    pad = np.zeros((k, nmax), dtype=np.uint8)
+    pad[np.arange(nmax) < lens[:, None]] = flat  # row-major fill = concat order
+    j_idx = np.arange(nmax + 1, dtype=np.int64)
+    D = np.broadcast_to(j_idx, (k, nmax + 1)).copy()
+    tmp = np.empty_like(D)
+    for i in range(1, len(q) + 1):
+        cost = (pad != q[i - 1]).astype(np.int64)
+        tmp[:, 0] = i
+        np.minimum(D[:, 1:] + 1, D[:, :-1] + cost, out=tmp[:, 1:])
+        # D_new[j] = min_k<=j (tmp[k] + (j-k))  — the insertion chain,
+        # as a prefix-min of (tmp − j) shifted back (buffers swap, no
+        # per-row allocation)
+        np.subtract(tmp, j_idx, out=tmp)
+        np.minimum.accumulate(tmp, axis=1, out=tmp)
+        np.add(tmp, j_idx, out=tmp)
+        D, tmp = tmp, D
+    return D[np.arange(k), lens]
+
+
+def levenshtein_mask(tok: str, cands, max_edits: int) -> np.ndarray:
+    """``levenshtein_dists(tok, cands) <= max_edits`` (see above)."""
+    return levenshtein_dists(tok, cands) <= max_edits
 
 
 class EditDistanceScratch:

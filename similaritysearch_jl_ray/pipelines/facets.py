@@ -364,19 +364,24 @@ def spell_suggest(
 
     @ray.remote
     def _part_suggest(d: str, part: int, toks, max_edits: int) -> list:
-        from ..functions.distances import string_distance
+        from ..functions.distances import levenshtein_dists
         from ..state.reader import IndexReader
 
         rdr = IndexReader(d, parts=[part])
         out = []
         vocab = sorted(rdr.term_dfs().items())
+        terms = np.asarray([t for t, _ in vocab], dtype=object)
+        dfs = np.asarray([df for _, df in vocab], dtype=np.int64)
+        lens = np.fromiter((len(t) for t in terms), dtype=np.int64, count=len(terms))
         for qid, tok in toks:
-            for term, df in vocab:
-                if abs(len(term) - len(tok)) > max_edits:
-                    continue
-                dist = string_distance(tok, term, "levenshtein")
-                if dist <= max_edits:
-                    out.append((qid, term, int(dist), int(df)))
+            # length prune, then ONE vectorized DP over the survivors
+            cand = np.flatnonzero(np.abs(lens - len(tok)) <= max_edits)
+            if not len(cand):
+                continue
+            dist = levenshtein_dists(tok, terms[cand])
+            ok = dist <= max_edits
+            for i, dd in zip(cand[ok], dist[ok]):
+                out.append((qid, str(terms[i]), int(dd), int(dfs[i])))
         return out
 
     rows = [

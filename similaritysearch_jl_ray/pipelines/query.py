@@ -496,26 +496,64 @@ class Bm25Scorer:
             )
         return lens
 
-    def _gram_index(self) -> dict[str, np.ndarray]:
-        """Character-trigram → sorted dictionary-index postings, built
-        once per actor (one linear pass over the vocabulary — the same
-        one-time cost class as ``_dictionary`` itself). This is the
-        sublinear candidate generator for fuzzy expansion: a term
-        within ``e`` edits of the query token must share at least
-        ``|G(tok)| − 3e`` of the token's distinct trigrams (one edit
-        touches at most the 3 windows covering it), so counting gram
-        postings replaces the O(vocab) Levenshtein scan per query."""
+    def _gram_index(self):
+        """Character-trigram → dictionary-index postings as ONE sorted
+        CSR structure ``(kind, gram_keys, offsets, term_idx)``, built
+        once per actor. This is the sublinear candidate generator for
+        fuzzy expansion: a term within ``e`` edits of the query token
+        must share at least ``|G(tok)| − 3e`` of the token's distinct
+        trigrams (one edit touches at most the 3 windows covering it),
+        so counting gram postings replaces the O(vocab) Levenshtein
+        scan per query.
+
+        ASCII vocabularies (the tokenizer's [a-z0-9] alphabet) build
+        fully vectorized: all windows of the flat byte array pack into
+        u32 keys, (gram, term) pairs dedupe via one ``np.unique`` —
+        no per-term Python (at 1M terms the dict-of-lists build this
+        replaces took ~8 s per actor). Non-ASCII vocabularies keep the
+        Python build behind the same CSR interface (object keys)."""
         idx = getattr(self, "_gram_index_cache", None)
         if idx is None:
+            from ..state.segment import _ranges
+
             d = self._dictionary()
-            grams: dict[str, list[int]] = {}
-            for i, t in enumerate(d):
-                t = str(t)
-                for g in {t[j : j + 3] for j in range(len(t) - 2)}:
-                    grams.setdefault(g, []).append(i)
-            idx = self._gram_index_cache = {
-                g: np.asarray(lst, dtype=np.int64) for g, lst in grams.items()
-            }
+            lens = self._dict_lens()
+            n = len(d)
+            try:
+                flat = np.frombuffer(
+                    "".join(map(str, d)).encode("ascii"), dtype=np.uint8
+                ).astype(np.uint32)
+                nwin = np.maximum(lens - 2, 0)
+                tot = int(nwin.sum())
+                if tot == 0:
+                    idx = ("ascii", np.empty(0, np.uint32), np.zeros(1, np.int64),
+                           np.empty(0, np.int64))
+                else:
+                    offs = np.zeros(n, dtype=np.int64)
+                    np.cumsum(lens[:-1], out=offs[1:])
+                    w0 = np.repeat(offs, nwin) + _ranges(nwin)
+                    keys = (flat[w0] << np.uint32(16)) | (flat[w0 + 1] << np.uint32(8)) | flat[w0 + 2]
+                    term_of = np.repeat(np.arange(n, dtype=np.uint64), nwin)
+                    pairs = np.unique((keys.astype(np.uint64) << np.uint64(32)) | term_of)
+                    gk = (pairs >> np.uint64(32)).astype(np.uint32)
+                    terms_u = (pairs & np.uint64(0xFFFFFFFF)).astype(np.int64)
+                    b = np.flatnonzero(np.r_[True, gk[1:] != gk[:-1], True])
+                    idx = ("ascii", gk[b[:-1]], b, terms_u)
+            except UnicodeEncodeError:
+                grams: dict[str, list[int]] = {}
+                for i, t in enumerate(d):
+                    t = str(t)
+                    for g in {t[j : j + 3] for j in range(len(t) - 2)}:
+                        grams.setdefault(g, []).append(i)
+                gk = np.sort(np.asarray(list(grams), dtype=object))
+                offsets = np.zeros(len(gk) + 1, dtype=np.int64)
+                parts = []
+                for j, g in enumerate(gk):
+                    parts.append(np.asarray(grams[str(g)], dtype=np.int64))
+                    offsets[j + 1] = offsets[j] + len(parts[-1])
+                idx = ("obj", gk, offsets,
+                       np.concatenate(parts) if parts else np.empty(0, np.int64))
+            self._gram_index_cache = idx
         return idx
 
     def _fuzzy_candidate_idx(self, tok: str, max_edits: int) -> np.ndarray:
@@ -524,20 +562,38 @@ class Bm25Scorer:
         SUPERSET of the true matches (the caller verifies exactly, so
         results are identical to the full scan). Falls back to the
         length-pruned full range when the trigram bound degenerates
-        (short tokens: |G(tok)| ≤ 3·e)."""
+        (short tokens: |G(tok)| ≤ 3·e). Counting is a scatter-add into
+        an actor-resident per-vocab scratch (reset only touched slots)
+        — no per-query sort of the gram-posting union."""
         lens = self._dict_lens()
         tok_grams = {tok[j : j + 3] for j in range(len(tok) - 2)}
         thresh = len(tok_grams) - 3 * max_edits
         if thresh >= 1:
-            gi = self._gram_index()
-            posts = [gi[g] for g in tok_grams if g in gi]
-            if not posts:
+            kind, gk, offsets, terms_u = self._gram_index()
+            cnt = getattr(self, "_gram_cnt_scratch", None)
+            if cnt is None or len(cnt) < len(lens):
+                cnt = self._gram_cnt_scratch = np.zeros(len(lens), dtype=np.int16)
+            touched = []
+            for g in tok_grams:
+                if kind == "ascii":
+                    try:
+                        b3 = g.encode("ascii")
+                    except UnicodeEncodeError:
+                        continue  # can't occur in an all-ASCII vocabulary
+                    key = (b3[0] << 16) | (b3[1] << 8) | b3[2]
+                else:
+                    key = g
+                j = int(np.searchsorted(gk, key))
+                if j >= len(gk) or gk[j] != key:
+                    continue
+                posts = terms_u[offsets[j] : offsets[j + 1]]
+                cnt[posts] += np.int16(1)  # per-gram postings are unique
+                touched.append(posts)
+            if not touched:
                 return np.empty(0, np.int64)
-            cat = np.concatenate(posts)
-            cat.sort(kind="stable")
-            bounds = np.flatnonzero(np.r_[True, cat[1:] != cat[:-1], True])
-            counts = np.diff(bounds)
-            cand = cat[bounds[:-1][counts >= thresh]]
+            cand = np.flatnonzero(cnt[: len(lens)] >= thresh)
+            for posts in touched:
+                cnt[posts] = 0
             return cand[np.abs(lens[cand] - len(tok)) <= max_edits]
         return np.flatnonzero(np.abs(lens - len(tok)) <= max_edits)
 
@@ -552,15 +608,14 @@ class Bm25Scorer:
             cache = self._fuzzy_cache = _LRU(_EXPANSION_CACHE_CAP)
         hit = cache.get((tok, max_edits))
         if hit is None:
-            from ..functions.distances import string_distance
+            from ..functions.distances import levenshtein_mask
 
             d = self._dictionary()
             cand = d[self._fuzzy_candidate_idx(tok, max_edits)]
-            hit = [
-                str(t)
-                for t in cand
-                if string_distance(tok, str(t), "levenshtein") <= max_edits
-            ]
+            # vectorized DP verify across ALL candidates at once — the
+            # per-candidate Python Levenshtein loop was the web-vocab
+            # bound of fuzzy serving (BASELINE §E.5 microbench)
+            hit = [str(t) for t in cand[levenshtein_mask(tok, cand, max_edits)]]
             cache.put((tok, max_edits), hit)
         return hit
 

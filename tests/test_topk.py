@@ -192,3 +192,34 @@ def test_k_must_be_positive():
         TopK(0)
     with pytest.raises(ValueError):
         TopKSorted(0)
+
+
+def test_levenshtein_dists_matches_scalar():
+    """Vectorized candidate-major Levenshtein DP ≡ the scalar kernel,
+    including empty strings, equal strings, and the non-ASCII
+    fallback path."""
+    import numpy as np
+
+    from similaritysearch_jl_ray.functions.distances import (
+        levenshtein_dists,
+        levenshtein_mask,
+        string_distance,
+    )
+
+    rng = np.random.default_rng(3)
+    alpha = list("abcde01")
+    pool = [
+        "".join(rng.choice(alpha, size=rng.integers(0, 12)).tolist())
+        for _ in range(300)
+    ]
+    for tok in ["", "a", "abcde", "deadbeef", "0a1b2c"]:
+        cands = np.asarray(pool, dtype=object)
+        want = np.array([string_distance(tok, c, "levenshtein") for c in pool])
+        got = levenshtein_dists(tok, cands)
+        assert (got == want).all(), tok
+        assert (levenshtein_mask(tok, cands, 2) == (want <= 2)).all()
+    # unicode falls back to the scalar path, same answers
+    uni = np.asarray(["héllo", "hello", "hell"], dtype=object)
+    want = np.array([string_distance("hello", c, "levenshtein") for c in uni])
+    assert (levenshtein_dists("hello", uni) == want).all()
+    assert len(levenshtein_dists("x", np.asarray([], dtype=object))) == 0
