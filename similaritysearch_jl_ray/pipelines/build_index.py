@@ -404,10 +404,36 @@ def build_index(
                     )
                     pieces.append(pa.Table.from_pydict(cols, schema=schema))
                     gpos.append(np.flatnonzero(single))
+                from ..state.segment import concat_runs
+
                 merged_rows = []
                 for g in np.flatnonzero(~single):
                     idxs = order[bounds[g] : bounds[g + 1]]
                     encs = [EncodedPostings.from_arrow_row(tbl, int(i)) for i in idxs]
+                    # zero-decode fast path: runs from different D1
+                    # blocks cover disjoint doc ranges whenever the
+                    # input is doc-contiguous (always for a fresh build
+                    # / delta append), so big runs CONCATENATE — blocks
+                    # are self-contained (absolute block_first). Only
+                    # concat when every run averages full blocks (head
+                    # terms, the bulk of D2 decode time); fragmented
+                    # rare-term runs re-encode so the read side never
+                    # sees a long tail of tiny blocks.
+                    total_df = sum(e.df for e in encs)
+                    if total_df >= block_size * len(encs):
+                        encs_sorted = sorted(
+                            encs, key=lambda e: int(e.block_first[0]) if len(e.block_first) else -1
+                        )
+                        try:
+                            enc = concat_runs(encs_sorted)
+                        except ValueError:
+                            enc = None  # overlapping ranges → decode path
+                        if enc is not None:
+                            row = enc.to_row(tbl.column("term")[int(idxs[0])].as_py())
+                            row["salt"] = tbl.column("salt")[int(idxs[0])].as_py()
+                            row["part"] = part
+                            merged_rows.append(row)
+                            continue
                     decoded = [decode_all(e) for e in encs]
                     ids = np.concatenate([d[0] for d in decoded])
                     tf = np.concatenate([d[1] for d in decoded])

@@ -986,3 +986,42 @@ def test_fuzzy_trigram_prefilter_exact_and_sublinear(index_dir):
     assert len(cand) < 0.02 * len(vocab), len(cand)  # <2% of vocab examined
     got = sc._expand_fuzzy(tok, 1)
     assert tok in got
+
+
+def test_merge_concat_path_rank_identical(ray_session, tmp_path):
+    """D2's zero-decode concat path (multi-run groups averaging full
+    blocks) must serve identically to a single-block build that never
+    merges. num_blocks=8 + a tiny block_size force multi-run groups
+    past the full-block heuristic; evidence the path ran = merged rows
+    with undersized NON-terminal blocks (each input run's last block),
+    which pure re-encode never produces."""
+    from similaritysearch_jl_ray.pipelines.build_index import build_index
+    from similaritysearch_jl_ray.pipelines.query import Bm25Scorer
+    from similaritysearch_jl_ray.sources.pages import pages_dataset
+
+    d_multi = str(tmp_path / "concat_multi")
+    d_one = str(tmp_path / "concat_one")
+    build_index(
+        pages_dataset(SF_DIR, num_blocks=8), d_multi,
+        num_parts=2, salt_factor=2, block_size=8,
+    )
+    build_index(
+        pages_dataset(SF_DIR, num_blocks=1), d_one,
+        num_parts=2, salt_factor=2, block_size=8,
+    )
+    import pyarrow.dataset as pads
+
+    ragged = 0
+    for p in range(2):
+        t = pads.dataset(f"{d_multi}/postings/part={p}", format="parquet").to_table()
+        for counts in t.column("block_count").to_pylist():
+            if any(c < 8 for c in counts[:-1]):
+                ragged += 1
+    assert ragged > 0, "expected at least one concat-merged run"
+    a = Bm25Scorer(d_multi, k=20, mode="exhaustive")
+    b = Bm25Scorer(d_one, k=20, mode="exhaustive")
+    w = Bm25Scorer(d_multi, k=20, mode="wand")
+    for _, text in REFERENCE_QUERIES:
+        want = b.score_query(text)[0]
+        assert a.score_query(text)[0] == want
+        assert w.score_query(text)[0] == want
