@@ -22,6 +22,8 @@ __all__ = [
     "string_distance",
     "levenshtein_dists",
     "levenshtein_mask",
+    "lev_dists_padded",
+    "lev_within1_padded",
     "EditDistanceScratch",
 ]
 
@@ -147,6 +149,62 @@ def string_distance(a: str, b: str, kind: str) -> int:
     raise ValueError(kind)
 
 
+def lev_dists_padded(q: np.ndarray, pad: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Core of :func:`levenshtein_dists` on a prebuilt byte matrix:
+    ``pad[c, :lens[c]]`` = candidate c's bytes (0 elsewhere, 0 ∉
+    alphabet), ``q`` = query bytes. Callers that hold a flat byte
+    cache of their dictionary (the serving actor) gather ``pad``
+    directly and skip per-query string joins."""
+    k, nmax = pad.shape
+    j_idx = np.arange(nmax + 1, dtype=np.int64)
+    D = np.broadcast_to(j_idx, (k, nmax + 1)).copy()
+    tmp = np.empty_like(D)
+    for i in range(1, len(q) + 1):
+        cost = (pad != q[i - 1]).astype(np.int64)
+        tmp[:, 0] = i
+        np.minimum(D[:, 1:] + 1, D[:, :-1] + cost, out=tmp[:, 1:])
+        np.subtract(tmp, j_idx, out=tmp)
+        np.minimum.accumulate(tmp, axis=1, out=tmp)
+        np.add(tmp, j_idx, out=tmp)
+        D, tmp = tmp, D
+    return D[np.arange(k), lens]
+
+
+def lev_within1_padded(q: np.ndarray, pad: np.ndarray, lens: np.ndarray) -> np.ndarray:
+    """Closed-form ``dist ≤ 1`` on a prebuilt byte matrix: true iff
+    ``|lc − lq| ≤ 1`` and common-prefix + common-suffix ≥
+    max(lc, lq) − 1 (one substitution or one indel splits the strings
+    into a shared prefix and a shared suffix)."""
+    k, nmax = pad.shape
+    lq = len(q)
+    near = np.abs(lens - lq) <= 1
+    if not near.any():
+        return near
+    W = min(nmax, lq)
+    if W == 0:
+        return near & (np.maximum(lens, lq) <= 1)
+    P = np.cumprod(pad[:, :W] == q[:W], axis=1).sum(axis=1)
+    idx = lens[:, None] - 1 - np.arange(W)[None, :]
+    radj = np.where(idx >= 0, pad[np.arange(k)[:, None], np.maximum(idx, 0)], 0)
+    S = np.cumprod(radj == q[::-1][:W], axis=1).sum(axis=1)
+    return near & (P + S >= np.maximum(lens, lq) - 1)
+
+
+def _pad_from_strings(cands) -> tuple[np.ndarray, np.ndarray] | None:
+    """(pad, lens) byte matrix for an ASCII candidate list; None when
+    any candidate is non-ASCII (callers fall back to the scalar DP)."""
+    k = len(cands)
+    try:
+        joined = "".join(str(c) for c in cands).encode("ascii")
+    except UnicodeEncodeError:
+        return None
+    lens = np.fromiter((len(str(c)) for c in cands), dtype=np.int64, count=k)
+    nmax = int(lens.max()) if k else 0
+    pad = np.zeros((k, nmax), dtype=np.uint8)
+    pad[np.arange(nmax) < lens[:, None]] = np.frombuffer(joined, dtype=np.uint8)
+    return pad, lens
+
+
 def levenshtein_dists(tok: str, cands) -> np.ndarray:
     """Plain Levenshtein distance of ``tok`` to MANY candidates in one
     vectorized DP — the verify half of fuzzy expansion and the scan
@@ -160,40 +218,37 @@ def levenshtein_dists(tok: str, cands) -> np.ndarray:
     k = len(cands)
     if k == 0:
         return np.zeros(0, dtype=np.int64)
+    built = None
     try:
         q = np.frombuffer(tok.encode("ascii"), dtype=np.uint8)
-        joined = "".join(str(c) for c in cands).encode("ascii")
+        built = _pad_from_strings(cands)
     except UnicodeEncodeError:
+        pass
+    if built is None:
         return np.fromiter(
             (string_distance(tok, str(c), "levenshtein") for c in cands),
             dtype=np.int64,
             count=k,
         )
-    lens = np.fromiter((len(str(c)) for c in cands), dtype=np.int64, count=k)
-    nmax = int(lens.max()) if k else 0
-    flat = np.frombuffer(joined, dtype=np.uint8)
-    pad = np.zeros((k, nmax), dtype=np.uint8)
-    pad[np.arange(nmax) < lens[:, None]] = flat  # row-major fill = concat order
-    j_idx = np.arange(nmax + 1, dtype=np.int64)
-    D = np.broadcast_to(j_idx, (k, nmax + 1)).copy()
-    tmp = np.empty_like(D)
-    for i in range(1, len(q) + 1):
-        cost = (pad != q[i - 1]).astype(np.int64)
-        tmp[:, 0] = i
-        np.minimum(D[:, 1:] + 1, D[:, :-1] + cost, out=tmp[:, 1:])
-        # D_new[j] = min_k<=j (tmp[k] + (j-k))  — the insertion chain,
-        # as a prefix-min of (tmp − j) shifted back (buffers swap, no
-        # per-row allocation)
-        np.subtract(tmp, j_idx, out=tmp)
-        np.minimum.accumulate(tmp, axis=1, out=tmp)
-        np.add(tmp, j_idx, out=tmp)
-        D, tmp = tmp, D
-    return D[np.arange(k), lens]
+    return lev_dists_padded(q, *built)
 
 
 def levenshtein_mask(tok: str, cands, max_edits: int) -> np.ndarray:
-    """``levenshtein_dists(tok, cands) <= max_edits`` (see above)."""
-    return levenshtein_dists(tok, cands) <= max_edits
+    """``levenshtein_dists(tok, cands) <= max_edits`` (see above);
+    ``max_edits == 1`` short-circuits to the closed-form
+    :func:`lev_within1_padded` — ~25× less work at the fuzzy default."""
+    k = len(cands)
+    if max_edits != 1 or k == 0:
+        return levenshtein_dists(tok, cands) <= max_edits
+    built = None
+    try:
+        q = np.frombuffer(tok.encode("ascii"), dtype=np.uint8)
+        built = _pad_from_strings(cands)
+    except UnicodeEncodeError:
+        pass
+    if built is None:
+        return levenshtein_dists(tok, cands) <= max_edits
+    return lev_within1_padded(q, *built)
 
 
 class EditDistanceScratch:

@@ -570,10 +570,7 @@ class Bm25Scorer:
         thresh = len(tok_grams) - 3 * max_edits
         if thresh >= 1:
             kind, gk, offsets, terms_u = self._gram_index()
-            cnt = getattr(self, "_gram_cnt_scratch", None)
-            if cnt is None or len(cnt) < len(lens):
-                cnt = self._gram_cnt_scratch = np.zeros(len(lens), dtype=np.int16)
-            touched = []
+            posts = []
             for g in tok_grams:
                 if kind == "ascii":
                     try:
@@ -584,16 +581,40 @@ class Bm25Scorer:
                 else:
                     key = g
                 j = int(np.searchsorted(gk, key))
-                if j >= len(gk) or gk[j] != key:
-                    continue
-                posts = terms_u[offsets[j] : offsets[j + 1]]
-                cnt[posts] += np.int16(1)  # per-gram postings are unique
-                touched.append(posts)
-            if not touched:
+                if j < len(gk) and gk[j] == key:
+                    posts.append(terms_u[offsets[j] : offsets[j + 1]])
+                else:
+                    posts.append(terms_u[:0])  # absent gram still counts toward g
+            if not posts:
                 return np.empty(0, np.int64)
-            cand = np.flatnonzero(cnt[: len(lens)] >= thresh)
-            for posts in touched:
-                cnt[posts] = 0
+            # CPMerge split (Okazaki & Tsujii): any term with ≥ thresh
+            # shared grams must appear in at least one of the
+            # (g − thresh + 1) SMALLEST lists (the thresh−1 largest
+            # alone can't reach thresh) — so only the small lists are
+            # merged; the stopword-sized gram lists are probed by
+            # binary search over the merged candidates instead of
+            # being scanned.
+            posts.sort(key=len)
+            m = len(posts) - thresh + 1
+            small = [p for p in posts[:m] if len(p)]
+            if not small:
+                return np.empty(0, np.int64)
+            # merge the small lists by scatter-count into an
+            # actor-resident per-vocab scratch (reset only touched
+            # slots) — no sort of the union
+            cnt = getattr(self, "_gram_cnt_scratch", None)
+            if cnt is None or len(cnt) < len(lens):
+                cnt = self._gram_cnt_scratch = np.zeros(len(lens), dtype=np.int16)
+            for p in small:
+                cnt[p] += np.int16(1)  # per-gram postings are unique
+            cand = np.flatnonzero(cnt[: len(lens)])
+            counts = cnt[cand].astype(np.int64)
+            for p in small:
+                cnt[p] = 0
+            for big in posts[m:]:
+                if len(big):
+                    counts += in_sorted(big, cand)[1]
+            cand = cand[counts >= thresh]
             return cand[np.abs(lens[cand] - len(tok)) <= max_edits]
         return np.flatnonzero(np.abs(lens - len(tok)) <= max_edits)
 
@@ -608,16 +629,66 @@ class Bm25Scorer:
             cache = self._fuzzy_cache = _LRU(_EXPANSION_CACHE_CAP)
         hit = cache.get((tok, max_edits))
         if hit is None:
-            from ..functions.distances import levenshtein_mask
-
             d = self._dictionary()
-            cand = d[self._fuzzy_candidate_idx(tok, max_edits)]
-            # vectorized DP verify across ALL candidates at once — the
-            # per-candidate Python Levenshtein loop was the web-vocab
-            # bound of fuzzy serving (BASELINE §E.5 microbench)
-            hit = [str(t) for t in cand[levenshtein_mask(tok, cand, max_edits)]]
+            cidx = self._fuzzy_candidate_idx(tok, max_edits)
+            mask = self._verify_fuzzy_idx(tok, cidx, max_edits)
+            hit = [str(t) for t in d[cidx[mask]]]
             cache.put((tok, max_edits), hit)
         return hit
+
+    def _dict_bytes(self):
+        """Flat ASCII byte cache of the dictionary ``(flat, offs)`` —
+        built once per actor; None for non-ASCII vocabularies. Lets
+        the fuzzy verify gather candidate byte rows by dictionary
+        INDEX instead of joining candidate strings per query."""
+        d = self._dictionary()
+        cached = getattr(self, "_dict_bytes_cache", None)
+        if cached is not None and cached[0] is d:
+            return cached[1]
+        lens = self._dict_lens()
+        try:
+            flat = np.frombuffer("".join(map(str, d)).encode("ascii"), dtype=np.uint8)
+            offs = np.zeros(len(d), dtype=np.int64)
+            np.cumsum(lens[:-1], out=offs[1:])
+            hit = (flat, offs)
+        except UnicodeEncodeError:
+            hit = None
+        # keyed by dictionary object identity — tests (and any future
+        # dictionary swap) invalidate derived caches by replacing
+        # _dict_cache; this one follows automatically
+        self._dict_bytes_cache = (d, hit)
+        return hit
+
+    def _verify_fuzzy_idx(self, tok: str, cand_idx: np.ndarray, max_edits: int) -> np.ndarray:
+        """Exact Levenshtein ≤ max_edits over dictionary indices —
+        vectorized against the flat byte cache (one gather builds the
+        candidate byte matrix; per-query string joins were the verify
+        bound at web vocab). Falls back to the string kernels when the
+        vocabulary (or token) is non-ASCII."""
+        from ..functions.distances import (
+            lev_dists_padded,
+            lev_within1_padded,
+            levenshtein_mask,
+        )
+
+        if len(cand_idx) == 0:
+            return np.zeros(0, dtype=bool)
+        db = self._dict_bytes()
+        try:
+            q = np.frombuffer(tok.encode("ascii"), dtype=np.uint8)
+        except UnicodeEncodeError:
+            db = None
+        if db is None:
+            return levenshtein_mask(tok, self._dictionary()[cand_idx], max_edits)
+        flat, offs = db
+        lens_c = self._dict_lens()[cand_idx]
+        nmax = int(lens_c.max())
+        pos = offs[cand_idx, None] + np.arange(nmax)[None, :]
+        valid = np.arange(nmax) < lens_c[:, None]
+        pad = np.where(valid, flat[np.minimum(pos, len(flat) - 1)], 0)
+        if max_edits == 1:
+            return lev_within1_padded(q, pad, lens_c)
+        return lev_dists_padded(q, pad, lens_c) <= max_edits
 
     def _expand_wildcard(self, pat: str) -> list[str]:
         """Dictionary terms fullmatching a ``*``/``?`` pattern (Lucene
