@@ -596,6 +596,11 @@ class Bm25Scorer:
             # being scanned.
             posts.sort(key=len)
             m = len(posts) - thresh + 1
+            if m <= 0:
+                # more than 3e+1 grams unrepresentable in an ASCII
+                # vocabulary ⟹ > e non-ASCII chars ⟹ no ASCII term
+                # can be within e edits
+                return np.empty(0, np.int64)
             small = [p for p in posts[:m] if len(p)]
             if not small:
                 return np.empty(0, np.int64)
