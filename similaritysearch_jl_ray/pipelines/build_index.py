@@ -92,6 +92,8 @@ RUN_SCHEMA = pa.schema(
         ("block_vstart", pa.list_(pa.int64())),
         ("block_max_tf", pa.list_(pa.int64())),
         ("block_min_dl", pa.list_(pa.int64())),
+        ("block_pvstart", pa.list_(pa.int64())),
+        ("block_poffset", pa.list_(pa.int64())),
         ("salt", pa.int64()),
         ("part", pa.int64()),
         ("skey", pa.string()),

@@ -1217,19 +1217,48 @@ class Bm25Scorer:
         if not len(docs):
             e = np.empty(0, np.int64)
             return e, e, e.copy()
-        from ..state.segment import decode_all, decode_positions
+        from ..state.segment import (
+            decode_all,
+            decode_blocks,
+            decode_positions,
+            decode_positions_blocks,
+        )
 
         cache = getattr(self, "_pos_run_cache", None)
         if cache is None:
             cache = self._pos_run_cache = _LRU(_POSITIONAL_CACHE_CAP)
         pi, pt, pp = [], [], []
         for ri, r in enumerate(self.reader.runs(term)):
-            if not len(r.block_first):
+            nblk = len(r.block_first)
+            if not nblk:
                 continue
             j = np.searchsorted(docs, int(r.block_first[0]))
             if j >= len(docs) or docs[j] > int(r.block_last[-1]):
                 continue  # no candidate inside this run's span
             hit = cache.get((term, ri))
+            if hit is None and r.has_pos_blocks:
+                # layout-v5 cold path: decode ONLY blocks whose doc
+                # span contains a candidate (uncached — the whole-run
+                # occurrence caches own the warm path). Cost ∝
+                # candidate block coverage, never run mass.
+                j1 = np.searchsorted(docs, r.block_first, side="left")
+                jc = np.minimum(j1, len(docs) - 1)
+                bsel = np.flatnonzero((j1 < len(docs)) & (docs[jc] <= r.block_last))
+                if len(bsel) < nblk // 4:
+                    if not len(bsel):
+                        continue
+                    ids_b, tfs_b, _ = decode_blocks(r, bsel)
+                    pos_b = decode_positions_blocks(r, bsel, tfs_b)
+                    _, keep = in_sorted(docs, ids_b)
+                    if keep.all():
+                        pi.append(ids_b)
+                        pt.append(tfs_b)
+                        pp.append(pos_b)
+                    elif keep.any():
+                        pi.append(ids_b[keep])
+                        pt.append(tfs_b[keep])
+                        pp.append(pos_b[np.repeat(keep, tfs_b)])
+                    continue
             if hit is None:
                 ids_r, tfs_r, _ = decode_all(r)
                 pos_r = decode_positions(r, tfs_r)

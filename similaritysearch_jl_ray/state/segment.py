@@ -56,6 +56,7 @@ __all__ = [
     "decode_all",
     "decode_blocks",
     "decode_positions",
+    "decode_positions_blocks",
 ]
 
 
@@ -89,6 +90,21 @@ class EncodedPostings:
     # b"" = built without positions (all non-positional paths ignore it;
     # the payload/block arithmetic above is untouched by this field).
     pos_payload: bytes = b""
+    # layout v5: per-block offsets INTO the positions sidecar — value
+    # count (Σ tf of earlier blocks) and byte offset before each block —
+    # so candidate-restricted positional decode touches only candidate
+    # blocks (decode_positions_blocks). Empty on v4 segments and on
+    # mixed concats: every consumer falls back to whole-run decode.
+    block_pvstart: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.empty(0, np.int64)
+    )
+    block_poffset: np.ndarray = dataclasses.field(
+        default_factory=lambda: np.empty(0, np.int64)
+    )
+
+    @property
+    def has_pos_blocks(self) -> bool:
+        return len(self.pos_payload) > 0 and len(self.block_pvstart) == len(self.block_count)
 
     def to_row(self, term: str) -> dict:
         return {
@@ -113,6 +129,8 @@ class EncodedPostings:
             "block_vstart": self.block_vstart.tolist(),
             "block_max_tf": self.block_max_tf.tolist(),
             "block_min_dl": self.block_min_dl.tolist(),
+            "block_pvstart": self.block_pvstart.tolist(),
+            "block_poffset": self.block_poffset.tolist(),
         }
 
     @classmethod
@@ -128,6 +146,7 @@ class EncodedPostings:
 
         names = set(tbl.schema.names)  # v3 segments have no pos_payload
         pos = tbl.column("pos_payload")[i].as_buffer() if "pos_payload" in names else b""
+        e = np.empty(0, np.int64)
         return cls(
             df=tbl.column("df")[i].as_py(),
             cf=tbl.column("cf")[i].as_py(),
@@ -140,6 +159,9 @@ class EncodedPostings:
             block_max_tf=arr("block_max_tf", np.int64),
             block_min_dl=arr("block_min_dl", np.int64),
             pos_payload=pos if pos is not None else b"",
+            # v5 sidecar offsets; absent on v3/v4 segments
+            block_pvstart=arr("block_pvstart", np.int64) if "block_pvstart" in names else e,
+            block_poffset=arr("block_poffset", np.int64) if "block_poffset" in names else e,
         )
 
     @classmethod
@@ -156,6 +178,8 @@ class EncodedPostings:
             block_max_tf=np.asarray(row["block_max_tf"], dtype=np.int64),
             block_min_dl=np.asarray(row["block_min_dl"], dtype=np.int64),
             pos_payload=bytes(row.get("pos_payload") or b""),
+            block_pvstart=np.asarray(row.get("block_pvstart") or [], dtype=np.int64),
+            block_poffset=np.asarray(row.get("block_poffset") or [], dtype=np.int64),
         )
 
 
@@ -184,6 +208,7 @@ def encode_postings(
     if n > 1 and not (np.diff(doc_ids) > 0).all():
         raise ValueError("postings must be strictly increasing by doc_id")
     pos_payload = b""
+    pos_byte_before = seg_starts = None
     if positions is not None:
         positions = np.asarray(positions, dtype=np.int64)
         if len(positions) != int(tfs.sum()):
@@ -196,12 +221,22 @@ def encode_postings(
         deltas[seg_starts] = positions[seg_starts]  # absolute first per posting
         if (deltas < 0).any():
             raise ValueError("positions must be ascending within each posting")
-        pos_payload = encode_varints(deltas.astype(np.uint64))
+        pos_u8, pos_byte_before = encode_varints_raw(deltas.astype(np.uint64))
+        pos_payload = pos_u8.tobytes()
 
     starts = np.arange(0, n, block_size, dtype=np.int64)
     ends = np.minimum(starts + block_size, n)
     counts = (ends - starts).astype(np.int32)
     nblocks = len(starts)
+    e64 = np.empty(0, np.int64)
+    if positions is not None:
+        # v5: per-block sidecar offsets — value count (Σ tf of earlier
+        # blocks) and byte offset before each block, so a candidate-
+        # restricted decode slices only candidate blocks
+        block_pvstart = seg_starts[starts]
+        block_poffset = pos_byte_before[block_pvstart]
+    else:
+        block_pvstart = block_poffset = e64
 
     # Per-block value layout: gaps (count−1) ++ tfs (count) ++ dls
     # (count), all blocks concatenated into ONE value stream and varint-
@@ -245,6 +280,8 @@ def encode_postings(
         block_max_tf=np.maximum.reduceat(tfs, starts),
         block_min_dl=np.minimum.reduceat(dls, starts),
         pos_payload=pos_payload,
+        block_pvstart=block_pvstart,
+        block_poffset=block_poffset,
     )
 
 
@@ -375,8 +412,19 @@ def encode_postings_grouped(
 
     if positions is not None:
         pos_arr = _binary(pos_offsets, pos_u8)
+        # v5 sidecar offsets, group-relative (mirrors encode_postings)
+        blk_pv_global = post_starts[bstarts]
+        pv_rel = blk_pv_global - np.repeat(grp_pos_vstart, nblk_g)
+        po_rel = pos_byte_before[blk_pv_global] - np.repeat(
+            pos_byte_before[grp_pos_vstart], nblk_g
+        )
+        pv_arr = _list64(nblk_g, pv_rel)
+        po_arr = _list64(nblk_g, po_rel)
     else:
         pos_arr = _binary(np.zeros(k + 1, dtype=np.int64), np.empty(0, np.uint8))
+        zl = np.zeros(k, dtype=np.int64)
+        pv_arr = _list64(zl, np.empty(0, np.int64))
+        po_arr = _list64(zl, np.empty(0, np.int64))
     return {
         "df": pa.array(sizes_g, type=pa.int64()),
         "cf": pa.array(np.add.reduceat(tfs, go[:-1]) if n else np.empty(0, np.int64), type=pa.int64()),
@@ -394,6 +442,8 @@ def encode_postings_grouped(
         "block_vstart": _list64(nblk_g, block_vstart),
         "block_max_tf": _list64(nblk_g, block_max_tf),
         "block_min_dl": _list64(nblk_g, block_min_dl),
+        "block_pvstart": pv_arr,
+        "block_poffset": po_arr,
     }
 
 
@@ -431,6 +481,15 @@ def concat_runs(runs: list[EncodedPostings]) -> EncodedPostings:
             stacklevel=2,
         )
     pos = b"".join(bytes(r.pos_payload) for r in runs) if all(have_pos) else b""
+    e64 = np.empty(0, np.int64)
+    pv = po = e64
+    if all(have_pos) and all(r.has_pos_blocks for r in runs):
+        # v5 offsets shift exactly like the doc-payload ones: value
+        # count by cumulative cf, byte offset by cumulative sidecar size
+        pv_shift = np.cumsum([0] + [int(r.cf) for r in runs[:-1]])
+        po_shift = np.cumsum([0] + [len(r.pos_payload) for r in runs[:-1]])
+        pv = np.concatenate([r.block_pvstart + int(s) for r, s in zip(runs, pv_shift)])
+        po = np.concatenate([r.block_poffset + int(s) for r, s in zip(runs, po_shift)])
     return EncodedPostings(
         df=sum(r.df for r in runs),
         cf=sum(r.cf for r in runs),
@@ -443,6 +502,8 @@ def concat_runs(runs: list[EncodedPostings]) -> EncodedPostings:
         block_max_tf=np.concatenate([r.block_max_tf for r in runs]),
         block_min_dl=np.concatenate([r.block_min_dl for r in runs]),
         pos_payload=pos,
+        block_pvstart=pv,
+        block_poffset=po,
     )
 
 
@@ -486,6 +547,41 @@ def decode_blocks(enc: EncodedPostings, bidx: np.ndarray) -> tuple[np.ndarray, n
 def decode_all(enc: EncodedPostings) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Decode the full posting list: (doc_ids, tfs, dls)."""
     return decode_blocks(enc, np.arange(len(enc.block_count), dtype=np.int64))
+
+
+def decode_positions_blocks(
+    enc: EncodedPostings, bidx: np.ndarray, tfs: np.ndarray
+) -> np.ndarray:
+    """Decode the positions sidecar for SELECTED blocks only (layout
+    v5, requires ``enc.has_pos_blocks``). ``bidx`` = ascending block
+    indices; ``tfs`` = the decoded tf array of exactly those blocks
+    (``decode_blocks(enc, bidx)[1]``) — per-posting segment lengths.
+    Valid because block boundaries are posting boundaries and every
+    posting's first delta is stored absolute: any posting-aligned
+    subsequence decodes independently. Returns flat positions,
+    ``sum(tfs)`` values, same layout as :func:`decode_positions`."""
+    bidx = np.asarray(bidx, dtype=np.int64)
+    tfs = np.asarray(tfs, dtype=np.int64)
+    total = int(tfs.sum())
+    if total == 0:
+        return np.empty(0, dtype=np.int64)
+    if not enc.has_pos_blocks:
+        raise ValueError("segment has no per-block position offsets (layout < v5)")
+    buf = np.frombuffer(enc.pos_payload, dtype=np.uint8)
+    po_end = np.append(enc.block_poffset[1:], len(buf))
+    pv_end = np.append(enc.block_pvstart[1:], enc.cf)
+    nvals = pv_end[bidx] - enc.block_pvstart[bidx]
+    pieces = [buf[int(enc.block_poffset[i]) : int(po_end[i])] for i in bidx]
+    stream = np.concatenate(pieces) if len(pieces) > 1 else pieces[0]
+    deltas = decode_varints(stream, count=int(nvals.sum())).astype(np.int64)
+    if len(deltas) != total:
+        raise ValueError("positions sidecar does not match the selected blocks' tfs")
+    c = np.cumsum(deltas)
+    seg_starts = np.zeros(len(tfs), dtype=np.int64)
+    np.cumsum(tfs[:-1], out=seg_starts[1:])
+    corr = np.zeros(len(tfs), dtype=np.int64)
+    corr[1:] = c[seg_starts[1:] - 1]
+    return c - np.repeat(corr, tfs)
 
 
 def decode_positions(enc: EncodedPostings, tfs: np.ndarray) -> np.ndarray:

@@ -1025,3 +1025,49 @@ def test_merge_concat_path_rank_identical(ray_session, tmp_path):
         want = b.score_query(text)[0]
         assert a.score_query(text)[0] == want
         assert w.score_query(text)[0] == want
+
+
+def test_phrase_selective_block_decode_matches_whole_run(ray_session, tmp_path):
+    """Layout v5 cold path: a fresh scorer whose candidate set covers
+    <25% of a run's blocks decodes only those blocks
+    (decode_positions_blocks); results must equal a scorer forced
+    down the whole-run-decode path, for every mode that touches
+    positions."""
+    d = str(tmp_path / "v5sel")
+    build_index(pages_dataset(SF_DIR), d, num_parts=2, salt_factor=2, block_size=4)
+    # tiny blocks -> any selective candidate set covers few of them
+    sel = Bm25Scorer(d, k=20, mode="phrase")
+    whole = Bm25Scorer(d, k=20, mode="phrase")
+    # force the whole-run path on the control scorer by pre-warming
+    # its per-run cache through unrestricted decodes
+    for t in {tok for _, text in REFERENCE_QUERIES for tok in tokenize(text)}:
+        if whole._has_term(t):
+            whole._term_positions(t)
+            for ri, r in enumerate(whole.reader.runs(t)):
+                from similaritysearch_jl_ray.state.segment import (
+                    decode_all,
+                    decode_positions,
+                )
+
+                from similaritysearch_jl_ray.pipelines.query import _LRU
+
+                ids_r, tfs_r, _ = decode_all(r)
+                if getattr(whole, "_pos_run_cache", None) is None:
+                    whole._pos_run_cache = _LRU(512)
+                whole._pos_run_cache.put((t, ri), (ids_r, tfs_r, decode_positions(r, tfs_r)))
+    for _, text in REFERENCE_QUERIES:
+        # restrict candidates hard: top-3 docs of the AND set
+        toks = [t for t in tokenize(text) if sel._has_term(t)]
+        if len(toks) < 2:
+            continue
+        docs = sel._and_docs(sorted(set(toks)))[:3]
+        if not len(docs):
+            continue
+        for t in toks:
+            a = sel._term_positions_for(t, docs)
+            b = whole._term_positions_for(t, docs)
+            assert (a[0] == b[0]).all() and (a[1] == b[1]).all() and (a[2] == b[2]).all()
+    # and full phrase/near serving agrees end to end (fresh scorers)
+    near_a = Bm25Scorer(d, k=20, mode="phrase")
+    for _, text in REFERENCE_QUERIES:
+        assert near_a.score_query(text)[0] == whole.score_query(text)[0]

@@ -169,6 +169,7 @@ def test_grouped_encode_bit_identical():
             for name in (
                 "block_first", "block_last", "block_count", "block_offset",
                 "block_vstart", "block_max_tf", "block_min_dl",
+                "block_pvstart", "block_poffset",
             ):
                 assert out[name][g].as_py() == row[name], (trial, g, name)
 
@@ -185,3 +186,62 @@ def test_grouped_encode_validation():
     encode_postings_grouped(
         np.array([5, 9, 2, 3]), np.ones(4, np.int64), np.ones(4, np.int64), np.array([0, 2, 4])
     )
+
+
+def test_positions_block_selective_decode():
+    """Layout v5: decode_positions_blocks over any ascending block
+    subset equals the matching slice of the full decode_positions —
+    including across concat_runs (offsets shift with the sidecar)."""
+    from similaritysearch_jl_ray.state.segment import (
+        decode_blocks,
+        decode_positions,
+        decode_positions_blocks,
+    )
+
+    rng = np.random.default_rng(21)
+    ids, tfs, dls = _random_postings(rng, 500)
+    pos = np.concatenate(
+        [np.sort(rng.choice(4000, size=t, replace=False)) for t in tfs]
+    ).astype(np.int64)
+    enc = encode_postings(ids, tfs, dls, block_size=16, positions=pos)
+    assert enc.has_pos_blocks
+    full = decode_positions(enc, tfs)
+    offs = np.r_[0, np.cumsum(tfs)]
+    blk = np.r_[0 : len(ids) : 16]
+    for _ in range(10):
+        nb = len(enc.block_count)
+        bidx = np.sort(rng.choice(nb, size=rng.integers(1, nb + 1), replace=False))
+        ids_b, tfs_b, _ = decode_blocks(enc, bidx)
+        got = decode_positions_blocks(enc, bidx, tfs_b)
+        want = np.concatenate(
+            [full[offs[blk[b]] : offs[min(blk[b] + 16, len(ids))]] for b in bidx]
+        )
+        assert (got == want).all()
+    # concat of two runs keeps the selective decode exact
+    mid = 256
+    a = encode_postings(ids[:mid], tfs[:mid], dls[:mid], block_size=16,
+                        positions=pos[: int(tfs[:mid].sum())])
+    b = encode_postings(ids[mid:], tfs[mid:], dls[mid:], block_size=16,
+                        positions=pos[int(tfs[:mid].sum()) :])
+    cat = concat_runs([a, b])
+    assert cat.has_pos_blocks
+    nb = len(cat.block_count)
+    bidx = np.sort(rng.choice(nb, size=nb // 2, replace=False))
+    ids_b, tfs_b, _ = decode_blocks(cat, bidx)
+    got = decode_positions_blocks(cat, bidx, tfs_b)
+    # reference: whole-run decode of the concat, sliced per block
+    full_cat = decode_positions(cat, np.concatenate([tfs[:mid], tfs[mid:]]))
+    cnt = cat.block_count.astype(np.int64)
+    pstart = np.r_[0, np.cumsum(cnt)]
+    offs_cat = np.r_[0, np.cumsum(np.concatenate([tfs[:mid], tfs[mid:]]))]
+    want = np.concatenate(
+        [full_cat[offs_cat[pstart[i]] : offs_cat[pstart[i + 1]]] for i in bidx]
+    )
+    assert (got == want).all()
+    # v4 row (no sidecar offsets) falls back loudly
+    row = enc.to_row("t")
+    row.pop("block_pvstart"); row.pop("block_poffset")
+    v4 = EncodedPostings.from_row(row)
+    assert not v4.has_pos_blocks
+    with pytest.raises(ValueError):
+        decode_positions_blocks(v4, np.array([0]), decode_blocks(v4, np.array([0]))[1])
