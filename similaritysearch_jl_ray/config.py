@@ -52,7 +52,7 @@ SCORE_ROUND_DECIMALS = 6
 # On-disk segment layout version: bump on any change to RUN_SCHEMA /
 # stats.json shape so cached indexes from older code are rebuilt, not
 # misread (entry_helpers keys its /tmp cache by this).
-INDEX_LAYOUT_VERSION = 4  # v4: optional positions sidecar (pos_payload)
+INDEX_LAYOUT_VERSION = 5  # v5: per-block offsets into the positions sidecar
 
 # Per-node budget for the decoded broadcast serving pack. search() with
 # broadcast=None (the default) broadcasts only while the estimated
