@@ -456,3 +456,26 @@ def test_delete_pack_path_keeps_fast_sections(ray_session, tmp_path):
         assert packed.score_query(text)[0] == want
         assert stale.score_query(text)[0] == want
         assert not set(dead).intersection(doc for doc, _ in want)
+
+
+def test_index_fingerprint_tracks_tombstones(ray_session, tmp_path):
+    """The pack-cache fingerprint must change when tombstones are
+    written or purged — otherwise a cached (pre-masked) pack would
+    keep serving a stale visibility set."""
+    from similaritysearch_jl_ray.pipelines.lifecycle import (
+        delete_docs,
+        purge_tombstones,
+    )
+    from similaritysearch_jl_ray.pipelines.query import _index_fingerprint
+
+    d = _build_full(ray_session, tmp_path, "fp")
+    f0 = _index_fingerprint(d)
+    delete_docs(d, [1, 2, 3])
+    f1 = _index_fingerprint(d)
+    assert f1 != f0
+    delete_docs(d, [7])
+    f2 = _index_fingerprint(d)
+    assert f2 != f1
+    purge_tombstones(d)
+    f3 = _index_fingerprint(d)
+    assert f3 not in (f0, f1, f2)
