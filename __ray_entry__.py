@@ -1195,6 +1195,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_boost": _bm25_boost,
         # -- dedup suite (SURVEY §2.6 neardup + task brief) ---------------
         "exact_dedup": dedup.exact_dedup,
+        "url_dedup": dedup.url_dedup,
         # max_df=None pins the EXACT mode (matches the SQL oracle); the
         # library default is the bounded production path
         "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(
@@ -1274,6 +1275,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_scores": textstats.quality_scores,
         "lang_id": textstats.lang_id,
         "doc_fingerprint": textstats.doc_fingerprint,
+        "repetition_scores": textstats.repetition_scores,
+        "bigram_pmi": lambda sf: textstats.bigram_pmi(sf, min_count=5, top_n=20),
         # -- stream-shaped (events) ---------------------------------------
         "windowed_event_counts": lambda sf: events.windowed_event_counts(sf, window_s=3600),
         "sliding_event_counts": lambda sf: events.sliding_event_counts(
@@ -1404,6 +1407,27 @@ ORDER BY doc_id, term
             "SELECT min(doc_id)::BIGINT AS keeper_doc_id, count(*)::BIGINT AS group_size"
             " FROM documents GROUP BY text"
         ),
+        # url_dedup: the noisy-variant synthesis + canonicalization
+        # contract is shared VERBATIM with pipelines/dedup.url_dedup
+        "url_dedup": r"""
+WITH u AS (
+  SELECT doc_id,
+    CASE doc_id % 4
+      WHEN 0 THEN base
+      WHEN 1 THEN 'https://www.' || substr(base, 9)
+      WHEN 2 THEN base || '/'
+      ELSE base || '?utm_source=feed&ref=rss' END AS url
+  FROM (SELECT doc_id, 'https://example.com/page-' || (doc_id // 2) AS base FROM documents)
+),
+c AS (
+  SELECT doc_id,
+    regexp_replace(regexp_replace(regexp_replace(regexp_replace(lower(url),
+      '^https?://', ''), '^www\.', ''), '\?.*$', ''), '/+$', '') AS canon_url
+  FROM u
+)
+SELECT canon_url, min(doc_id)::BIGINT AS keeper_doc_id, count(*)::BIGINT AS n_dups
+FROM c GROUP BY canon_url
+""",
         "decontaminate": f"""
 WITH {_GRAMS_CTE},
 ev AS (SELECT doc_id, gram FROM grams WHERE doc_id % 97 = 0),
@@ -1549,6 +1573,53 @@ SELECT doc_id, length(text)::BIGINT AS n_chars, len(toks)::BIGINT AS n_tokens,
 FROM (SELECT doc_id, text, {_TOKS_SQL} AS toks FROM documents)
 """,
         # lang_id / doc_fingerprint: heuristic/hash internals → rows-only.
+        "repetition_scores": f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+b AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM t
+),
+c AS (SELECT doc_id, bg, count(*)::BIGINT AS c FROM b GROUP BY doc_id, bg),
+agg AS (
+  SELECT doc_id, sum(c)::BIGINT AS nb,
+         sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS dup,
+         max(c)::BIGINT AS mx
+  FROM c GROUP BY doc_id
+)
+SELECT t.doc_id, coalesce(agg.nb, 0)::BIGINT AS n_bigrams,
+  CASE WHEN coalesce(agg.nb, 0) = 0 THEN 0.0
+       ELSE round(agg.dup::DOUBLE / agg.nb, 6) END AS dup_bigram_ratio,
+  CASE WHEN coalesce(agg.nb, 0) = 0 THEN 0.0
+       ELSE round(agg.mx::DOUBLE / agg.nb, 6) END AS top_bigram_ratio
+FROM t LEFT JOIN agg ON agg.doc_id = t.doc_id
+""",
+        # bigram_pmi: pmi = ln(((c_xy·NU)·NU)/((NB·c_x)·c_y)) — the
+        # association order is fixed and mirrored in textstats.bigram_pmi
+        "bigram_pmi": f"""
+WITH t AS (SELECT {_TOKS_SQL} AS toks FROM documents),
+u AS (SELECT unnest(toks) AS term FROM t),
+nu AS (SELECT count(*)::DOUBLE AS nu FROM u),
+uc AS (SELECT term, count(*)::DOUBLE AS c FROM u GROUP BY term),
+bgl AS (
+  SELECT unnest(list_transform(range(1, len(toks)), i -> [toks[i], toks[i + 1]])) AS pr
+  FROM t
+),
+nb AS (SELECT count(*)::DOUBLE AS nb FROM bgl),
+bc AS (
+  SELECT pr[1] AS x, pr[2] AS y, count(*)::BIGINT AS c_xy
+  FROM bgl GROUP BY pr[1], pr[2] HAVING count(*) >= 5
+),
+p AS (
+  SELECT bc.x || ' ' || bc.y AS bigram, bc.c_xy,
+         round(ln(((bc.c_xy::DOUBLE * nu.nu) * nu.nu) / ((nb.nb * ux.c) * uy.c)), 6) AS pmi
+  FROM bc CROSS JOIN nu CROSS JOIN nb
+  JOIN uc ux ON ux.term = bc.x
+  JOIN uc uy ON uy.term = bc.y
+)
+SELECT row_number() OVER (ORDER BY pmi DESC, bigram)::BIGINT AS rank, bigram, c_xy, pmi
+FROM p ORDER BY pmi DESC, bigram LIMIT 20
+""",
         # -- events --------------------------------------------------------
         "windowed_event_counts": """
 SELECT event_type, ((epoch_us(ts) // 1000000) // 3600 * 3600)::BIGINT AS window_start,

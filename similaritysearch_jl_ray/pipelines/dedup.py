@@ -53,6 +53,7 @@ from ..functions.text import flat_tokens, tokenize
 
 __all__ = [
     "exact_dedup",
+    "url_dedup",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",
@@ -174,6 +175,77 @@ def exact_dedup(sf_dir: str):
             Count(alias_name="group_size"),
         )
         .select_columns(["keeper_doc_id", "group_size"])
+        .map_batches(rename, batch_format="pyarrow")
+    )
+
+
+def url_dedup(sf_dir: str):
+    """Canonical-URL dedup: (canon_url, keeper_doc_id, n_dups) per
+    canonical key; keeper = min doc_id — the crawl-side exact-dedup
+    every training pipeline runs before any content hashing.
+
+    The fixture's pages urls are unique by construction, so the entry
+    synthesizes the noisy-variant contract DETERMINISTICALLY (shared
+    verbatim with the SQL oracle): base = ``https://example.com/page-
+    (doc_id // 2)`` (two docs share a base), and doc_id % 4 picks the
+    wire form — 0: base, 1: ``https://www.`` prefix, 2: trailing
+    slash, 3: ``?utm_source=feed&ref=rss`` query.  Canonicalization is
+    the real operator under test: lower → strip scheme → strip
+    leading ``www.`` → strip query string → strip trailing slashes,
+    all RE2 Arrow kernels (``replace_substring_regex``).
+
+    Scale shape: identical to :func:`exact_dedup` — the shuffle moves
+    (canon_key, doc_id) only, and the reduce is Ray's native Min/Count
+    aggregate with per-block partial aggregation. At 100 TB the canon
+    string would be replaced by its 128-bit hash exactly as
+    exact_dedup does; kept raw here so the oracle can group by the
+    visible key.
+    """
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Count, Min
+
+    def canon_batch(batch: pa.Table) -> pa.Table:
+        ids = batch["doc_id"].to_numpy()
+        base = pc.binary_join_element_wise(
+            "https://example.com/page-",
+            pc.cast(pa.array(ids // 2, type=pa.int64()), pa.string()),
+            "",
+        )
+        u_www = pc.binary_join_element_wise(
+            "https://www.", pc.utf8_slice_codeunits(base, 8, 1 << 30), ""
+        )
+        u_slash = pc.binary_join_element_wise(base, "/", "")
+        u_query = pc.binary_join_element_wise(base, "?utm_source=feed&ref=rss", "")
+        v = ids % 4
+        url = pc.if_else(
+            pa.array(v == 1),
+            u_www,
+            pc.if_else(pa.array(v == 2), u_slash, pc.if_else(pa.array(v == 3), u_query, base)),
+        )
+        c = pc.utf8_lower(url)
+        for pat in ("^https?://", "^www\\.", "\\?.*$", "/+$"):
+            c = pc.replace_substring_regex(c, pattern=pat, replacement="")
+        return pa.table({"canon_url": c, "doc_id": batch["doc_id"]})
+
+    def rename(batch: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "canon_url": batch["canon_url"],
+                "keeper_doc_id": batch["keeper_doc_id"],
+                "n_dups": batch["n_dups"].cast(_I64),
+            }
+        )
+
+    import ray.data as rd
+
+    return (
+        rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id"])
+        .map_batches(canon_batch, batch_format="pyarrow")
+        .groupby("canon_url")
+        .aggregate(
+            Min("doc_id", alias_name="keeper_doc_id"),
+            Count(alias_name="n_dups"),
+        )
         .map_batches(rename, batch_format="pyarrow")
     )
 

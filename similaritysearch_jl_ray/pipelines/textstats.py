@@ -11,10 +11,18 @@ import numpy as np
 import pyarrow as pa
 
 from ..functions.hashing import stable_u64
-from ..functions.text import batch_token_counts, tokenize
+from ..functions.text import batch_token_counts, flat_tokens, tokenize
 from ..functions.rounding import round6
 
-__all__ = ["lang_dist", "token_totals_by_lang", "quality_scores", "lang_id", "doc_fingerprint"]
+__all__ = [
+    "lang_dist",
+    "token_totals_by_lang",
+    "quality_scores",
+    "lang_id",
+    "doc_fingerprint",
+    "repetition_scores",
+    "bigram_pmi",
+]
 
 STOPWORDS = ("the", "a")  # fixed, shared with the SQL oracle
 
@@ -156,3 +164,175 @@ def doc_fingerprint(sf_dir: str, window: int = 4):
         return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(vals, type=pa.int64())})
 
     return _documents(sf_dir, ["doc_id", "text"]).map_batches(fp, batch_format="pyarrow")
+
+
+def repetition_scores(sf_dir: str):
+    """Gopher-style repetition quality rules, per document: (doc_id,
+    n_bigrams, dup_bigram_ratio, top_bigram_ratio).
+
+    ``dup_bigram_ratio`` = fraction of bigram instances whose bigram
+    occurs more than once in the doc (the "duplicate n-gram fraction"
+    family of Rae et al. 2021's Gopher rules, token-bigram variant);
+    ``top_bigram_ratio`` = occurrences of the most frequent bigram /
+    total bigrams ("top n-gram fraction"). Ratios are 0.0 for docs
+    with no bigrams; rounded to 6dp (functions/rounding.round6, the
+    shared half-away-from-zero contract).
+
+    Fully vectorized: one ``flat_tokens`` pass (Arrow kernels), then
+    adjacent-pair grouping via a single lexsort over (doc, code_a,
+    code_b) — no per-doc Python, the stateless-map shape that streams
+    at 100 TB (nothing shuffles; output is one row per input doc).
+    """
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        repetition_batch, batch_format="pyarrow"
+    )
+
+
+def repetition_batch(batch: pa.Table) -> pa.Table:
+    """The :func:`repetition_scores` batch kernel (module-level so the
+    scalar-twin test exercises it directly)."""
+    nrows = batch.num_rows
+    _, doc_of, toks = flat_tokens(batch["text"])
+    enc = toks.dictionary_encode()
+    codes = enc.indices.to_numpy().astype(np.int64)
+    nb = np.zeros(nrows, dtype=np.int64)
+    dup = np.zeros(nrows, dtype=np.int64)
+    mx = np.zeros(nrows, dtype=np.int64)
+    if len(codes) >= 2:
+        same = doc_of[1:] == doc_of[:-1]
+        d = doc_of[:-1][same]
+        a = codes[:-1][same]
+        b = codes[1:][same]
+        nb = np.bincount(d, minlength=nrows).astype(np.int64)
+        order = np.lexsort((b, a, d))
+        ds, as_, bs = d[order], a[order], b[order]
+        bounds = np.flatnonzero(
+            np.r_[
+                True,
+                (ds[1:] != ds[:-1]) | (as_[1:] != as_[:-1]) | (bs[1:] != bs[:-1]),
+                True,
+            ]
+        )
+        cnt = np.diff(bounds)
+        gdoc = ds[bounds[:-1]]
+        hot = cnt > 1
+        np.add.at(dup, gdoc[hot], cnt[hot])
+        np.maximum.at(mx, gdoc, cnt)
+    safe = np.maximum(nb, 1).astype(np.float64)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "n_bigrams": pa.array(nb, type=pa.int64()),
+            "dup_bigram_ratio": pa.array(round6(dup / safe), type=pa.float64()),
+            "top_bigram_ratio": pa.array(round6(mx / safe), type=pa.float64()),
+        }
+    )
+
+
+def bigram_pmi(sf_dir: str, min_count: int = 5, top_n: int = 20):
+    """Corpus-level collocation extraction: the ``top_n`` token
+    bigrams by pointwise mutual information among bigrams with
+    ``c_xy ≥ min_count``. Returns (rank, bigram, c_xy, pmi) as a
+    pandas DataFrame (the final table is tiny by construction).
+
+    pmi = ln(((c_xy·NU)·NU) / ((NB·c_x)·c_y)) with NU = total corpus
+    tokens, NB = total corpus bigrams — the multiplication association
+    is FIXED and mirrored in the SQL oracle so both sides evaluate the
+    identical float64 expression; 6dp rounding on output only.
+
+    Distributed shape (100 TB): unigram and bigram counts pre-aggregate
+    in-batch (``np.unique`` over dictionary codes) so the two groupbys
+    shuffle one row per distinct key per block — vocabulary-, not
+    corpus-, sized; only the min_count-filtered collocation table and
+    the unigram counts of ITS terms (both bounded by min_count) reach
+    the driver for the final tiny rank. The corpus text itself never
+    leaves the map stage.
+    """
+    import pandas as pd
+    import pyarrow.compute as pc
+    from ray.data.aggregate import Sum
+
+    def uni_partial(batch: pa.Table) -> pa.Table:
+        _, _, toks = flat_tokens(batch["text"])
+        enc = toks.dictionary_encode()
+        c = np.bincount(
+            enc.indices.to_numpy(), minlength=len(enc.dictionary)
+        ).astype(np.int64)
+        return pa.table({"term": enc.dictionary, "partial": pa.array(c, type=pa.int64())})
+
+    def bg_partial(batch: pa.Table) -> pa.Table:
+        _, doc_of, toks = flat_tokens(batch["text"])
+        enc = toks.dictionary_encode()
+        codes = enc.indices.to_numpy().astype(np.int64)
+        if len(codes) < 2:
+            return pa.table(
+                {
+                    "x": pa.array([], type=pa.string()),
+                    "y": pa.array([], type=pa.string()),
+                    "partial": pa.array([], type=pa.int64()),
+                }
+            )
+        same = doc_of[1:] == doc_of[:-1]
+        a = codes[:-1][same]
+        b = codes[1:][same]
+        nvocab = len(enc.dictionary)
+        pair, cnt = np.unique(a * nvocab + b, return_counts=True)
+        return pa.table(
+            {
+                "x": enc.dictionary.take(pa.array(pair // nvocab, type=pa.int64())),
+                "y": enc.dictionary.take(pa.array(pair % nvocab, type=pa.int64())),
+                "partial": pa.array(cnt, type=pa.int64()),
+            }
+        )
+
+    docs = _documents(sf_dir, ["text"])
+    uni = (
+        docs.map_batches(uni_partial, batch_format="pyarrow")
+        .groupby("term")
+        .aggregate(Sum("partial", alias_name="c"))
+    )
+    bg = (
+        docs.map_batches(bg_partial, batch_format="pyarrow")
+        .groupby(["x", "y"])
+        .aggregate(Sum("partial", alias_name="c_xy"))
+    )
+    # corpus totals: tiny scalar aggregates (no materialization)
+    nu = float(uni.sum("c"))
+    bg_rows = []
+    nb = 0
+    for t in bg.iter_batches(batch_format="pyarrow"):
+        nb += int(pc.sum(t["c_xy"]).as_py() or 0)
+        keep = t.filter(pc.greater_equal(t["c_xy"], min_count))
+        if keep.num_rows:
+            bg_rows.append(keep)
+    if not bg_rows:
+        return pd.DataFrame(
+            {"rank": pd.Series([], dtype="int64"), "bigram": pd.Series([], dtype=object),
+             "c_xy": pd.Series([], dtype="int64"), "pmi": pd.Series([], dtype="float64")}
+        )
+    cand = pa.concat_tables(bg_rows)
+    need = set(cand["x"].to_pylist()) | set(cand["y"].to_pylist())
+    uc: dict[str, float] = {}
+    for t in uni.iter_batches(batch_format="pyarrow"):
+        terms = t["term"].to_pylist()
+        cs = t["c"].to_numpy()
+        for term, c in zip(terms, cs):
+            if term in need:
+                uc[term] = float(c)
+    xs = cand["x"].to_pylist()
+    ys = cand["y"].to_pylist()
+    c_xy = cand["c_xy"].to_numpy().astype(np.float64)
+    c_x = np.array([uc[t] for t in xs])
+    c_y = np.array([uc[t] for t in ys])
+    pmi = round6(np.log(((c_xy * nu) * nu) / ((float(nb) * c_x) * c_y)))
+    out = pd.DataFrame(
+        {
+            "bigram": [f"{x} {y}" for x, y in zip(xs, ys)],
+            "c_xy": c_xy.astype(np.int64),
+            "pmi": pmi,
+        }
+    )
+    out = out.sort_values(["pmi", "bigram"], ascending=[False, True], kind="stable")
+    out = out.head(top_n).reset_index(drop=True)
+    out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
+    return out

@@ -134,3 +134,39 @@ def test_vectorized_page_synthesis_byte_identical():
         assert row["url"] == want_url
         assert row["html"] == want_html
         assert extract_title(row["html"]) == row["text"][:TITLE_CHARS]
+
+
+def test_repetition_kernel_matches_scalar():
+    """Vectorized bigram-repetition kernel ≡ a naive per-doc Counter
+    (the scalar-twin policy every batch kernel in the repo follows)."""
+    from collections import Counter
+
+    import pyarrow as pa
+
+    from similaritysearch_jl_ray.functions.rounding import round6
+    from similaritysearch_jl_ray.pipelines.textstats import repetition_batch
+
+    texts = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["text"])["text"].to_pylist()
+    texts = texts[:80] + ["", "one", "a b a b a b", "x x x x x", "solo pair solo pair zz"]
+    batch = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+
+    def naive(text):
+        toks = tokenize(text)
+        bgs = [f"{a} {b}" for a, b in zip(toks, toks[1:])]
+        nb = len(bgs)
+        if nb == 0:
+            return 0, 0.0, 0.0
+        c = Counter(bgs)
+        dup = sum(v for v in c.values() if v > 1)
+        mx = max(c.values())
+        return (
+            nb,
+            float(round6(np.array([dup / nb]))[0]),
+            float(round6(np.array([mx / nb]))[0]),
+        )
+
+    for i, row in enumerate(repetition_batch(batch).to_pylist()):
+        nb, dr, tr = naive(texts[i])
+        assert row["n_bigrams"] == nb, i
+        assert row["dup_bigram_ratio"] == dr, i
+        assert row["top_bigram_ratio"] == tr, i
