@@ -178,6 +178,84 @@ def build_serving_pack(
     }
 
 
+def build_gram_csr(d: np.ndarray, lens: np.ndarray):
+    """Character-trigram → dictionary-index postings as ONE sorted CSR
+    structure ``(kind, gram_keys, offsets, term_idx)`` over the sorted
+    dictionary ``d`` — the sublinear fuzzy-candidate generator (a term
+    within ``e`` edits of a token shares ≥ ``|G(tok)| − 3e`` of its
+    distinct trigrams). ASCII vocabularies build fully vectorized (all
+    windows of the flat byte array pack into u32 keys; (gram, term)
+    pairs dedupe via one ``np.unique``); non-ASCII keeps a Python
+    build behind the same CSR interface (object keys)."""
+    from ..state.segment import _ranges
+
+    n = len(d)
+    try:
+        flat = np.frombuffer(
+            "".join(map(str, d)).encode("ascii"), dtype=np.uint8
+        ).astype(np.uint32)
+        nwin = np.maximum(lens - 2, 0)
+        tot = int(nwin.sum())
+        if tot == 0:
+            return ("ascii", np.empty(0, np.uint32), np.zeros(1, np.int64),
+                    np.empty(0, np.int64))
+        offs = np.zeros(n, dtype=np.int64)
+        np.cumsum(lens[:-1], out=offs[1:])
+        w0 = np.repeat(offs, nwin) + _ranges(nwin)
+        keys = (flat[w0] << np.uint32(16)) | (flat[w0 + 1] << np.uint32(8)) | flat[w0 + 2]
+        term_of = np.repeat(np.arange(n, dtype=np.uint64), nwin)
+        pairs = np.unique((keys.astype(np.uint64) << np.uint64(32)) | term_of)
+        gk = (pairs >> np.uint64(32)).astype(np.uint32)
+        terms_u = (pairs & np.uint64(0xFFFFFFFF)).astype(np.int64)
+        b = np.flatnonzero(np.r_[True, gk[1:] != gk[:-1], True])
+        return ("ascii", gk[b[:-1]], b, terms_u)
+    except UnicodeEncodeError:
+        grams: dict[str, list[int]] = {}
+        for i, t in enumerate(d):
+            t = str(t)
+            for g in {t[j : j + 3] for j in range(len(t) - 2)}:
+                grams.setdefault(g, []).append(i)
+        gk = np.sort(np.asarray(list(grams), dtype=object))
+        offsets = np.zeros(len(gk) + 1, dtype=np.int64)
+        parts = []
+        for j, g in enumerate(gk):
+            parts.append(np.asarray(grams[str(g)], dtype=np.int64))
+            offsets[j + 1] = offsets[j] + len(parts[-1])
+        return ("obj", gk, offsets,
+                np.concatenate(parts) if parts else np.empty(0, np.int64))
+
+
+def build_dict_bytes(d: np.ndarray, lens: np.ndarray):
+    """Flat ASCII byte cache ``(flat, offs)`` of the sorted dictionary
+    (None for non-ASCII) — lets the fuzzy verify gather candidate byte
+    rows by dictionary index instead of joining strings per query."""
+    try:
+        flat = np.frombuffer("".join(map(str, d)).encode("ascii"), dtype=np.uint8)
+    except UnicodeEncodeError:
+        return None
+    offs = np.zeros(len(d), dtype=np.int64)
+    np.cumsum(lens[:-1], out=offs[1:])
+    return (flat, offs)
+
+
+def build_expand_pack(terms) -> dict:
+    """The broadcastable expansion side-pack: sorted-dictionary lens +
+    gram CSR + flat byte cache, derived ONLY from the term set — built
+    once per index state in a Ray task (see ``_pack_ref``) so a wide
+    actor pool maps these arrays zero-copy out of the object store
+    instead of each actor spending the O(vocab) build (~2.7 s at 1M
+    terms) during warm-up. Valid for any scorer whose dictionary is
+    exactly this term set (checked by length in ``_expand_pack``)."""
+    d = np.sort(np.asarray(list(terms), dtype=object))
+    lens = np.fromiter((len(t) for t in d), dtype=np.int64, count=len(d))
+    return {
+        "n_terms": len(d),
+        "lens": lens,
+        "gram": build_gram_csr(d, lens),
+        "dict_bytes": build_dict_bytes(d, lens),
+    }
+
+
 _PACK_CACHE: dict[tuple, object] = {}
 
 
@@ -235,8 +313,19 @@ def _pack_ref(index_dir: str):
         def _part_pack(d: str, p: int) -> dict:
             return build_serving_pack(d, parts=[p])
 
+        @ray.remote
+        def _expand_task(refs: list) -> dict:
+            # one task derives the expansion side-pack (gram CSR + byte
+            # cache) for the whole pool; part packs are read zero-copy
+            parts = ray.get(refs)
+            return build_expand_pack(
+                [t for p in parts for t in p["terms"].keys()]
+            )
+
         part_refs = [_part_pack.remote(index_dir, p) for p in range(num_parts)]
-        ref = _PACK_CACHE[key] = ray.put({"part_refs": part_refs})
+        ref = _PACK_CACHE[key] = ray.put(
+            {"part_refs": part_refs, "expand_ref": _expand_task.remote(part_refs)}
+        )
     return ref
 
 
@@ -263,6 +352,9 @@ def _resolve_pack(pack_ref) -> dict:
     for p in parts:
         for section in ("terms", "blocks", "imp", "dense"):
             merged[section].update(p.get(section, {}))
+    # keep the expansion side-pack as a REF: fetched lazily on the
+    # first expansion query (pure-BM25 pools never block on its task)
+    merged["expand_ref"] = outer.get("expand_ref")
     return merged
 
 
@@ -487,72 +579,58 @@ class Bm25Scorer:
         hi = np.searchsorted(d, stem + "￿", side="left")
         return [str(t) for t in d[lo:hi]]
 
+    def _expand_pack(self) -> dict | None:
+        """The broadcast expansion side-pack (``build_expand_pack``)
+        when this actor serves from a pack whose term set matches its
+        dictionary — fetched lazily (first expansion query) and mapped
+        zero-copy from the object store; None on reader-pinned paths
+        (those derive locally as before). The pack dictionary IS
+        ``sorted(pack['terms'])`` by construction, so a length match
+        proves the arrays align with :meth:`_dictionary`."""
+        d = self._dictionary()
+        cached = getattr(self, "_expand_pack_cache", None)
+        if cached is not None and cached[0] is d:
+            return cached[1]
+        hit = None
+        pack = getattr(self, "pack", None)
+        ref = pack.get("expand_ref") if pack is not None else None
+        if ref is not None:
+            import ray
+
+            exp = ray.get(ref)
+            # valid only while the actor's dictionary is the pack's
+            # term set (tests swap _dict_cache to synthetic vocabs —
+            # the length check rejects those and derives locally)
+            if exp["n_terms"] == len(d) and len(d) == len(pack["terms"]):
+                hit = exp
+        self._expand_pack_cache = (d, hit)
+        return hit
+
     def _dict_lens(self) -> np.ndarray:
         lens = getattr(self, "_dict_lens_cache", None)
         if lens is None:
-            d = self._dictionary()
-            lens = self._dict_lens_cache = np.fromiter(
-                (len(t) for t in d), dtype=np.int64, count=len(d)
-            )
+            exp = self._expand_pack()
+            if exp is not None:
+                lens = exp["lens"]
+            else:
+                d = self._dictionary()
+                lens = np.fromiter((len(t) for t in d), dtype=np.int64, count=len(d))
+            self._dict_lens_cache = lens
         return lens
 
     def _gram_index(self):
-        """Character-trigram → dictionary-index postings as ONE sorted
-        CSR structure ``(kind, gram_keys, offsets, term_idx)``, built
-        once per actor. This is the sublinear candidate generator for
-        fuzzy expansion: a term within ``e`` edits of the query token
-        must share at least ``|G(tok)| − 3e`` of the token's distinct
-        trigrams (one edit touches at most the 3 windows covering it),
-        so counting gram postings replaces the O(vocab) Levenshtein
-        scan per query.
-
-        ASCII vocabularies (the tokenizer's [a-z0-9] alphabet) build
-        fully vectorized: all windows of the flat byte array pack into
-        u32 keys, (gram, term) pairs dedupe via one ``np.unique`` —
-        no per-term Python (at 1M terms the dict-of-lists build this
-        replaces took ~8 s per actor). Non-ASCII vocabularies keep the
-        Python build behind the same CSR interface (object keys)."""
+        """The fuzzy-candidate gram CSR (:func:`build_gram_csr`) —
+        mapped zero-copy from the broadcast expansion side-pack when
+        one matches this actor's dictionary (one build per index state
+        instead of per actor), else derived locally (reader-pinned
+        paths, synthetic-vocab tests)."""
         idx = getattr(self, "_gram_index_cache", None)
         if idx is None:
-            from ..state.segment import _ranges
-
-            d = self._dictionary()
-            lens = self._dict_lens()
-            n = len(d)
-            try:
-                flat = np.frombuffer(
-                    "".join(map(str, d)).encode("ascii"), dtype=np.uint8
-                ).astype(np.uint32)
-                nwin = np.maximum(lens - 2, 0)
-                tot = int(nwin.sum())
-                if tot == 0:
-                    idx = ("ascii", np.empty(0, np.uint32), np.zeros(1, np.int64),
-                           np.empty(0, np.int64))
-                else:
-                    offs = np.zeros(n, dtype=np.int64)
-                    np.cumsum(lens[:-1], out=offs[1:])
-                    w0 = np.repeat(offs, nwin) + _ranges(nwin)
-                    keys = (flat[w0] << np.uint32(16)) | (flat[w0 + 1] << np.uint32(8)) | flat[w0 + 2]
-                    term_of = np.repeat(np.arange(n, dtype=np.uint64), nwin)
-                    pairs = np.unique((keys.astype(np.uint64) << np.uint64(32)) | term_of)
-                    gk = (pairs >> np.uint64(32)).astype(np.uint32)
-                    terms_u = (pairs & np.uint64(0xFFFFFFFF)).astype(np.int64)
-                    b = np.flatnonzero(np.r_[True, gk[1:] != gk[:-1], True])
-                    idx = ("ascii", gk[b[:-1]], b, terms_u)
-            except UnicodeEncodeError:
-                grams: dict[str, list[int]] = {}
-                for i, t in enumerate(d):
-                    t = str(t)
-                    for g in {t[j : j + 3] for j in range(len(t) - 2)}:
-                        grams.setdefault(g, []).append(i)
-                gk = np.sort(np.asarray(list(grams), dtype=object))
-                offsets = np.zeros(len(gk) + 1, dtype=np.int64)
-                parts = []
-                for j, g in enumerate(gk):
-                    parts.append(np.asarray(grams[str(g)], dtype=np.int64))
-                    offsets[j + 1] = offsets[j] + len(parts[-1])
-                idx = ("obj", gk, offsets,
-                       np.concatenate(parts) if parts else np.empty(0, np.int64))
+            exp = self._expand_pack()
+            if exp is not None:
+                idx = exp["gram"]
+            else:
+                idx = build_gram_csr(self._dictionary(), self._dict_lens())
             self._gram_index_cache = idx
         return idx
 
@@ -650,14 +728,11 @@ class Bm25Scorer:
         cached = getattr(self, "_dict_bytes_cache", None)
         if cached is not None and cached[0] is d:
             return cached[1]
-        lens = self._dict_lens()
-        try:
-            flat = np.frombuffer("".join(map(str, d)).encode("ascii"), dtype=np.uint8)
-            offs = np.zeros(len(d), dtype=np.int64)
-            np.cumsum(lens[:-1], out=offs[1:])
-            hit = (flat, offs)
-        except UnicodeEncodeError:
-            hit = None
+        exp = self._expand_pack()
+        if exp is not None:
+            hit = exp["dict_bytes"]
+        else:
+            hit = build_dict_bytes(d, self._dict_lens())
         # keyed by dictionary object identity — tests (and any future
         # dictionary swap) invalidate derived caches by replacing
         # _dict_cache; this one follows automatically

@@ -1126,3 +1126,31 @@ def test_bm25f_per_field_b(ray_session, tmp_path):
     )
     hits0, _, _ = sc0.score_query(REFERENCE_QUERIES[0][1])
     assert hits0  # smoke: still serves
+
+
+def test_expansion_pack_identical_to_local(ray_session, index_dir):
+    """The broadcast expansion side-pack (gram CSR + byte cache built
+    ONCE per index state, mapped zero-copy by the pool) must be
+    indistinguishable from the per-actor local build: same arrays,
+    same fuzzy/prefix/wildcard expansions, same served results."""
+    from similaritysearch_jl_ray.pipelines.query import _pack_ref
+
+    packed = Bm25Scorer(index_dir, k=K, mode="fuzzy", pack_ref=_pack_ref(index_dir))
+    local = Bm25Scorer(index_dir, k=K, mode="fuzzy")
+    exp = packed._expand_pack()
+    assert exp is not None  # the pack path actually engaged
+    assert local._expand_pack() is None  # reader path derives locally
+    gi_p, gi_l = packed._gram_index(), local._gram_index()
+    assert gi_p is exp["gram"]
+    assert gi_l is not gi_p
+    assert gi_p[0] == gi_l[0]
+    for a, b in zip(gi_p[1:], gi_l[1:]):
+        assert np.array_equal(a, b)
+    np.testing.assert_array_equal(packed._dict_lens(), local._dict_lens())
+    db_p, db_l = packed._dict_bytes(), local._dict_bytes()
+    assert np.array_equal(db_p[0], db_l[0]) and np.array_equal(db_p[1], db_l[1])
+    for tok in ["mergw", "dat", "joins", "xyzzy", "value"]:
+        assert packed._expand_fuzzy(tok, 1) == local._expand_fuzzy(tok, 1), tok
+    # served results identical through the public scorer path
+    for q in ["mergw", "valux"]:
+        assert packed._score_query_uncached(q) == local._score_query_uncached(q), q
