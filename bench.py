@@ -69,6 +69,11 @@ def run_bench() -> dict:
     ).count()
 
     # ---- build -----------------------------------------------------------
+    # exact corpus size from parquet metadata → the docmap write folds
+    # into the fused D1 pass (one corpus pass total, no stage A)
+    import pyarrow.parquet as pqm
+
+    n_hint = pqm.read_metadata(f"{sf_dir}/documents.parquet").num_rows * replicate
     t0 = time.perf_counter()
     stats = build_index(
         pages_dataset(sf_dir, replicate=replicate),
@@ -76,6 +81,7 @@ def run_bench() -> dict:
         docmap_ds=pages_dataset(sf_dir, replicate=replicate, with_html=False),
         num_parts=16,  # merge-task parallelism in stage D
         salt_factor=8,  # fixed across scaling levels for comparability
+        n_docs_hint=n_hint,
     )
     build_sec = time.perf_counter() - t0
     n_docs = stats["n_docs"]

@@ -131,6 +131,7 @@ def build_index(
     on_part_complete=None,
     with_positions: bool = True,
     extract_fn=None,
+    n_docs_hint: int | None = None,
 ) -> dict:
     """Build (or resume) the index; returns the stats dict.
 
@@ -155,6 +156,16 @@ def build_index(
     ``stages.tokenize.extract_title_batch`` to index the TITLE field —
     per-field indexes are the multi-field/BM25F serving substrate
     (query.multifield_search).
+
+    ``n_docs_hint`` — the EXACT corpus row count, when the caller
+    knows it (e.g. parquet metadata × replicate). Providing it folds
+    the docmap write into the fused D1 pass (each encode task writes
+    its batch's (doc_id, url, lang) slice alongside encoding), which
+    removes stage A's separate full pass over the pages — the last
+    size-dependent fixed cost of the build. The hint becomes
+    ``stats.n_docs`` (→ avgdl), so it MUST be exact; the build
+    verifies the folded docmap's metadata row count against it and
+    fails loudly on mismatch.
     """
     import time as _time
 
@@ -178,7 +189,11 @@ def build_index(
         _t0 = now
 
     # ---- stage A: doc map (doc_id, url, lang) — projected, no html ------
-    if not _done(docmap_dir):
+    # with an exact n_docs_hint the docmap write FOLDS into the fused
+    # D1 pass instead (one corpus pass total); stage A runs only on
+    # the hint-less path (and as the resume fallback below)
+    fold_docmap = n_docs_hint is not None
+    if not _done(docmap_dir) and not fold_docmap:
         shutil.rmtree(docmap_dir, ignore_errors=True)
         dm = docmap_ds if docmap_ds is not None else pages_ds
         dm.select_columns(["doc_id", "url", "lang"]).write_parquet(
@@ -201,8 +216,13 @@ def build_index(
 
         # metadata-only row count (no Ray job — the old
         # rd.read_parquet().count() plus the two sample map stages were
-        # ~40% of a bench-config build's wall time in job overhead)
-        n_docs = pads.dataset(docmap_dir, format="parquet").count_rows()
+        # ~40% of a bench-config build's wall time in job overhead);
+        # hint mode trusts the caller's exact count (verified against
+        # the folded docmap's metadata after D1)
+        if fold_docmap:
+            n_docs = int(n_docs_hint)
+        else:
+            n_docs = pads.dataset(docmap_dir, format="parquet").count_rows()
         sample_n = int(min(n_docs, 4096))
         df_sketch: Counter = Counter()
         # the sample tokenizes DRIVER-SIDE (4096 docs ≈ 0.2 s of Arrow
@@ -348,10 +368,31 @@ def build_index(
         shutil.rmtree(runs_dir, ignore_errors=True)
         tok = tokenize_batch_positions if with_positions else tokenize_batch
 
+        # folded docmap: D1 tasks write their batch's (doc_id, url,
+        # lang) slice next to encoding — same destination store the
+        # merge tasks write to, so the cluster assumption is unchanged.
+        # Cleared with runs_tmp on any D1 (re)start; marked done (and
+        # row-count-verified against the hint) right after the D1
+        # barrier, so a crash during D2 resumes without rewriting it.
+        side_docmap = fold_docmap and not _done(docmap_dir)
+        if side_docmap:
+            shutil.rmtree(docmap_dir, ignore_errors=True)
+            os.makedirs(docmap_dir, exist_ok=True)
+
         def encode_pages(batch: pa.Table) -> pa.Table:
             ext = extract_fn(batch)
             if ext.num_rows == 0:
                 return pa.Table.from_pylist([], schema=RUN_SCHEMA)
+            if side_docmap:
+                import uuid
+
+                import pyarrow.parquet as pqw
+
+                pqw.write_table(
+                    ext.select(["doc_id", "url", "lang"]),
+                    os.path.join(docmap_dir, f"part-{uuid.uuid4().hex}.parquet"),
+                    compression="zstd",
+                )
             toks = [
                 tok(ext.slice(i, tokenize_batch_size))
                 for i in range(0, ext.num_rows, tokenize_batch_size)
@@ -363,6 +404,16 @@ def build_index(
             pages_ds.map_batches(encode_pages, batch_format="pyarrow", batch_size=None)
             .write_parquet(runs_dir, partition_cols=["part"], compression="zstd")
         )
+        if side_docmap:
+            import pyarrow.dataset as pads
+
+            n_written = pads.dataset(docmap_dir, format="parquet").count_rows()
+            if n_written != int(n_docs_hint):
+                raise IndexBuildError(
+                    f"n_docs_hint={n_docs_hint} but the folded docmap wrote "
+                    f"{n_written} rows — the hint must be the exact corpus size"
+                )
+            _mark_done(docmap_dir)
         _lap("D1_encode_shuffle")
 
         # D2: one merge task per output partition. Arrow-native: the
@@ -497,6 +548,17 @@ def build_index(
                 on_part_complete(meta)
         _lap("D2_merge")
         shutil.rmtree(runs_dir, ignore_errors=True)
+
+    if fold_docmap and not _done(docmap_dir):
+        # resume hole: every part already committed in a previous run
+        # but the folded docmap never completed (crash before the D1
+        # marker) — fall back to the stage-A write
+        shutil.rmtree(docmap_dir, ignore_errors=True)
+        dm = docmap_ds if docmap_ds is not None else pages_ds
+        dm.select_columns(["doc_id", "url", "lang"]).write_parquet(
+            docmap_dir, compression="zstd"
+        )
+        _mark_done(docmap_dir)
 
     # ---- stage E: finalize EXACT global stats from merge metadata -------
     if not os.path.exists(stats_path):

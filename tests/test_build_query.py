@@ -1154,3 +1154,28 @@ def test_expansion_pack_identical_to_local(ray_session, index_dir):
     # served results identical through the public scorer path
     for q in ["mergw", "valux"]:
         assert packed._score_query_uncached(q) == local._score_query_uncached(q), q
+
+
+def test_build_with_n_docs_hint_identical(ray_session, tmp_path):
+    """n_docs_hint folds the docmap write into D1 (one corpus pass) —
+    stats and docmap content must be identical to the stage-A path,
+    and a wrong hint must fail loudly (it would corrupt avgdl)."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pqm
+    import pytest as _pytest
+
+    from similaritysearch_jl_ray.pipelines.build_index import IndexBuildError, build_index
+    from similaritysearch_jl_ray.sources.pages import pages_dataset
+
+    sfd = "/root/testdata/sf0.001"
+    a, b = str(tmp_path / "idx_a"), str(tmp_path / "idx_b")
+    s1 = build_index(pages_dataset(sfd), a, num_parts=4)
+    n = pqm.read_metadata(f"{sfd}/documents.parquet").num_rows
+    s2 = build_index(pages_dataset(sfd), b, num_parts=4, n_docs_hint=n)
+    drop = lambda s: {k: v for k, v in s.items() if k != "build_timings"}
+    assert drop(s1) == drop(s2)
+    ta = pads.dataset(f"{a}/docmap", format="parquet").to_table().sort_by("doc_id")
+    tb = pads.dataset(f"{b}/docmap", format="parquet").to_table().sort_by("doc_id")
+    assert ta.select(sorted(ta.column_names)).equals(tb.select(sorted(ta.column_names)))
+    with _pytest.raises(IndexBuildError):
+        build_index(pages_dataset(sfd), str(tmp_path / "idx_c"), num_parts=4, n_docs_hint=n + 1)
