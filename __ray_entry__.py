@@ -62,12 +62,12 @@ _BM25_SUM = f"""sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
 
 def _bm25_sql(
     doc_join: str = "", conjunctive: bool = False, docs_src: str = "documents",
-    k: int | None = None,
+    k: int | None = None, min_match: int | None = None,
 ) -> str:
     having = (
         "HAVING count(*) = (SELECT count(*) FROM q q2 WHERE q2.query_id = q.query_id)"
         if conjunctive
-        else ""
+        else (f"HAVING count(*) >= {min_match}" if min_match else "")
     )
     return f"""
 WITH {_tok_ctes(docs_src)},
@@ -1166,6 +1166,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_sharded": _bm25_sharded,
         "index_export": _index_export,
         "bm25_topk_and": lambda sf: _bm25_query(sf, "and"),
+        # Lucene minimumShouldMatch: docs matching ≥2 distinct query
+        # terms rank by the plain BM25 disjunction (scorer default m=2)
+        "bm25_topk_msm": lambda sf: _bm25_query(sf, "msm"),
         "bm25_topk_lang_en": lambda sf: _bm25_query(sf, "wand", lang="en"),
         "bm25_topk_phrase": _bm25_phrase,
         "bm25_topk_fields": _bm25_fields,
@@ -1196,6 +1199,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # -- dedup suite (SURVEY §2.6 neardup + task brief) ---------------
         "exact_dedup": dedup.exact_dedup,
         "url_dedup": dedup.url_dedup,
+        "window_dedup": lambda sf: dedup.window_dedup(sf, window=3),
         # max_df=None pins the EXACT mode (matches the SQL oracle); the
         # library default is the bounded production path
         "ngram_jaccard_pairs": lambda sf: dedup.ngram_jaccard_pairs(
@@ -1349,6 +1353,7 @@ SELECT tf.term, tf.doc_id, tf.tf, dl.dl
 FROM tf JOIN dl ON dl.doc_id = tf.doc_id
 """,
         "bm25_topk_and": _bm25_sql(conjunctive=True),
+        "bm25_topk_msm": _bm25_sql(min_match=2),
         "bm25_topk_lang_en": _bm25_sql(
             doc_join="JOIN documents dd ON dd.doc_id = tf.doc_id AND dd.lang = 'en'"
         ),
@@ -1407,6 +1412,17 @@ ORDER BY doc_id, term
             "SELECT min(doc_id)::BIGINT AS keeper_doc_id, count(*)::BIGINT AS group_size"
             " FROM documents GROUP BY text"
         ),
+        "window_dedup": f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+w AS (
+  SELECT doc_id,
+         unnest(list_transform(range(0, (len(toks) // 3)::BIGINT),
+                i -> array_to_string(toks[(i*3+1)::INT : (i*3+3)::INT], ' '))) AS win
+  FROM t
+)
+SELECT win, count(*)::BIGINT AS n_occurrences, min(doc_id)::BIGINT AS keeper_doc_id
+FROM w GROUP BY win HAVING count(*) >= 2
+""",
         # url_dedup: the noisy-variant synthesis + canonicalization
         # contract is shared VERBATIM with pipelines/dedup.url_dedup
         "url_dedup": r"""

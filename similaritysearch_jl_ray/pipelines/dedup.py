@@ -54,6 +54,7 @@ from ..functions.text import flat_tokens, tokenize
 __all__ = [
     "exact_dedup",
     "url_dedup",
+    "window_dedup",
     "ngram_jaccard_pairs",
     "minhash_lsh_pairs",
     "simhash_pairs",
@@ -247,6 +248,73 @@ def url_dedup(sf_dir: str):
             Count(alias_name="n_dups"),
         )
         .map_batches(rename, batch_format="pyarrow")
+    )
+
+
+def window_dedup(sf_dir: str, window: int = 3):
+    """Fixed-token-window exact duplication detection (the Lee et al.
+    2022 "Deduplicating Training Data Makes Language Models Better"
+    substring-dedup family, on non-overlapping token windows):
+    (win, n_occurrences, keeper_doc_id) for every ``window``-token
+    window occurring more than once in the corpus; keeper = min doc_id
+    of an occurrence. Tail tokens (< window) never form a window.
+
+    Vectorized window build: one ``flat_tokens`` pass, a mask keeps
+    only tokens inside full windows, then windows ARE uniform
+    ``window``-strides of the filtered flat array — one
+    ``ListArray.from_arrays`` + ``binary_join`` builds every window
+    string with no per-doc Python. The shuffle is exact_dedup's shape
+    (window key + doc_id, native Min/Count aggregates); at 100 TB the
+    key would be its 128-bit hash — kept raw so the oracle can group
+    by the visible window text.
+    """
+    import pyarrow.compute as pc
+    import ray.data as rd
+    from ray.data.aggregate import Count, Min
+
+    def win_rows(batch: pa.Table) -> pa.Table:
+        _, doc_of, toks = flat_tokens(batch["text"])
+        nrows = batch.num_rows
+        dls = np.bincount(doc_of, minlength=nrows)
+        n_win = dls // window
+        if int(n_win.sum()) == 0:
+            return pa.table(
+                {"win": pa.array([], type=pa.string()), "doc_id": pa.array([], type=_I64)}
+            )
+        # position of each token within its doc, vectorized
+        starts = np.zeros(nrows, dtype=np.int64)
+        np.cumsum(dls[:-1], out=starts[1:])
+        pos_in_doc = np.arange(len(doc_of), dtype=np.int64) - starts[doc_of]
+        keep = pos_in_doc < n_win[doc_of] * window
+        kept = toks.filter(pa.array(keep))
+        offsets = pa.array(
+            np.arange(0, len(kept) + 1, window, dtype=np.int32), type=pa.int32()
+        )
+        wins = pc.binary_join(
+            pa.ListArray.from_arrays(offsets, kept), " "
+        )
+        win_doc = np.repeat(batch["doc_id"].to_numpy(), n_win)
+        return pa.table({"win": wins, "doc_id": pa.array(win_doc, type=_I64)})
+
+    def finish(batch: pa.Table) -> pa.Table:
+        batch = batch.filter(pc.greater_equal(batch["n_occurrences"], 2))
+        return pa.table(
+            {
+                "win": batch["win"],
+                "n_occurrences": batch["n_occurrences"].cast(_I64),
+                "keeper_doc_id": batch["keeper_doc_id"],
+            }
+        )
+
+    return (
+        _documents(sf_dir)
+        .map_batches(win_rows, batch_format="pyarrow")
+        .groupby("win")
+        .aggregate(
+            Count(alias_name="n_occurrences"),
+            Min("doc_id", alias_name="keeper_doc_id"),
+        )
+        .map_batches(finish, batch_format="pyarrow")
     )
 
 

@@ -440,6 +440,7 @@ class Bm25Scorer:
         doc_range: tuple[int, int] | None = None,
         lang: str | None = None,
         cache_size: int = 0,
+        msm: int = 2,
     ):
         # opt-in per-actor results LRU (text → result). Real query
         # traffic is heavily repeated; OFF by default so benchmarks
@@ -494,6 +495,7 @@ class Bm25Scorer:
         self.stats = st
         self.k = k
         self.mode = mode
+        self.msm = msm  # minimum-should-match threshold (mode="msm")
         self.params = params or Bm25Params(k1=st["k1"], b=st["b"])
         self.prefix0 = prefix0  # initial impact-prefix depth (see _score_wand)
         self.heap = TopK(k)  # reused across queries (reference `reuse!`)
@@ -901,6 +903,11 @@ class Bm25Scorer:
             if not all_terms or len(terms) < len(all_terms):
                 return [], 0, 0  # conjunctive: an unknown term matches nothing
             return self._score_and(terms)
+        if self.mode == "msm":
+            terms = self._query_terms(text)
+            if not terms:
+                return [], 0, 0
+            return self._score_msm(terms, self.msm)
         terms = self._query_terms(text)
         if not terms:
             return [], 0, 0
@@ -1082,6 +1089,24 @@ class Bm25Scorer:
                 int(sum(len(i) for i in ids_l)),
                 len(terms),
             )
+        if mode == "msm":
+            terms = self._query_terms(text)
+            if not terms:
+                return None
+            ids_l, part_l = [], []
+            for t in terms:
+                ids, partial = self._term_arrays(t)
+                ids_l.append(ids)
+                part_l.append(partial)
+            uniq, scores = _accumulate(ids_l, part_l)
+            _, counts = _accumulate(ids_l, [np.ones(len(i)) for i in ids_l])
+            mask = counts >= float(self.msm)
+            return (
+                uniq[mask],
+                scores[mask],
+                int(sum(len(i) for i in ids_l)),
+                len(terms),
+            )
         # exhaustive / wand (bit-identical contract)
         terms = self._query_terms(text)
         if not terms:
@@ -1187,6 +1212,30 @@ class Bm25Scorer:
             [(int(uniq[j]), float(scores[j])) for j in idx],
             int(npost),
             int(len(pairs)),
+        )
+
+    def _score_msm(self, terms, m: int):
+        """Minimum-should-match (Lucene ``minimumShouldMatch``): only
+        docs containing at least ``m`` DISTINCT query terms score;
+        ranking is the standard BM25 disjunction over the matched
+        terms. Unknown terms simply cannot match (they lower a doc's
+        achievable count, never the threshold) — exactly Lucene's
+        SHOULD-clause counting. Same presence-count kernel as
+        :meth:`_score_and` (the m == len(terms) special case)."""
+        ids_l, part_l = [], []
+        for t in terms:
+            ids, partial = self._term_arrays(t)
+            ids_l.append(ids)
+            part_l.append(partial)
+        uniq, scores = _accumulate(ids_l, part_l)
+        _, counts = _accumulate(ids_l, [np.ones(len(i)) for i in ids_l])
+        mask = counts >= float(m)
+        uniq, scores = uniq[mask], scores[mask]
+        idx = topk_indices(scores, uniq, self.k)
+        return (
+            [(int(uniq[j]), float(scores[j])) for j in idx],
+            int(sum(len(i) for i in ids_l)),
+            int(len(terms)),
         )
 
     def _score_and(self, terms):
@@ -2135,6 +2184,7 @@ def search(
     broadcast: bool | None = None,
     lang: str | None = None,
     cache_size: int = 0,
+    msm: int | None = None,
 ):
     """queries (query_id, text) → results Dataset (long format).
 
@@ -2166,6 +2216,7 @@ def search(
                 batch_size=batch_size,
                 lang=lang,
                 cache_size=cache_size,
+                msm=msm,
             )
         broadcast = True
     if mode in ("phrase", "near"):
@@ -2180,6 +2231,8 @@ def search(
         kwargs["cache_size"] = cache_size
     if lang is not None:
         kwargs["lang"] = lang
+    if msm is not None:
+        kwargs["msm"] = msm
     if broadcast:
         kwargs["pack_ref"] = _pack_ref(index_dir)
     return queries_ds.map_batches(
@@ -2218,6 +2271,7 @@ def sharded_search(
     num_cpus: float | None = None,
     lang: str | None = None,
     cache_size: int = 0,
+    msm: int | None = None,
 ):
     """Doc-sharded serving — the default large-index path (SURVEY.md
     §7): one actor pool per doc-id shard, each actor constructed with
@@ -2256,6 +2310,10 @@ def sharded_search(
                     "doc_range": (lo, hi),
                     **({"lang": lang} if lang is not None else {}),
                     **({"cache_size": cache_size} if cache_size else {}),
+                    # valid under sharding: a doc's postings live
+                    # entirely in its shard, so presence counts are
+                    # complete per shard
+                    **({"msm": msm} if msm is not None else {}),
                 },
                 batch_format="pyarrow",
                 batch_size=batch_size,

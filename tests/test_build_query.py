@@ -1179,3 +1179,27 @@ def test_build_with_n_docs_hint_identical(ray_session, tmp_path):
     assert ta.select(sorted(ta.column_names)).equals(tb.select(sorted(ta.column_names)))
     with _pytest.raises(IndexBuildError):
         build_index(pages_dataset(sfd), str(tmp_path / "idx_c"), num_parts=4, n_docs_hint=n + 1)
+
+
+def test_msm_mode_matches_filtered_brute_force(index_dir):
+    """mode="msm" (Lucene minimumShouldMatch): result == the full
+    brute-force ranking filtered to docs matching ≥ m distinct query
+    terms, then cut to k — ids AND scores."""
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    doc_terms = {d: set(tokenize(x)) for d, x in texts.items()}
+    full = brute_force_topk(texts, REFERENCE_QUERIES, k=len(texts))
+    for m in (2, 3):
+        sc = Bm25Scorer(index_dir, k=K, mode="msm", msm=m)
+        for qid, text in REFERENCE_QUERIES:
+            qterms = set(tokenize(text))
+            want = [
+                (d, s)
+                for q, _, d, s in full
+                if q == qid and len(qterms & doc_terms[d]) >= m
+            ][:K]
+            got = sc.score_query(text)[0]
+            assert [d for d, _ in got] == [d for d, _ in want], (qid, m)
+            np.testing.assert_allclose(
+                [s for _, s in got], [s for _, s in want], rtol=1e-12, atol=1e-12
+            )
