@@ -94,6 +94,51 @@ ORDER BY query_id, rank
 """
 
 
+def _synonym_sql() -> str:
+    """SQL twin of ``mode="synonym"`` (queryset.SYNONYM_GROUPS):
+    canon-merge the tf table (tf sums per (doc, canon)), df = rows of
+    the merged table per canon (= |union of member docs|), and map
+    query terms through the same canon — the relational restatement
+    of an index-time merge of each synonym group."""
+    from similaritysearch_jl_ray.pipelines.queryset import synonyms_values_sql
+
+    return f"""
+WITH {_TOK_CTES},
+syn AS (SELECT * FROM {synonyms_values_sql()}),
+tfc AS (
+  SELECT tf.doc_id, coalesce(s.canon, tf.term) AS term, sum(tf.tf)::BIGINT AS tf
+  FROM tf LEFT JOIN syn s ON s.term = tf.term
+  GROUP BY tf.doc_id, coalesce(s.canon, tf.term)
+),
+dfc AS (SELECT term, count(*)::BIGINT AS df FROM tfc GROUP BY term),
+q0 AS (SELECT * FROM {_queries_sql()}),
+qc AS (
+  SELECT DISTINCT query_id, coalesce(s.canon, q0.term) AS term
+  FROM q0 LEFT JOIN syn s ON s.term = q0.term
+),
+scores AS (
+  SELECT qc.query_id, tfc.doc_id,
+         sum( ln(1 + (s.n - dfc.df + 0.5) / (dfc.df + 0.5))
+              * tfc.tf * ({_K1} + 1)
+              / (tfc.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / s.avgdl)) ) AS fscore
+  FROM qc
+  JOIN tfc ON tfc.term = qc.term
+  JOIN dfc ON dfc.term = qc.term
+  JOIN dl ON dl.doc_id = tfc.doc_id
+  CROSS JOIN stats s
+  GROUP BY qc.query_id, tfc.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, fscore,
+         row_number() OVER (PARTITION BY query_id ORDER BY fscore DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(fscore, {_ROUND}) AS score
+FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
 def _field_scores_subquery(docs_src: str) -> str:
     """Per-field (query_id, doc_id, fscore) as a self-contained nested
     WITH — per-field N/avgdl/df come from the field's own text, same
@@ -228,6 +273,16 @@ def _bm25_query(sf_dir: str, mode: str, lang: str | None = None):
     )
     res["score"] = round6(res["score"].to_numpy())
     return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _match_counts(sf_dir: str):
+    from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index
+    from similaritysearch_jl_ray.pipelines.query import match_counts
+    from similaritysearch_jl_ray.pipelines.queryset import queries_dataset
+
+    index_dir = ensure_index(sf_dir)
+    res = match_counts(queries_dataset(), index_dir, concurrency=2).to_pandas()
+    return res.sort_values("query_id").reset_index(drop=True)
 
 
 def _bm25_expanded(sf_dir: str, mode: str):
@@ -1169,6 +1224,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Lucene minimumShouldMatch: docs matching ≥2 distinct query
         # terms rank by the plain BM25 disjunction (scorer default m=2)
         "bm25_topk_msm": lambda sf: _bm25_query(sf, "msm"),
+        # Lucene SynonymQuery (index-merged semantics): synonym groups
+        # score as ONE pseudo-term — tf sums, df = |union|; the map is
+        # queryset.SYNONYM_GROUPS, mirrored SQL-side as a VALUES join
+        "bm25_topk_synonym": lambda sf: _bm25_query(sf, "synonym"),
+        # Lucene TotalHitCountCollector: full match-set cardinality
+        "match_counts": _match_counts,
         "bm25_topk_lang_en": lambda sf: _bm25_query(sf, "wand", lang="en"),
         "bm25_topk_phrase": _bm25_phrase,
         "bm25_topk_fields": _bm25_fields,
@@ -1354,6 +1415,14 @@ FROM tf JOIN dl ON dl.doc_id = tf.doc_id
 """,
         "bm25_topk_and": _bm25_sql(conjunctive=True),
         "bm25_topk_msm": _bm25_sql(min_match=2),
+        "bm25_topk_synonym": _synonym_sql(),
+        "match_counts": f"""
+WITH {_TOK_CTES},
+q AS (SELECT * FROM {_queries_sql()})
+SELECT q.query_id, count(DISTINCT tf.doc_id)::BIGINT AS n_matches
+FROM q LEFT JOIN tf ON tf.term = q.term
+GROUP BY q.query_id
+""",
         "bm25_topk_lang_en": _bm25_sql(
             doc_join="JOIN documents dd ON dd.doc_id = tf.doc_id AND dd.lang = 'en'"
         ),

@@ -908,6 +908,8 @@ class Bm25Scorer:
             if not terms:
                 return [], 0, 0
             return self._score_msm(terms, self.msm)
+        if self.mode == "synonym":
+            return self._score_synonym(text)
         terms = self._query_terms(text)
         if not terms:
             return [], 0, 0
@@ -1107,6 +1109,8 @@ class Bm25Scorer:
                 int(sum(len(i) for i in ids_l)),
                 len(terms),
             )
+        if mode == "synonym":
+            return self._synonym_accumulate(text)
         # exhaustive / wand (bit-identical contract)
         terms = self._query_terms(text)
         if not terms:
@@ -1212,6 +1216,89 @@ class Bm25Scorer:
             [(int(uniq[j]), float(scores[j])) for j in idx],
             int(npost),
             int(len(pairs)),
+        )
+
+    def _synonym_accumulate(self, text: str):
+        """(uniq_doc_ids, scores, npost, ngroups) for a query under
+        SynonymQuery index-merged semantics, or None for an empty
+        match set: each synonym GROUP behaves as one pseudo-term —
+        member postings merge by doc (tf sums; a doc's dl is the same
+        across members), df = |union of member docs| (what an
+        index-time merge of the terms would have produced), idf from
+        that df. Non-synonym terms score unchanged, and a query term
+        expands to its whole group (querying 'slow' scores 'fast'
+        docs too — Lucene SynonymQuery).
+
+        Reader path only: packs ship idf·tf_norm PARTIALS, which
+        cannot be un-saturated into the merged tf; ``search(mode=
+        "synonym")`` routes broadcast=False exactly like the
+        positional modes. df must be global, so doc-sharded actors
+        (doc_range) raise rather than derive a shard-local df."""
+        from .queryset import SYNONYM_CANON, SYNONYM_MEMBERS
+
+        if self.reader is None:
+            raise ValueError("synonym mode needs broadcast=False (reader-backed actors)")
+        if self.doc_range is not None:
+            raise ValueError(
+                "synonym mode does not compose with doc sharding (the merged "
+                "pseudo-term's df must be global)"
+            )
+        canons = sorted(
+            {SYNONYM_CANON.get(t, t) for t in tokenize(text)}
+        )
+        ids_l, part_l = [], []
+        npost = 0
+        for canon in canons:
+            members = SYNONYM_MEMBERS.get(canon, (canon,))
+            parts = [
+                self.reader.postings_cached(m) for m in members if m in self.reader
+            ]
+            if not parts:
+                continue
+            if len(parts) == 1:
+                ids, tfs, dls = parts[0]
+            else:
+                ids = np.concatenate([p[0] for p in parts])
+                tfs = np.concatenate([p[1] for p in parts])
+                dls = np.concatenate([p[2] for p in parts])
+                o = np.argsort(ids, kind="stable")
+                ids, tfs, dls = ids[o], tfs[o], dls[o]
+                b = np.flatnonzero(np.r_[True, ids[1:] != ids[:-1], True])
+                ids = ids[b[:-1]]
+                tfs = np.add.reduceat(tfs, b[:-1])
+                dls = dls[b[:-1]]
+            from ..functions.bm25 import idf as _idf
+
+            partial = float(_idf(len(ids), self.reader.n_docs)) * tf_norm(
+                tfs, dls, self.reader.avgdl, self.params
+            )
+            # visibility masks AFTER df/idf (Lucene live-docs: stats
+            # stay global until purge — same order as _term_arrays)
+            if self._allowed is not None and len(ids):
+                _, keep = in_sorted(self._allowed, ids)
+                ids, partial = ids[keep], partial[keep]
+            if self._deleted is not None and len(ids):
+                _, drop = in_sorted(self._deleted, ids)
+                if drop.any():
+                    ids, partial = ids[~drop], partial[~drop]
+            ids_l.append(ids)
+            part_l.append(partial)
+            npost += len(ids)
+        if not ids_l:
+            return None
+        uniq, scores = _accumulate(ids_l, part_l)
+        return uniq, scores, npost, len(ids_l)
+
+    def _score_synonym(self, text: str):
+        acc = self._synonym_accumulate(text)
+        if acc is None:
+            return [], 0, 0
+        uniq, scores, npost, ngroups = acc
+        idx = topk_indices(scores, uniq, self.k)
+        return (
+            [(int(uniq[j]), float(scores[j])) for j in idx],
+            int(npost),
+            int(ngroups),
         )
 
     def _score_msm(self, terms, m: int):
@@ -2200,7 +2287,7 @@ def search(
     ``mode="phrase"`` / ``mode="near"`` (positional modes) always use the
     reader path — the positions sidecar is decoded per actor, never
     broadcast."""
-    if broadcast is None and mode not in ("phrase", "near"):
+    if broadcast is None and mode not in ("phrase", "near", "synonym"):
         from ..config import BROADCAST_PACK_BUDGET_BYTES
 
         est = estimated_pack_bytes(index_dir)
@@ -2219,9 +2306,10 @@ def search(
                 msm=msm,
             )
         broadcast = True
-    if mode in ("phrase", "near"):
-        # positional modes: the positions sidecar is decoded per actor
-        # (reader path), never broadcast
+    if mode in ("phrase", "near", "synonym"):
+        # positional modes decode the positions sidecar per actor;
+        # synonym merging needs raw tf (packs ship saturated partials)
+        # — all three force the reader path
         broadcast = False
     # index_dir always rides along (even with a broadcast pack): the
     # actor reads sidecar state — docmap lang filters, tombstones —
@@ -2237,6 +2325,56 @@ def search(
         kwargs["pack_ref"] = _pack_ref(index_dir)
     return queries_ds.map_batches(
         Bm25Scorer,
+        fn_constructor_kwargs=kwargs,
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class MatchCounter:
+    """Actor: per-query match cardinality (Lucene's
+    TotalHitCountCollector) — the full disjunction match set's size
+    with no top-k cut, counted from the same `_full_hits` kernel the
+    cursor path uses (so count and pagination agree by construction)."""
+
+    def __init__(self, index_dir: str, lang: str | None = None):
+        kwargs = {"k": 1, "mode": "exhaustive"}
+        if lang is not None:
+            kwargs["lang"] = lang
+        self.sc = Bm25Scorer(index_dir, **kwargs)
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ns = []
+        for t in batch["text"].to_pylist():
+            hits = self.sc._full_hits(str(t))
+            ns.append(0 if hits is None else int(len(hits[0])))
+        return pa.table(
+            {
+                "query_id": batch["query_id"].cast(pa.int64()),
+                "n_matches": pa.array(ns, type=pa.int64()),
+            }
+        )
+
+
+def match_counts(
+    queries_ds,
+    index_dir: str,
+    *,
+    concurrency: int | tuple = 2,
+    batch_size: int = 256,
+    lang: str | None = None,
+):
+    """queries (query_id, text) → (query_id, n_matches): how many docs
+    match the disjunction at all — the count query every search UI
+    issues next to the top-k. Streams exactly like :func:`search`
+    (actor pool over query batches; per-query work is the vectorized
+    accumulate, counting adds nothing to the shuffle)."""
+    kwargs: dict = {"index_dir": index_dir}
+    if lang is not None:
+        kwargs["lang"] = lang
+    return queries_ds.map_batches(
+        MatchCounter,
         fn_constructor_kwargs=kwargs,
         batch_format="pyarrow",
         batch_size=batch_size,

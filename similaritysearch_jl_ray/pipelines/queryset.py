@@ -10,7 +10,15 @@ contract, so dedup/casing behave identically.
 
 from __future__ import annotations
 
-__all__ = ["REFERENCE_QUERIES", "queries_dataset", "queries_values_sql"]
+__all__ = [
+    "REFERENCE_QUERIES",
+    "queries_dataset",
+    "queries_values_sql",
+    "SYNONYM_GROUPS",
+    "SYNONYM_CANON",
+    "SYNONYM_MEMBERS",
+    "synonyms_values_sql",
+]
 
 from ..functions.text import tokenize
 
@@ -43,6 +51,25 @@ def queries_dataset():
     import ray.data as rd
 
     return rd.from_items([{"query_id": qid, "text": t} for qid, t in REFERENCE_QUERIES])
+
+
+# Fixed synonym groups for mode="synonym" (Lucene SynonymQuery with
+# index-merged semantics: members behave as ONE pseudo-term — tf sums,
+# df = |union of docs|). The fixture vocabulary is a closed word list,
+# so the groups are arbitrary in-vocab pairs; the CONTRACT (merge
+# rule), not the lexicography, is what the oracle proves.
+SYNONYM_GROUPS: list[tuple[str, ...]] = [("fast", "slow"), ("big", "small")]
+SYNONYM_CANON: dict[str, str] = {t: g[0] for g in SYNONYM_GROUPS for t in g}
+SYNONYM_MEMBERS: dict[str, tuple[str, ...]] = {g[0]: g for g in SYNONYM_GROUPS}
+
+
+def synonyms_values_sql() -> str:
+    """``(term, canon)`` VALUES list of the synonym map — the SQL twin
+    of ``SYNONYM_CANON`` (canon = first member of the group)."""
+    pairs = ", ".join(
+        f"('{t}', '{c}')" for t, c in sorted(SYNONYM_CANON.items())
+    )
+    return f"(VALUES {pairs}) AS syn(term, canon)"
 
 
 def queries_values_sql() -> str:

@@ -1203,3 +1203,50 @@ def test_msm_mode_matches_filtered_brute_force(index_dir):
             np.testing.assert_allclose(
                 [s for _, s in got], [s for _, s in want], rtol=1e-12, atol=1e-12
             )
+
+
+def test_synonym_mode_matches_scalar_merge(index_dir):
+    """mode="synonym" == a scalar reimplementation of the index-merged
+    contract (tf sums across group members, df = |union|, query terms
+    expand to their group) — ids AND scores."""
+    from collections import Counter
+
+    from similaritysearch_jl_ray.functions.bm25 import idf as _idf, tf_norm
+    from similaritysearch_jl_ray.functions.topk import TopK
+    from similaritysearch_jl_ray.pipelines.queryset import SYNONYM_CANON, SYNONYM_MEMBERS
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    n_docs = len(texts)
+    dl = {d: len(tokenize(x)) for d, x in texts.items()}
+    avgdl = sum(dl.values()) / n_docs
+    tf: dict[str, dict[int, int]] = {}
+    for d, x in texts.items():
+        for term, c in Counter(tokenize(x)).items():
+            tf.setdefault(term, {})[d] = c
+
+    sc = Bm25Scorer(index_dir, k=K, mode="synonym")
+    for qid, text in REFERENCE_QUERIES:
+        canons = sorted({SYNONYM_CANON.get(x, x) for x in tokenize(text)})
+        scores: dict[int, float] = {}
+        for canon in canons:
+            merged: dict[int, int] = {}
+            for mth in SYNONYM_MEMBERS.get(canon, (canon,)):
+                for d, c in tf.get(mth, {}).items():
+                    merged[d] = merged.get(d, 0) + c
+            if not merged:
+                continue
+            w = float(_idf(len(merged), n_docs))
+            for d in sorted(merged):  # doc order, term-major like the engine
+                scores[d] = scores.get(d, 0.0) + w * float(
+                    tf_norm(np.array([merged[d]]), np.array([dl[d]]), avgdl)[0]
+                )
+        heap = TopK(K)
+        for d in sorted(scores):
+            heap.push_score(scores[d], d)
+        want = heap.result()
+        got = sc.score_query(text)[0]
+        assert [d for d, _ in got] == [d for d, _ in want], qid
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in want], rtol=1e-12, atol=1e-12
+        )
