@@ -251,50 +251,36 @@ def url_dedup(sf_dir: str):
     )
 
 
-def window_dedup(sf_dir: str, window: int = 3):
+def window_dedup(sf_dir: str, window: int = 3, stride: int | None = None):
     """Fixed-token-window exact duplication detection (the Lee et al.
     2022 "Deduplicating Training Data Makes Language Models Better"
-    substring-dedup family, on non-overlapping token windows):
-    (win, n_occurrences, keeper_doc_id) for every ``window``-token
-    window occurring more than once in the corpus; keeper = min doc_id
-    of an occurrence. Tail tokens (< window) never form a window.
+    substring-dedup family): (win, n_occurrences, keeper_doc_id) for
+    every ``window``-token window occurring more than once in the
+    corpus; keeper = min doc_id of an occurrence. ``stride`` (default
+    ``window`` — non-overlapping tiling, the driver-oracled config)
+    < window slides overlapping windows, catching duplicated spans at
+    any alignment offset < stride. Tails (< window tokens past the
+    last start) never form a window.
 
-    Vectorized window build: one ``flat_tokens`` pass, a mask keeps
-    only tokens inside full windows, then windows ARE uniform
-    ``window``-strides of the filtered flat array — one
-    ``ListArray.from_arrays`` + ``binary_join`` builds every window
-    string with no per-doc Python. The shuffle is exact_dedup's shape
-    (window key + doc_id, native Min/Count aggregates); at 100 TB the
-    key would be its 128-bit hash — kept raw so the oracle can group
-    by the visible window text.
+    Vectorized window build: one ``flat_tokens`` pass; window-start
+    token indices derive from per-doc offsets (repeat + arange), one
+    Arrow ``take`` gathers every window's tokens, and a uniform-stride
+    ``ListArray.from_arrays`` + ``binary_join`` builds the strings —
+    no per-doc Python. The shuffle is exact_dedup's shape (window key
+    + doc_id, native Min/Count aggregates); at 100 TB the key would be
+    its 128-bit hash — kept raw so the oracle can group by the
+    visible window text.
     """
     import pyarrow.compute as pc
     import ray.data as rd
     from ray.data.aggregate import Count, Min
 
+    s = window if stride is None else int(stride)
+    if s < 1:
+        raise ValueError("stride must be >= 1")
+
     def win_rows(batch: pa.Table) -> pa.Table:
-        _, doc_of, toks = flat_tokens(batch["text"])
-        nrows = batch.num_rows
-        dls = np.bincount(doc_of, minlength=nrows)
-        n_win = dls // window
-        if int(n_win.sum()) == 0:
-            return pa.table(
-                {"win": pa.array([], type=pa.string()), "doc_id": pa.array([], type=_I64)}
-            )
-        # position of each token within its doc, vectorized
-        starts = np.zeros(nrows, dtype=np.int64)
-        np.cumsum(dls[:-1], out=starts[1:])
-        pos_in_doc = np.arange(len(doc_of), dtype=np.int64) - starts[doc_of]
-        keep = pos_in_doc < n_win[doc_of] * window
-        kept = toks.filter(pa.array(keep))
-        offsets = pa.array(
-            np.arange(0, len(kept) + 1, window, dtype=np.int32), type=pa.int32()
-        )
-        wins = pc.binary_join(
-            pa.ListArray.from_arrays(offsets, kept), " "
-        )
-        win_doc = np.repeat(batch["doc_id"].to_numpy(), n_win)
-        return pa.table({"win": wins, "doc_id": pa.array(win_doc, type=_I64)})
+        return window_rows_batch(batch, window, s)
 
     def finish(batch: pa.Table) -> pa.Table:
         batch = batch.filter(pc.greater_equal(batch["n_occurrences"], 2))
@@ -315,6 +301,45 @@ def window_dedup(sf_dir: str, window: int = 3):
             Min("doc_id", alias_name="keeper_doc_id"),
         )
         .map_batches(finish, batch_format="pyarrow")
+    )
+
+
+def window_rows_batch(batch: pa.Table, window: int, stride: int) -> pa.Table:
+    """(win, doc_id) rows of a batch — the :func:`window_dedup` kernel
+    (module-level for the scalar-twin test)."""
+    import pyarrow.compute as pc
+
+    _, doc_of, toks = flat_tokens(batch["text"])
+    nrows = batch.num_rows
+    dls = np.bincount(doc_of, minlength=nrows)
+    n_win = np.where(dls >= window, (dls - window) // stride + 1, 0).astype(np.int64)
+    total = int(n_win.sum())
+    if total == 0:
+        return pa.table(
+            {"win": pa.array([], type=pa.string()), "doc_id": pa.array([], type=_I64)}
+        )
+    doc_starts = np.zeros(nrows, dtype=np.int64)
+    np.cumsum(dls[:-1], out=doc_starts[1:])
+    win_doc = np.repeat(np.arange(nrows, dtype=np.int64), n_win)
+    # ordinal of each window within its doc → its start token index
+    seg = np.cumsum(n_win) - n_win
+    ordinal = np.arange(total, dtype=np.int64) - seg[win_doc]
+    win_start = doc_starts[win_doc] + ordinal * stride
+    idx = np.repeat(win_start, window) + np.tile(
+        np.arange(window, dtype=np.int64), total
+    )
+    gathered = toks.take(pa.array(idx, type=pa.int64()))
+    offsets = pa.array(
+        np.arange(0, total * window + 1, window, dtype=np.int32), type=pa.int32()
+    )
+    wins = pc.binary_join(pa.ListArray.from_arrays(offsets, gathered), " ")
+    return pa.table(
+        {
+            "win": wins,
+            "doc_id": pa.array(
+                batch["doc_id"].to_numpy()[win_doc], type=_I64
+            ),
+        }
     )
 
 

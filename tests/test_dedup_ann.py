@@ -441,3 +441,35 @@ def test_minhash_verify_empty_doc_edge(ray_session, tmp_path):
     assert (0, 1) in pairs and (6, 7) in pairs
     # empty docs never verify (J undefined → 0)
     assert not any(a in (2, 3, 4, 5) or b in (2, 3, 4, 5) for a, b in pairs)
+
+
+def test_window_rows_kernel_matches_scalar():
+    """window_dedup's vectorized window builder ≡ a naive per-doc loop
+    for both non-overlapping (stride == window) and overlapping
+    (stride < window) configs."""
+    import pyarrow as pa
+
+    from similaritysearch_jl_ray.functions.text import tokenize
+    from similaritysearch_jl_ray.pipelines.dedup import window_rows_batch
+
+    texts = [
+        "a b c d e f g h",
+        "a b c",
+        "",
+        "x",
+        "a b c d e f g h i",
+        "q w e r t y",
+    ]
+    batch = pa.table({"doc_id": [10, 20, 30, 40, 50, 60], "text": texts})
+    for window, stride in [(3, 3), (4, 2), (2, 1), (5, 5), (9, 4)]:
+        got = list(
+            zip(*[window_rows_batch(batch, window, stride).column(c).to_pylist() for c in ("win", "doc_id")])
+        )
+        want = []
+        for d, t in zip([10, 20, 30, 40, 50, 60], texts):
+            toks = tokenize(t)
+            p = 0
+            while p + window <= len(toks):
+                want.append((" ".join(toks[p : p + window]), d))
+                p += stride
+        assert got == want, (window, stride)
