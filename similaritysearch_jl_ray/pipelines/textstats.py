@@ -286,39 +286,52 @@ def bigram_pmi(sf_dir: str, min_count: int = 5, top_n: int = 20):
         )
 
     docs = _documents(sf_dir, ["text"])
+    # the aggregated count tables are vocab-/vocab²-bounded (never
+    # corpus-sized); materialize them so the two consumers below (a
+    # scalar total + a distributed filter) share one shuffle each
     uni = (
         docs.map_batches(uni_partial, batch_format="pyarrow")
         .groupby("term")
         .aggregate(Sum("partial", alias_name="c"))
+        .materialize()
     )
     bg = (
         docs.map_batches(bg_partial, batch_format="pyarrow")
         .groupby(["x", "y"])
         .aggregate(Sum("partial", alias_name="c_xy"))
+        .materialize()
     )
-    # corpus totals: tiny scalar aggregates (no materialization)
+    # corpus totals: tiny scalar aggregates
     nu = float(uni.sum("c"))
-    bg_rows = []
-    nb = 0
-    for t in bg.iter_batches(batch_format="pyarrow"):
-        nb += int(pc.sum(t["c_xy"]).as_py() or 0)
-        keep = t.filter(pc.greater_equal(t["c_xy"], min_count))
-        if keep.num_rows:
-            bg_rows.append(keep)
-    if not bg_rows:
+    nb = float(bg.sum("c_xy"))
+    # min_count filter runs DISTRIBUTED; only the surviving
+    # collocation candidates ever reach the driver
+    cand_tbls = [
+        t
+        for t in bg.map_batches(
+            lambda t: t.filter(pc.greater_equal(t["c_xy"], min_count)),
+            batch_format="pyarrow",
+        ).iter_batches(batch_format="pyarrow")
+        if t.num_rows
+    ]
+    if not cand_tbls:
         return pd.DataFrame(
             {"rank": pd.Series([], dtype="int64"), "bigram": pd.Series([], dtype=object),
              "c_xy": pd.Series([], dtype="int64"), "pmi": pd.Series([], dtype="float64")}
         )
-    cand = pa.concat_tables(bg_rows)
-    need = set(cand["x"].to_pylist()) | set(cand["y"].to_pylist())
+    cand = pa.concat_tables(cand_tbls)
+    need = sorted(set(cand["x"].to_pylist()) | set(cand["y"].to_pylist()))
+    need_arr = pa.array(need, type=pa.string())
+    # unigram lookups for the candidates' terms: filter distributed
+    # (the small candidate-term set ships with the task), gather the
+    # small matched slice
     uc: dict[str, float] = {}
-    for t in uni.iter_batches(batch_format="pyarrow"):
-        terms = t["term"].to_pylist()
-        cs = t["c"].to_numpy()
-        for term, c in zip(terms, cs):
-            if term in need:
-                uc[term] = float(c)
+    for t in uni.map_batches(
+        lambda t: t.filter(pc.is_in(t["term"], value_set=need_arr)),
+        batch_format="pyarrow",
+    ).iter_batches(batch_format="pyarrow"):
+        for term, c in zip(t["term"].to_pylist(), t["c"].to_numpy()):
+            uc[term] = float(c)
     xs = cand["x"].to_pylist()
     ys = cand["y"].to_pylist()
     c_xy = cand["c_xy"].to_numpy().astype(np.float64)
