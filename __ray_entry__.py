@@ -1230,6 +1230,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_synonym": lambda sf: _bm25_query(sf, "synonym"),
         # Lucene TotalHitCountCollector: full match-set cardinality
         "match_counts": _match_counts,
+        # Lucene/ES field collapse: best-scoring doc per docmap-lang
+        # group, then the global top-k — result diversification
+        "bm25_topk_collapse": lambda sf: _bm25_query(sf, "collapse"),
         "bm25_topk_lang_en": lambda sf: _bm25_query(sf, "wand", lang="en"),
         "bm25_topk_phrase": _bm25_phrase,
         "bm25_topk_fields": _bm25_fields,
@@ -1422,6 +1425,33 @@ q AS (SELECT * FROM {_queries_sql()})
 SELECT q.query_id, count(DISTINCT tf.doc_id)::BIGINT AS n_matches
 FROM q LEFT JOIN tf ON tf.term = q.term
 GROUP BY q.query_id
+""",
+        "bm25_topk_collapse": f"""
+WITH {_TOK_CTES},
+q AS (SELECT * FROM {_queries_sql()}),
+scores AS (
+  SELECT q.query_id, tf.doc_id, {_BM25_SUM} AS fscore
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+grouped AS (
+  SELECT sc.query_id, sc.doc_id, sc.fscore,
+         row_number() OVER (PARTITION BY sc.query_id, d.lang
+                            ORDER BY sc.fscore DESC, sc.doc_id) AS lrank
+  FROM scores sc JOIN documents d ON d.doc_id = sc.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, fscore,
+         row_number() OVER (PARTITION BY query_id ORDER BY fscore DESC, doc_id) AS rank
+  FROM grouped WHERE lrank = 1
+)
+SELECT query_id, rank, doc_id, round(fscore, {_ROUND}) AS score
+FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
 """,
         "bm25_topk_lang_en": _bm25_sql(
             doc_join="JOIN documents dd ON dd.doc_id = tf.doc_id AND dd.lang = 'en'"

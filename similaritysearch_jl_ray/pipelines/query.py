@@ -449,6 +449,7 @@ class Bm25Scorer:
             {} if cache_size > 0 else None
         )
         self._result_cache_size = cache_size
+        self.index_dir = index_dir
         self.doc_range = doc_range
         # field filter: restrict scoring to docs whose docmap lang
         # matches — the allowed-id set comes from a PUSHDOWN read of
@@ -910,6 +911,8 @@ class Bm25Scorer:
             return self._score_msm(terms, self.msm)
         if self.mode == "synonym":
             return self._score_synonym(text)
+        if self.mode == "collapse":
+            return self._score_collapse(text)
         terms = self._query_terms(text)
         if not terms:
             return [], 0, 0
@@ -1111,6 +1114,8 @@ class Bm25Scorer:
             )
         if mode == "synonym":
             return self._synonym_accumulate(text)
+        if mode == "collapse":
+            return self._collapse_accumulate(text)
         # exhaustive / wand (bit-identical contract)
         terms = self._query_terms(text)
         if not terms:
@@ -1216,6 +1221,77 @@ class Bm25Scorer:
             [(int(uniq[j]), float(scores[j])) for j in idx],
             int(npost),
             int(len(pairs)),
+        )
+
+    def _doc_langs(self) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+        """(sorted doc_ids, lang_code_of_doc, sorted unique langs) from
+        the index docmap — the doc-values column for field collapse.
+        Pushdown read (doc_id + lang only); doc-range-pinned actors
+        would read just their range, but collapse raises under
+        sharding (cross-shard groups need a lang-aware merge)."""
+        hit = getattr(self, "_doc_langs_cache", None)
+        if hit is None:
+            import os as _os
+
+            import pyarrow.dataset as pads
+
+            if self.index_dir is None:
+                raise ValueError("collapse mode needs index_dir")
+            t = pads.dataset(
+                _os.path.join(self.index_dir, "docmap"), format="parquet"
+            ).to_table(columns=["doc_id", "lang"])
+            ids = t["doc_id"].to_numpy().astype(np.int64)
+            enc = t["lang"].combine_chunks().dictionary_encode()
+            codes = enc.indices.to_numpy().astype(np.int64)
+            # re-map codes through the sorted vocabulary so ties and
+            # group identities are dictionary-order stable
+            vocab = np.asarray(enc.dictionary.to_pylist(), dtype=object)
+            order_v = np.argsort(vocab)
+            remap = np.empty(len(vocab), dtype=np.int64)
+            remap[order_v] = np.arange(len(vocab))
+            o = np.argsort(ids, kind="stable")
+            hit = (ids[o], remap[codes][o], vocab[order_v])
+            self._doc_langs_cache = hit
+        return hit
+
+    def _collapse_accumulate(self, text: str):
+        """(kept_doc_ids, scores, npost, nblocks) for mode="collapse":
+        the disjunction match set COLLAPSED to the best-scoring doc
+        per docmap-lang group ((score desc, doc_id asc) within the
+        group — Lucene/Elasticsearch field collapse on a doc-values
+        field), or None when nothing matches."""
+        if self.doc_range is not None:
+            raise ValueError(
+                "collapse mode does not compose with doc sharding (a lang "
+                "group spans shards; the merge would need lang-aware keys)"
+            )
+        terms = self._query_terms(text)
+        if not terms:
+            return None
+        uniq, scores, npost, nblk = self._accumulate_query(terms)
+        if not len(uniq):
+            return None
+        dm_ids, dm_code, _ = self._doc_langs()
+        pos, valid = in_sorted(dm_ids, uniq)
+        lang_of = np.where(valid, dm_code[np.minimum(pos, len(dm_ids) - 1)], -1)
+        order = np.lexsort((uniq, -scores))  # score desc, doc asc
+        first = np.zeros(len(order), dtype=bool)
+        _, fidx = np.unique(lang_of[order], return_index=True)
+        first[fidx] = True
+        keep = order[first]  # best row per lang group, in rank order
+        keep.sort()  # back to doc-ascending like the other kernels
+        return uniq[keep], scores[keep], npost, nblk
+
+    def _score_collapse(self, text: str):
+        acc = self._collapse_accumulate(text)
+        if acc is None:
+            return [], 0, 0
+        uniq, scores, npost, nblk = acc
+        idx = topk_indices(scores, uniq, self.k)
+        return (
+            [(int(uniq[j]), float(scores[j])) for j in idx],
+            int(npost),
+            int(nblk),
         )
 
     def _synonym_accumulate(self, text: str):
@@ -2287,7 +2363,9 @@ def search(
     ``mode="phrase"`` / ``mode="near"`` (positional modes) always use the
     reader path — the positions sidecar is decoded per actor, never
     broadcast."""
-    if broadcast is None and mode not in ("phrase", "near", "synonym"):
+    # collapse never auto-shards (lang groups span shards); the
+    # positional + synonym modes never broadcast (reader state)
+    if broadcast is None and mode not in ("phrase", "near", "synonym", "collapse"):
         from ..config import BROADCAST_PACK_BUDGET_BYTES
 
         est = estimated_pack_bytes(index_dir)

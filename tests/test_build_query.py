@@ -1250,3 +1250,27 @@ def test_synonym_mode_matches_scalar_merge(index_dir):
         np.testing.assert_allclose(
             [s for _, s in got], [s for _, s in want], rtol=1e-12, atol=1e-12
         )
+
+
+def test_collapse_mode_matches_filtered_brute_force(index_dir):
+    """mode="collapse" == the full brute-force ranking reduced to the
+    best-scoring doc per lang group, cut to k — ids AND scores."""
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "lang"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    lang_of = dict(zip(t["doc_id"].to_pylist(), t["lang"].to_pylist()))
+    full = brute_force_topk(texts, REFERENCE_QUERIES, k=len(texts))
+    sc = Bm25Scorer(index_dir, k=K, mode="collapse")
+    for qid, text in REFERENCE_QUERIES:
+        seen: set[str] = set()
+        want = []
+        for q, _, d, s in full:  # already (score desc, doc asc) per query
+            if q != qid or lang_of[d] in seen:
+                continue
+            seen.add(lang_of[d])
+            want.append((d, s))
+        want = want[:K]
+        got = sc.score_query(text)[0]
+        assert [d for d, _ in got] == [d for d, _ in want], qid
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in want], rtol=1e-12, atol=1e-12
+        )
