@@ -275,6 +275,18 @@ def _bm25_query(sf_dir: str, mode: str, lang: str | None = None):
     return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _bm25_explain(sf_dir: str):
+    from similaritysearch_jl_ray.functions.rounding import round6
+    from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index
+    from similaritysearch_jl_ray.pipelines.query import explain_search
+    from similaritysearch_jl_ray.pipelines.queryset import queries_dataset
+
+    index_dir = ensure_index(sf_dir)
+    res = explain_search(queries_dataset(), index_dir, k=K, concurrency=2).to_pandas()
+    res["contribution"] = round6(res["contribution"].to_numpy())
+    return res.sort_values(["query_id", "rank", "term"]).reset_index(drop=True)
+
+
 def _match_counts(sf_dir: str):
     from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index
     from similaritysearch_jl_ray.pipelines.query import match_counts
@@ -1233,6 +1245,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Lucene/ES field collapse: best-scoring doc per docmap-lang
         # group, then the global top-k — result diversification
         "bm25_topk_collapse": lambda sf: _bm25_query(sf, "collapse"),
+        # Lucene Explain: per-term score breakdown of every top-k hit
+        "bm25_explain": _bm25_explain,
         "bm25_topk_lang_en": lambda sf: _bm25_query(sf, "wand", lang="en"),
         "bm25_topk_phrase": _bm25_phrase,
         "bm25_topk_fields": _bm25_fields,
@@ -1425,6 +1439,35 @@ q AS (SELECT * FROM {_queries_sql()})
 SELECT q.query_id, count(DISTINCT tf.doc_id)::BIGINT AS n_matches
 FROM q LEFT JOIN tf ON tf.term = q.term
 GROUP BY q.query_id
+""",
+        "bm25_explain": f"""
+WITH {_TOK_CTES},
+q AS (SELECT * FROM {_queries_sql()}),
+contrib AS (
+  SELECT q.query_id, tf.doc_id, q.term,
+         ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
+           * tf.tf * ({_K1} + 1)
+           / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / s.avgdl)) AS contribution
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+),
+scores AS (
+  SELECT query_id, doc_id, sum(contribution) AS fscore
+  FROM contrib GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY fscore DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT r.query_id, r.rank, r.doc_id, c.term, round(c.contribution, {_ROUND}) AS contribution
+FROM ranked r
+JOIN contrib c ON c.query_id = r.query_id AND c.doc_id = r.doc_id
+WHERE r.rank <= {K}
+ORDER BY r.query_id, r.rank, c.term
 """,
         "bm25_topk_collapse": f"""
 WITH {_TOK_CTES},

@@ -2410,6 +2410,74 @@ def search(
     )
 
 
+class ExplainScorer:
+    """Actor: Lucene Explain analog — the top-k hits of each query
+    with their per-term score BREAKDOWN (one row per (hit, matched
+    term); contribution = idf·tf_norm, the exact partial the ranking
+    summed), so ``sum(contribution) == score`` reconstructs every
+    ranked score from its parts."""
+
+    def __init__(self, index_dir: str, k: int = 10):
+        self.sc = Bm25Scorer(index_dir, k=k, mode="exhaustive")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sc = self.sc
+        qids, ranks, docs, terms_o, contribs = [], [], [], [], []
+        for qid, text in zip(
+            batch["query_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            hits = sc.score_query(str(text))[0]
+            if not hits:
+                continue
+            hit_docs = np.asarray([d for d, _ in hits], dtype=np.int64)
+            order = np.argsort(hit_docs)
+            rank_of = {int(d): r + 1 for r, (d, _) in enumerate(hits)}
+            sorted_docs = hit_docs[order]
+            for t in sc._query_terms(str(text)):
+                ids_t, part_t = sc._term_arrays(t)
+                if not len(ids_t):
+                    continue
+                pos, valid = in_sorted(ids_t, sorted_docs)
+                for d, p, ok in zip(sorted_docs, pos, valid):
+                    if ok:
+                        qids.append(qid)
+                        ranks.append(rank_of[int(d)])
+                        docs.append(int(d))
+                        terms_o.append(t)
+                        contribs.append(float(part_t[p]))
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "rank": pa.array(ranks, type=pa.int64()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "term": pa.array(terms_o, type=pa.string()),
+                "contribution": pa.array(contribs, type=pa.float64()),
+            }
+        )
+
+
+def explain_search(
+    queries_ds,
+    index_dir: str,
+    *,
+    k: int = 10,
+    concurrency: int | tuple = 2,
+    batch_size: int = 256,
+):
+    """queries → (query_id, rank, doc_id, term, contribution): the
+    per-term breakdown of every top-k hit (Lucene IndexSearcher
+    .explain), streaming through the same actor-pool shape as
+    :func:`search` — the breakdown adds one binary-search gather per
+    (query term, hit set), nothing corpus-sized."""
+    return queries_ds.map_batches(
+        ExplainScorer,
+        fn_constructor_kwargs={"index_dir": index_dir, "k": k},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 class MatchCounter:
     """Actor: per-query match cardinality (Lucene's
     TotalHitCountCollector) — the full disjunction match set's size

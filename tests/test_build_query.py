@@ -1274,3 +1274,21 @@ def test_collapse_mode_matches_filtered_brute_force(index_dir):
         np.testing.assert_allclose(
             [s for _, s in got], [s for _, s in want], rtol=1e-12, atol=1e-12
         )
+
+
+def test_explain_contributions_sum_to_scores(ray_session, index_dir):
+    """Lucene-Explain analog: every ranked hit's per-term
+    contributions sum back to its served score."""
+    from similaritysearch_jl_ray.pipelines.query import explain_search, search
+    from similaritysearch_jl_ray.pipelines.queryset import queries_dataset
+
+    exp = explain_search(queries_dataset(), index_dir, k=K, concurrency=2).to_pandas()
+    res = search(queries_dataset(), index_dir, k=K, mode="exhaustive", concurrency=2).to_pandas()
+    sums = (
+        exp.groupby(["query_id", "rank", "doc_id"])["contribution"].sum().reset_index()
+    )
+    merged = res[["query_id", "rank", "doc_id", "score"]].merge(
+        sums, on=["query_id", "rank", "doc_id"], how="left"
+    )
+    assert not merged["contribution"].isna().any()
+    np.testing.assert_allclose(merged["score"], merged["contribution"], rtol=1e-9)
