@@ -434,6 +434,30 @@ def _bm25_deleted(sf_dir: str):
     return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _bm25_delete_by_query(sf_dir: str):
+    """delete_by_query('fast merge') then serve the standard query
+    set: every doc containing 'fast' or 'merge' is tombstoned (Lucene
+    deleteDocuments(Query)); stats stay build-time (live-docs), so
+    the oracle scores the full corpus and anti-joins the match set."""
+    from similaritysearch_jl_ray.functions.rounding import round6
+    from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index_variant
+    from similaritysearch_jl_ray.pipelines.query import search
+    from similaritysearch_jl_ray.pipelines.queryset import queries_dataset
+
+    def mutate(d: str) -> None:
+        from similaritysearch_jl_ray.pipelines.lifecycle import delete_by_query
+
+        delete_by_query(d, "fast merge")
+
+    index_dir = ensure_index_variant(sf_dir, "delq", mutate)
+    res = search(queries_dataset(), index_dir, k=K, mode="wand", concurrency=2).to_pandas()
+    res = res[["query_id", "rank", "doc_id", "score"]].astype(
+        {"query_id": "int64", "rank": "int64", "doc_id": "int64", "score": "float64"}
+    )
+    res["score"] = round6(res["score"].to_numpy())
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
 def _bm25_purged(sf_dir: str):
     """Serving after purge_tombstones: postings rewritten, stats
     re-derived — the oracle recomputes BM25 over the survivor corpus
@@ -1254,6 +1278,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_bool": _bm25_bool,
         "bm25_topk_tree": _bm25_tree,
         "bm25_topk_deleted": _bm25_deleted,
+        "bm25_topk_delete_by_query": _bm25_delete_by_query,
         "bm25_topk_purged": _bm25_purged,
         "bm25_topk_prefix": lambda sf: _bm25_expanded(sf, "prefix"),
         "bm25_topk_fuzzy": lambda sf: _bm25_expanded(sf, "fuzzy"),
@@ -1508,6 +1533,16 @@ ORDER BY query_id, rank
         # set filtered (Lucene live-docs — mirrors Bm25Scorer._deleted)
         "bm25_topk_deleted": _bm25_sql(
             doc_join="JOIN documents dd ON dd.doc_id = tf.doc_id AND dd.doc_id % 7 <> 3"
+        ),
+        # delete_by_query('fast merge'): anti-join the query's match
+        # set; stats stay full-corpus (live-docs, same as _deleted)
+        "bm25_topk_delete_by_query": _bm25_sql(
+            doc_join=(
+                "JOIN (SELECT d2.doc_id FROM documents d2 WHERE NOT EXISTS "
+                "(SELECT 1 FROM tf t2 WHERE t2.doc_id = d2.doc_id "
+                "AND t2.term IN ('fast', 'merge'))) keepd "
+                "ON keepd.doc_id = tf.doc_id"
+            )
         ),
         # purge: stats/df recomputed over the survivor corpus (mirrors
         # purge_tombstones ≡ rebuild-on-survivors, proven in tests)

@@ -371,6 +371,23 @@ def merge_indexes(
     return json.load(open(os.path.join(out_dir, "stats.json")))
 
 
+def delete_by_query(index_dir: str, text: str) -> int:
+    """Lucene ``IndexWriter.deleteDocuments(Query)``: tombstone every
+    doc matching the disjunction — the FULL match set, no top-k cut
+    (``Bm25Scorer._full_hits``), composed with :func:`delete_docs`
+    (live-docs semantics; :func:`purge_tombstones` reclaims later).
+    Returns the number of newly tombstoned docs. The match set is
+    doc_ids only (8 B/doc) — at web scale the scan streams through
+    the scorer's accumulate, never the corpus text."""
+    from .query import Bm25Scorer
+
+    sc = Bm25Scorer(index_dir, k=1, mode="exhaustive")
+    hits = sc._full_hits(text)
+    if hits is None or not len(hits[0]):
+        return 0
+    return delete_docs(index_dir, hits[0])
+
+
 def delete_docs(index_dir: str, doc_ids) -> int:
     """Tombstone deletion — the missing half of the index lifecycle
     next to ``append_pages`` (the reference mutates via ``push_item!``
