@@ -139,6 +139,38 @@ ORDER BY query_id, rank
 """
 
 
+def _funcscore_sql() -> str:
+    """SQL twin of ``mode="funcscore"``: the plain BM25 disjunction
+    multiplied by the ``queryset.FUNC_LANG_BOOST`` doc-values weight."""
+    from similaritysearch_jl_ray.pipelines.queryset import funcscore_case_sql
+
+    return f"""
+WITH {_TOK_CTES},
+q AS (SELECT * FROM {_queries_sql()}),
+scores AS (
+  SELECT q.query_id, tf.doc_id, {_BM25_SUM} AS fscore
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+weighted AS (
+  SELECT sc.query_id, sc.doc_id, sc.fscore * {funcscore_case_sql()} AS fscore
+  FROM scores sc JOIN documents d ON d.doc_id = sc.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, fscore,
+         row_number() OVER (PARTITION BY query_id ORDER BY fscore DESC, doc_id) AS rank
+  FROM weighted
+)
+SELECT query_id, rank, doc_id, round(fscore, {_ROUND}) AS score
+FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
 def _field_scores_subquery(docs_src: str) -> str:
     """Per-field (query_id, doc_id, fscore) as a self-contained nested
     WITH — per-field N/avgdl/df come from the field's own text, same
@@ -1271,6 +1303,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_collapse": lambda sf: _bm25_query(sf, "collapse"),
         # Lucene Explain: per-term score breakdown of every top-k hit
         "bm25_explain": _bm25_explain,
+        # ES function_score: BM25 × weight(lang) doc-values factor
+        "bm25_topk_funcscore": lambda sf: _bm25_query(sf, "funcscore"),
         "bm25_topk_lang_en": lambda sf: _bm25_query(sf, "wand", lang="en"),
         "bm25_topk_phrase": _bm25_phrase,
         "bm25_topk_fields": _bm25_fields,
@@ -1494,6 +1528,7 @@ JOIN contrib c ON c.query_id = r.query_id AND c.doc_id = r.doc_id
 WHERE r.rank <= {K}
 ORDER BY r.query_id, r.rank, c.term
 """,
+        "bm25_topk_funcscore": _funcscore_sql(),
         "bm25_topk_collapse": f"""
 WITH {_TOK_CTES},
 q AS (SELECT * FROM {_queries_sql()}),

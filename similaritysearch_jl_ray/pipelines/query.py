@@ -913,6 +913,8 @@ class Bm25Scorer:
             return self._score_synonym(text)
         if self.mode == "collapse":
             return self._score_collapse(text)
+        if self.mode == "funcscore":
+            return self._score_funcscore(text)
         terms = self._query_terms(text)
         if not terms:
             return [], 0, 0
@@ -1116,6 +1118,8 @@ class Bm25Scorer:
             return self._synonym_accumulate(text)
         if mode == "collapse":
             return self._collapse_accumulate(text)
+        if mode == "funcscore":
+            return self._funcscore_accumulate(text)
         # exhaustive / wand (bit-identical contract)
         terms = self._query_terms(text)
         if not terms:
@@ -1253,6 +1257,43 @@ class Bm25Scorer:
             hit = (ids[o], remap[codes][o], vocab[order_v])
             self._doc_langs_cache = hit
         return hit
+
+    def _funcscore_accumulate(self, text: str):
+        """(doc_ids, scores, npost, nblocks) for mode="funcscore":
+        BM25 disjunction × a doc-values weight — Elasticsearch
+        function_score / field_value_factor, here weight(lang) from
+        ``queryset.FUNC_LANG_BOOST`` (1.0 default). The weight
+        multiplies AFTER accumulation (one gather per match set), so
+        cost over plain scoring is one lang lookup per candidate.
+        Composes with doc sharding (a doc's lang and score both live
+        in its shard; df stays global)."""
+        from .queryset import FUNC_LANG_BOOST
+
+        terms = self._query_terms(text)
+        if not terms:
+            return None
+        uniq, scores, npost, nblk = self._accumulate_query(terms)
+        if not len(uniq):
+            return None
+        dm_ids, dm_code, vocab = self._doc_langs()
+        weights = np.ones(len(vocab) + 1, dtype=np.float64)
+        for i, lang in enumerate(vocab):
+            weights[i] = FUNC_LANG_BOOST.get(str(lang), 1.0)
+        pos, valid = in_sorted(dm_ids, uniq)
+        code = np.where(valid, dm_code[np.minimum(pos, len(dm_ids) - 1)], len(vocab))
+        return uniq, scores * weights[code], npost, nblk
+
+    def _score_funcscore(self, text: str):
+        acc = self._funcscore_accumulate(text)
+        if acc is None:
+            return [], 0, 0
+        uniq, scores, npost, nblk = acc
+        idx = topk_indices(scores, uniq, self.k)
+        return (
+            [(int(uniq[j]), float(scores[j])) for j in idx],
+            int(npost),
+            int(nblk),
+        )
 
     def _collapse_accumulate(self, text: str):
         """(kept_doc_ids, scores, npost, nblocks) for mode="collapse":

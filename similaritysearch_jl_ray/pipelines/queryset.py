@@ -53,6 +53,20 @@ def queries_dataset():
     return rd.from_items([{"query_id": qid, "text": t} for qid, t in REFERENCE_QUERIES])
 
 
+# Fixed lang-weight map for mode="funcscore" (Elasticsearch
+# function_score / field_value_factor on a doc-values field): score =
+# BM25 · weight(lang), weight defaulting to 1.0. SQL twin inlines the
+# same CASE expression.
+FUNC_LANG_BOOST: dict[str, float] = {"en": 1.25, "de": 0.75}
+
+
+def funcscore_case_sql(col: str = "d.lang") -> str:
+    cases = " ".join(
+        f"WHEN '{lang}' THEN {w}" for lang, w in sorted(FUNC_LANG_BOOST.items())
+    )
+    return f"CASE {col} {cases} ELSE 1.0 END"
+
+
 # Fixed synonym groups for mode="synonym" (Lucene SynonymQuery with
 # index-merged semantics: members behave as ONE pseudo-term — tf sums,
 # df = |union of docs|). The fixture vocabulary is a closed word list,

@@ -1292,3 +1292,27 @@ def test_explain_contributions_sum_to_scores(ray_session, index_dir):
     )
     assert not merged["contribution"].isna().any()
     np.testing.assert_allclose(merged["score"], merged["contribution"], rtol=1e-9)
+
+
+def test_funcscore_mode_matches_weighted_brute_force(index_dir):
+    """mode="funcscore" == the brute-force disjunction with each doc's
+    score multiplied by its lang weight, re-ranked — ids AND scores."""
+    from similaritysearch_jl_ray.functions.topk import TopK
+    from similaritysearch_jl_ray.pipelines.queryset import FUNC_LANG_BOOST
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text", "lang"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+    lang_of = dict(zip(t["doc_id"].to_pylist(), t["lang"].to_pylist()))
+    full = brute_force_topk(texts, REFERENCE_QUERIES, k=len(texts))
+    sc = Bm25Scorer(index_dir, k=K, mode="funcscore")
+    for qid, text in REFERENCE_QUERIES:
+        heap = TopK(K)
+        for q, _, d, s in full:
+            if q == qid:
+                heap.push_score(s * FUNC_LANG_BOOST.get(lang_of[d], 1.0), d)
+        want = heap.result()
+        got = sc.score_query(text)[0]
+        assert [d for d, _ in got] == [d for d, _ in want], qid
+        np.testing.assert_allclose(
+            [s for _, s in got], [s for _, s in want], rtol=1e-12, atol=1e-12
+        )
