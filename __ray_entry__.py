@@ -1305,6 +1305,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_explain": _bm25_explain,
         # ES function_score: BM25 × weight(lang) doc-values factor
         "bm25_topk_funcscore": lambda sf: _bm25_query(sf, "funcscore"),
+        # ES percolate: corpus streams against broadcast standing
+        # queries (conjunctive match) — reverse-search alerting
+        "percolate": lambda sf: __import__(
+            "similaritysearch_jl_ray.pipelines.query", fromlist=["percolate"]
+        ).percolate(sf),
         "bm25_topk_lang_en": lambda sf: _bm25_query(sf, "wand", lang="en"),
         "bm25_topk_phrase": _bm25_phrase,
         "bm25_topk_fields": _bm25_fields,
@@ -1529,6 +1534,14 @@ WHERE r.rank <= {K}
 ORDER BY r.query_id, r.rank, c.term
 """,
         "bm25_topk_funcscore": _funcscore_sql(),
+        "percolate": f"""
+WITH {_TOK_CTES},
+q AS (SELECT * FROM {_queries_sql()})
+SELECT q.query_id, tf.doc_id
+FROM q JOIN tf ON tf.term = q.term
+GROUP BY q.query_id, tf.doc_id
+HAVING count(*) = (SELECT count(*) FROM q q2 WHERE q2.query_id = q.query_id)
+""",
         "bm25_topk_collapse": f"""
 WITH {_TOK_CTES},
 q AS (SELECT * FROM {_queries_sql()}),

@@ -2451,6 +2451,60 @@ def search(
     )
 
 
+def percolate(sf_dir: str):
+    """Reverse search (Elasticsearch percolate): stream the CORPUS
+    against the broadcast standing-query set and emit (query_id,
+    doc_id) for every conjunctive match (all of the query's distinct
+    terms present in the doc; a query with unindexable terms matches
+    nothing). This is the alerting/routing dataflow inverted from
+    ``search``: queries are the tiny broadcast side (they ship inside
+    the task closure), documents stream through ``map_batches`` —
+    no index, no shuffle, output ∝ matches.
+    """
+    import ray.data as rd
+
+    from ..functions.text import batch_token_counts
+    from .queryset import REFERENCE_QUERIES
+
+    qsets = [
+        (qid, sorted(set(tokenize(t)))) for qid, t in REFERENCE_QUERIES
+    ]
+
+    def match(batch: pa.Table) -> pa.Table:
+        nrows = batch.num_rows
+        doc_idx, terms, _, _ = batch_token_counts(batch["text"])
+        ids = batch["doc_id"].to_numpy()
+        out_q, out_d = [], []
+        for qid, qt in qsets:
+            if not qt:
+                continue
+            # (doc, term) rows are unique, so a bincount of matching
+            # rows counts DISTINCT matched terms per doc
+            mask = np.isin(terms, np.asarray(qt, dtype=object))
+            cnt = np.bincount(doc_idx[mask], minlength=nrows)
+            hit = cnt == len(qt)
+            if hit.any():
+                out_d.append(ids[hit])
+                out_q.append(np.full(int(hit.sum()), qid, dtype=np.int64))
+        if not out_q:
+            return pa.table(
+                {
+                    "query_id": pa.array([], type=pa.int64()),
+                    "doc_id": pa.array([], type=pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "query_id": pa.array(np.concatenate(out_q), type=pa.int64()),
+                "doc_id": pa.array(np.concatenate(out_d), type=pa.int64()),
+            }
+        )
+
+    return rd.read_parquet(
+        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+    ).map_batches(match, batch_format="pyarrow")
+
+
 class ExplainScorer:
     """Actor: Lucene Explain analog — the top-k hits of each query
     with their per-term score BREAKDOWN (one row per (hit, matched
