@@ -1310,6 +1310,15 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "percolate": lambda sf: __import__(
             "similaritysearch_jl_ray.pipelines.query", fromlist=["percolate"]
         ).percolate(sf),
+        # Lucene suggest module: prefix completion ranked by df
+        "complete_prefix": lambda sf: __import__(
+            "similaritysearch_jl_ray.pipelines.facets", fromlist=["complete_prefix"]
+        ).complete_prefix(
+            __import__(
+                "similaritysearch_jl_ray.pipelines.entry_helpers",
+                fromlist=["ensure_index"],
+            ).ensure_index(sf)
+        ),
         "bm25_topk_lang_en": lambda sf: _bm25_query(sf, "wand", lang="en"),
         "bm25_topk_phrase": _bm25_phrase,
         "bm25_topk_fields": _bm25_fields,
@@ -1541,6 +1550,20 @@ SELECT q.query_id, tf.doc_id
 FROM q JOIN tf ON tf.term = q.term
 GROUP BY q.query_id, tf.doc_id
 HAVING count(*) = (SELECT count(*) FROM q q2 WHERE q2.query_id = q.query_id)
+""",
+        "complete_prefix": f"""
+WITH {_TOK_CTES},
+px(prefix) AS (VALUES ('s'), ('b'), ('me'), ('da'), ('w'), ('zz')),
+cand AS (
+  SELECT px.prefix, df.term, df.df
+  FROM px JOIN df ON df.term LIKE px.prefix || '%'
+),
+ranked AS (
+  SELECT prefix, term, df,
+         row_number() OVER (PARTITION BY prefix ORDER BY df DESC, term) AS rank
+  FROM cand
+)
+SELECT prefix, rank, term, df FROM ranked WHERE rank <= 5 ORDER BY prefix, rank
 """,
         "bm25_topk_collapse": f"""
 WITH {_TOK_CTES},

@@ -472,3 +472,64 @@ def term_vectors(index_dir: str, doc_ids: list[int]):
 
     refs = [_part_vectors.remote(index_dir, p, targets) for p in range(num_parts)]
     return rd.from_arrow_refs(refs)
+
+
+# fixed prefix probes for the completion entry (shared with the SQL
+# oracle's VALUES list): common starts, a single letter, a dead end
+COMPLETE_PREFIXES: list[str] = ["s", "b", "me", "da", "w", "zz"]
+
+
+def complete_prefix(index_dir: str, prefixes=None, *, top: int = 5):
+    """Completion suggester (the Lucene suggest module's
+    prefix-completion shape): for each prefix, the top dictionary
+    terms ranked (df desc, term asc). One Ray task per term-hash part
+    binary-searches its SORTED vocabulary slice for the prefix range
+    (no vocabulary iteration) and pre-ranks its top candidates; the
+    driver merge is parts × top rows. Returns a pandas DataFrame
+    (prefix, rank, term, df)."""
+    import json
+    import os
+
+    import pandas as pd
+    import ray
+
+    pfx = list(prefixes) if prefixes is not None else COMPLETE_PREFIXES
+    with open(os.path.join(index_dir, "stats.json")) as f:
+        num_parts = json.load(f)["num_parts"]
+
+    @ray.remote
+    def _part_complete(d: str, part: int, pfx: list, top: int) -> list:
+        import numpy as np
+
+        from ..state.reader import IndexReader
+
+        rdr = IndexReader(d, parts=[part])
+        items = sorted(rdr.term_dfs().items())
+        terms = np.asarray([t for t, _ in items], dtype=object)
+        dfs = np.asarray([df for _, df in items], dtype=np.int64)
+        out = []
+        for p in pfx:
+            lo = np.searchsorted(terms, p, side="left")
+            hi = np.searchsorted(terms, p + "￿", side="left")
+            if hi <= lo:
+                continue
+            order = np.lexsort((terms[lo:hi], -dfs[lo:hi]))[:top]
+            out.extend(
+                (p, str(terms[lo + j]), int(dfs[lo + j])) for j in order
+            )
+        return out
+
+    refs = [_part_complete.remote(index_dir, p, pfx, top) for p in range(num_parts)]
+    rows = [r for part_rows in ray.get(refs) for r in part_rows]
+    df = pd.DataFrame(rows, columns=["prefix", "term", "df"])
+    if len(df):
+        df = df.sort_values(
+            ["prefix", "df", "term"], ascending=[True, False, True], kind="stable"
+        )
+        df = df.groupby("prefix", group_keys=False).head(top).reset_index(drop=True)
+        df["rank"] = df.groupby("prefix").cumcount() + 1
+    else:
+        df["rank"] = pd.Series([], dtype="int64")
+    return df[["prefix", "rank", "term", "df"]].astype(
+        {"prefix": object, "rank": "int64", "term": object, "df": "int64"}
+    )
