@@ -319,6 +319,19 @@ def _bm25_explain(sf_dir: str):
     return res.sort_values(["query_id", "rank", "term"]).reset_index(drop=True)
 
 
+def _match_stats(sf_dir: str):
+    from similaritysearch_jl_ray.functions.rounding import round6
+    from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index
+    from similaritysearch_jl_ray.pipelines.query import match_stats
+    from similaritysearch_jl_ray.pipelines.queryset import queries_dataset
+
+    index_dir = ensure_index(sf_dir)
+    res = match_stats(queries_dataset(), index_dir, concurrency=2).to_pandas()
+    res["max_score"] = round6(res["max_score"].to_numpy())
+    res["sum_score"] = round6(res["sum_score"].to_numpy())
+    return res.sort_values("query_id").reset_index(drop=True)
+
+
 def _match_counts(sf_dir: str):
     from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index
     from similaritysearch_jl_ray.pipelines.query import match_counts
@@ -1298,6 +1311,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_synonym": lambda sf: _bm25_query(sf, "synonym"),
         # Lucene TotalHitCountCollector: full match-set cardinality
         "match_counts": _match_counts,
+        # ES stats aggregation over the full match set
+        "match_stats": _match_stats,
         # Lucene/ES field collapse: best-scoring doc per docmap-lang
         # group, then the global top-k — result diversification
         "bm25_topk_collapse": lambda sf: _bm25_query(sf, "collapse"),
@@ -1550,6 +1565,28 @@ SELECT q.query_id, tf.doc_id
 FROM q JOIN tf ON tf.term = q.term
 GROUP BY q.query_id, tf.doc_id
 HAVING count(*) = (SELECT count(*) FROM q q2 WHERE q2.query_id = q.query_id)
+""",
+        "match_stats": f"""
+WITH {_TOK_CTES},
+q AS (SELECT * FROM {_queries_sql()}),
+scores AS (
+  SELECT q.query_id, tf.doc_id, {_BM25_SUM} AS fscore
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+agg AS (
+  SELECT query_id, count(*)::BIGINT AS n, max(fscore) AS mx, sum(fscore) AS sm
+  FROM scores GROUP BY query_id
+),
+qq AS (SELECT DISTINCT query_id FROM q)
+SELECT qq.query_id, coalesce(agg.n, 0)::BIGINT AS n_matches,
+       round(coalesce(agg.mx, 0.0), {_ROUND}) AS max_score,
+       round(coalesce(agg.sm, 0.0), {_ROUND}) AS sum_score
+FROM qq LEFT JOIN agg ON agg.query_id = qq.query_id
 """,
         "complete_prefix": f"""
 WITH {_TOK_CTES},

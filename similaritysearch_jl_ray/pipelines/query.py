@@ -2598,6 +2598,56 @@ class MatchCounter:
         )
 
 
+class MatchStats:
+    """Actor: ES-style stats aggregation over each query's FULL match
+    set — (n_matches, max_score, sum_score) from the exact f64
+    accumulate (`_full_hits`); consumers derive mean as sum/n."""
+
+    def __init__(self, index_dir: str):
+        self.sc = Bm25Scorer(index_dir, k=1, mode="exhaustive")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        ns, mxs, sms = [], [], []
+        for t in batch["text"].to_pylist():
+            hits = self.sc._full_hits(str(t))
+            if hits is None or not len(hits[0]):
+                ns.append(0)
+                mxs.append(0.0)
+                sms.append(0.0)
+            else:
+                scores = hits[1]
+                ns.append(int(len(scores)))
+                mxs.append(float(scores.max()))
+                sms.append(float(scores.sum()))
+        return pa.table(
+            {
+                "query_id": batch["query_id"].cast(pa.int64()),
+                "n_matches": pa.array(ns, type=pa.int64()),
+                "max_score": pa.array(mxs, type=pa.float64()),
+                "sum_score": pa.array(sms, type=pa.float64()),
+            }
+        )
+
+
+def match_stats(
+    queries_ds,
+    index_dir: str,
+    *,
+    concurrency: int | tuple = 2,
+    batch_size: int = 256,
+):
+    """queries → (query_id, n_matches, max_score, sum_score): the ES
+    stats aggregation over the full match set, streaming through the
+    :func:`search` actor-pool shape."""
+    return queries_ds.map_batches(
+        MatchStats,
+        fn_constructor_kwargs={"index_dir": index_dir},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def match_counts(
     queries_ds,
     index_dir: str,
