@@ -332,6 +332,18 @@ def _match_stats(sf_dir: str):
     return res.sort_values("query_id").reset_index(drop=True)
 
 
+def _significant_terms(sf_dir: str):
+    from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index
+    from similaritysearch_jl_ray.pipelines.query import significant_terms
+    from similaritysearch_jl_ray.pipelines.queryset import queries_dataset
+
+    index_dir = ensure_index(sf_dir)
+    res = significant_terms(queries_dataset(), index_dir, concurrency=2).to_pandas()
+    return res.sort_values(["query_id", "lift", "term"], ascending=[True, False, True]).reset_index(
+        drop=True
+    )
+
+
 def _match_counts(sf_dir: str):
     from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index
     from similaritysearch_jl_ray.pipelines.query import match_counts
@@ -1313,6 +1325,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_counts": _match_counts,
         # ES stats aggregation over the full match set
         "match_stats": _match_stats,
+        # ES significant_terms: lift-ranked over-represented terms
+        "significant_terms": _significant_terms,
         # Lucene/ES field collapse: best-scoring doc per docmap-lang
         # group, then the global top-k — result diversification
         "bm25_topk_collapse": lambda sf: _bm25_query(sf, "collapse"),
@@ -1565,6 +1579,42 @@ SELECT q.query_id, tf.doc_id
 FROM q JOIN tf ON tf.term = q.term
 GROUP BY q.query_id, tf.doc_id
 HAVING count(*) = (SELECT count(*) FROM q q2 WHERE q2.query_id = q.query_id)
+""",
+        "significant_terms": f"""
+WITH {_TOK_CTES},
+q AS (SELECT * FROM {_queries_sql()}),
+scores AS (
+  SELECT q.query_id, tf.doc_id, {_BM25_SUM} AS fscore
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+m AS (SELECT query_id, doc_id FROM scores),
+mn AS (SELECT query_id, count(*)::DOUBLE AS m FROM m GROUP BY query_id),
+a AS (
+  SELECT m.query_id, tf.term, count(*)::BIGINT AS a
+  FROM m JOIN tf ON tf.doc_id = m.doc_id
+  GROUP BY m.query_id, tf.term
+),
+lifted AS (
+  SELECT a.query_id, a.term, a.a AS n_match,
+         round(((a.a::DOUBLE * s.n)) / ((mn.m * df.df::DOUBLE)), {_ROUND}) AS lift
+  FROM a
+  JOIN mn ON mn.query_id = a.query_id
+  JOIN df ON df.term = a.term
+  CROSS JOIN stats s
+  WHERE a.a >= 3
+),
+ranked AS (
+  SELECT query_id, term, n_match, lift,
+         row_number() OVER (PARTITION BY query_id ORDER BY lift DESC, term) AS rk
+  FROM lifted
+)
+SELECT query_id, term, n_match, lift FROM ranked WHERE rk <= 5
+ORDER BY query_id, rk
 """,
         "match_stats": f"""
 WITH {_TOK_CTES},

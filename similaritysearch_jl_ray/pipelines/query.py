@@ -2648,6 +2648,92 @@ def match_stats(
     )
 
 
+class SignificantTerms:
+    """Actor: ES significant_terms aggregation — terms over-represented
+    in each query's match set vs the corpus, scored by lift =
+    ((a·N)) / ((m·df)) where a = matching docs containing the term,
+    m = match-set size, df/N global. Candidates come from the term
+    DICTIONARY (one sorted-intersection count per term — fine at this
+    vocabulary; a web-scale deployment would compute a doc-major
+    variant from forward term-vectors of the match set instead of a
+    vocabulary sweep)."""
+
+    def __init__(self, index_dir: str, min_match: int = 3, top: int = 5):
+        self.sc = Bm25Scorer(index_dir, k=1, mode="exhaustive")
+        self.min_match = min_match
+        self.top = top
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        from ..functions.rounding import round6
+
+        sc = self.sc
+        n = float(sc.stats["n_docs"])
+        d = sc._dictionary()
+        qids, terms_o, n_m, lifts = [], [], [], []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            hits = sc._full_hits(str(text))
+            if hits is None or not len(hits[0]):
+                continue
+            uniq = hits[0]
+            m = float(len(uniq))
+            cand_t, cand_a, cand_l = [], [], []
+            for t in d:
+                t = str(t)
+                ids_t, _ = sc._term_arrays(t)
+                if not len(ids_t):
+                    continue
+                _, valid = in_sorted(ids_t, uniq)
+                a = float(int(valid.sum()))
+                if a < self.min_match:
+                    continue
+                cand_t.append(t)
+                cand_a.append(int(a))
+                cand_l.append(((a * n)) / ((m * float(len(ids_t)))))
+            if not cand_t:
+                continue
+            lift_r = round6(np.asarray(cand_l))
+            order = sorted(
+                range(len(cand_t)), key=lambda i: (-lift_r[i], cand_t[i])
+            )[: self.top]
+            for i in order:
+                qids.append(qid)
+                terms_o.append(cand_t[i])
+                n_m.append(cand_a[i])
+                lifts.append(float(lift_r[i]))
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "term": pa.array(terms_o, type=pa.string()),
+                "n_match": pa.array(n_m, type=pa.int64()),
+                "lift": pa.array(lifts, type=pa.float64()),
+            }
+        )
+
+
+def significant_terms(
+    queries_ds,
+    index_dir: str,
+    *,
+    min_match: int = 3,
+    top: int = 5,
+    concurrency: int | tuple = 2,
+    batch_size: int = 256,
+):
+    """queries → (query_id, term, n_match, lift): the ES
+    significant_terms aggregation over each query's full match set."""
+    return queries_ds.map_batches(
+        SignificantTerms,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "min_match": min_match,
+            "top": top,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def match_counts(
     queries_ds,
     index_dir: str,
