@@ -139,6 +139,51 @@ ORDER BY query_id, rank
 """
 
 
+def _rescore_phrase_sql(base_n: int = 50, boost: float = 2.0) -> str:
+    """SQL twin of the phrase-rescore window: base top-``base_n`` by
+    BM25, +``boost`` for docs containing the query's token sequence
+    contiguously (single-space substring ≡ positional adjacency on
+    this corpus — queryset.query_phrases_sql), re-ranked."""
+    from similaritysearch_jl_ray.pipelines.queryset import query_phrases_sql
+
+    return f"""
+WITH {_TOK_CTES},
+q AS (SELECT * FROM {_queries_sql()}),
+qp AS (SELECT * FROM {query_phrases_sql()}),
+scores AS (
+  SELECT q.query_id, tf.doc_id, {_BM25_SUM} AS fscore
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+base AS (
+  SELECT query_id, doc_id, fscore,
+         row_number() OVER (PARTITION BY query_id ORDER BY fscore DESC, doc_id) AS brank
+  FROM scores
+),
+boosted AS (
+  SELECT b.query_id, b.doc_id,
+         b.fscore + CASE WHEN ' ' || d.text || ' ' LIKE '% ' || qp.phrase || ' %'
+                         THEN {boost} ELSE 0.0 END AS fscore
+  FROM base b
+  JOIN documents d ON d.doc_id = b.doc_id
+  JOIN qp ON qp.query_id = b.query_id
+  WHERE b.brank <= {base_n}
+),
+ranked AS (
+  SELECT query_id, doc_id, fscore,
+         row_number() OVER (PARTITION BY query_id ORDER BY fscore DESC, doc_id) AS rank
+  FROM boosted
+)
+SELECT query_id, rank, doc_id, round(fscore, {_ROUND}) AS score
+FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
 def _funcscore_sql() -> str:
     """SQL twin of ``mode="funcscore"``: the plain BM25 disjunction
     multiplied by the ``queryset.FUNC_LANG_BOOST`` doc-values weight."""
@@ -330,6 +375,20 @@ def _match_stats(sf_dir: str):
     res["max_score"] = round6(res["max_score"].to_numpy())
     res["sum_score"] = round6(res["sum_score"].to_numpy())
     return res.sort_values("query_id").reset_index(drop=True)
+
+
+def _rescore_phrase(sf_dir: str):
+    from similaritysearch_jl_ray.functions.rounding import round6
+    from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index
+    from similaritysearch_jl_ray.pipelines.query import rescore_phrase_search
+    from similaritysearch_jl_ray.pipelines.queryset import queries_dataset
+
+    index_dir = ensure_index(sf_dir)
+    res = rescore_phrase_search(
+        queries_dataset(), index_dir, base_n=50, boost=2.0, k=K, concurrency=2
+    ).to_pandas()
+    res["score"] = round6(res["score"].to_numpy())
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
 def _significant_terms(sf_dir: str):
@@ -1327,6 +1386,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "match_stats": _match_stats,
         # ES significant_terms: lift-ranked over-represented terms
         "significant_terms": _significant_terms,
+        # ES rescore API: BM25 top-50 window, exact-phrase boost +2.0
+        "bm25_topk_rescore_phrase": _rescore_phrase,
         # Lucene/ES field collapse: best-scoring doc per docmap-lang
         # group, then the global top-k — result diversification
         "bm25_topk_collapse": lambda sf: _bm25_query(sf, "collapse"),
@@ -1580,6 +1641,7 @@ FROM q JOIN tf ON tf.term = q.term
 GROUP BY q.query_id, tf.doc_id
 HAVING count(*) = (SELECT count(*) FROM q q2 WHERE q2.query_id = q.query_id)
 """,
+        "bm25_topk_rescore_phrase": _rescore_phrase_sql(),
         "significant_terms": f"""
 WITH {_TOK_CTES},
 q AS (SELECT * FROM {_queries_sql()}),

@@ -2598,6 +2598,83 @@ class MatchCounter:
         )
 
 
+class PhraseRescorer:
+    """Actor: the Elasticsearch rescore API shape — a cheap base
+    ranking (BM25 disjunction, top ``base_n``) followed by an
+    expensive second pass over ONLY that window (exact-phrase boost:
+    +``boost`` when the query's token sequence appears contiguously,
+    from the positional index), re-ranked under the same (score desc,
+    doc_id asc) tie rule. The second pass touches ``base_n`` docs per
+    query regardless of corpus size — the rescore-window contract."""
+
+    def __init__(self, index_dir: str, base_n: int = 50, boost: float = 2.0, k: int = 10):
+        self.sc = Bm25Scorer(index_dir, k=base_n, mode="exhaustive")
+        self.base_n = base_n
+        self.boost = boost
+        self.k = k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sc = self.sc
+        heap = TopK(self.k)
+        qids, ranks, docs, scores_o = [], [], [], []
+        for qid, text in zip(batch["query_id"].to_pylist(), batch["text"].to_pylist()):
+            text = str(text)
+            base = sc.score_query(text)[0]
+            if not base:
+                continue
+            toks = tokenize(text)
+            cand = (
+                sc._phrase_candidates(toks)[0]
+                if toks and all(sc._has_term(t) for t in toks)
+                else np.empty(0, np.int64)
+            )
+            heap.reuse(self.k)
+            for d, s in base:
+                j = int(np.searchsorted(cand, d)) if len(cand) else 0
+                in_phrase = j < len(cand) and int(cand[j]) == d
+                heap.push_score(s + self.boost if in_phrase else s, d)
+            for r, (d, s) in enumerate(heap.result(), start=1):
+                qids.append(qid)
+                ranks.append(r)
+                docs.append(d)
+                scores_o.append(s)
+        return pa.table(
+            {
+                "query_id": pa.array(qids, type=pa.int64()),
+                "rank": pa.array(ranks, type=pa.int64()),
+                "doc_id": pa.array(docs, type=pa.int64()),
+                "score": pa.array(scores_o, type=pa.float64()),
+            }
+        )
+
+
+def rescore_phrase_search(
+    queries_ds,
+    index_dir: str,
+    *,
+    base_n: int = 50,
+    boost: float = 2.0,
+    k: int = 10,
+    concurrency: int | tuple = 2,
+    batch_size: int = 256,
+):
+    """queries → top-k after an exact-phrase rescore of the BM25
+    top-``base_n`` window (the ES rescore API; see
+    :class:`PhraseRescorer`)."""
+    return queries_ds.map_batches(
+        PhraseRescorer,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "base_n": base_n,
+            "boost": boost,
+            "k": k,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 class MatchStats:
     """Actor: ES-style stats aggregation over each query's FULL match
     set — (n_matches, max_score, sum_score) from the exact f64

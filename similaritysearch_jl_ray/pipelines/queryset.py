@@ -53,6 +53,20 @@ def queries_dataset():
     return rd.from_items([{"query_id": qid, "text": t} for qid, t in REFERENCE_QUERIES])
 
 
+def query_phrases_sql() -> str:
+    """``(query_id, phrase)`` VALUES list: each query's tokenized
+    terms joined by single spaces — the SQL twin of treating the
+    whole query as a contiguous phrase. On this corpus (single-space
+    [a-z0-9]+ word soup, verified in tests) positional adjacency ≡
+    ``' ' || text || ' ' LIKE '% phrase %'``."""
+    rows = []
+    for qid, text in REFERENCE_QUERIES:
+        toks = tokenize(text)
+        if toks:
+            rows.append(f"({qid}, '{' '.join(toks)}')")
+    return "(VALUES " + ", ".join(rows) + ") AS qp(query_id, phrase)"
+
+
 # Fixed lang-weight map for mode="funcscore" (Elasticsearch
 # function_score / field_value_factor on a doc-values field): score =
 # BM25 · weight(lang), weight defaulting to 1.0. SQL twin inlines the
