@@ -1522,6 +1522,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": textstats.doc_fingerprint,
         "repetition_scores": textstats.repetition_scores,
         "bigram_pmi": lambda sf: textstats.bigram_pmi(sf, min_count=5, top_n=20),
+        # composed C4/Gopher-style cleaning verdicts (first-failing-rule)
+        "corpus_filter": textstats.corpus_filter,
         # -- stream-shaped (events) ---------------------------------------
         "windowed_event_counts": lambda sf: events.windowed_event_counts(sf, window_s=3600),
         "sliding_event_counts": lambda sf: events.sliding_event_counts(
@@ -2006,6 +2008,42 @@ SELECT t.doc_id, coalesce(agg.nb, 0)::BIGINT AS n_bigrams,
   CASE WHEN coalesce(agg.nb, 0) = 0 THEN 0.0
        ELSE round(agg.mx::DOUBLE / agg.nb, 6) END AS top_bigram_ratio
 FROM t LEFT JOIN agg ON agg.doc_id = t.doc_id
+""",
+        # corpus_filter: rule thresholds shared verbatim with
+        # textstats (20/1200 tokens, stop_ratio ≥ 0.01 on the ROUNDED
+        # value, top_bigram_ratio ≤ 0.12 rounded) — first failing rule
+        "corpus_filter": f"""
+WITH t AS (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents),
+feat AS (
+  SELECT doc_id, len(toks)::BIGINT AS n_tokens,
+         CASE WHEN len(toks) = 0 THEN 0.0
+              ELSE round(len(list_filter(toks, x -> x IN ('the', 'a')))::DOUBLE
+                         / len(toks), 6) END AS stop_ratio
+  FROM t
+),
+b AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])) AS bg
+  FROM t
+),
+c AS (SELECT doc_id, bg, count(*)::BIGINT AS c FROM b GROUP BY doc_id, bg),
+agg AS (SELECT doc_id, sum(c)::BIGINT AS nb, max(c)::BIGINT AS mx FROM c GROUP BY doc_id),
+rep AS (
+  SELECT t.doc_id,
+         CASE WHEN coalesce(agg.nb, 0) = 0 THEN 0.0
+              ELSE round(agg.mx::DOUBLE / agg.nb, 6) END AS top_bigram_ratio
+  FROM t LEFT JOIN agg ON agg.doc_id = t.doc_id
+),
+verdict AS (
+  SELECT f.doc_id,
+         CASE WHEN f.n_tokens < 20 THEN 'min_tokens'
+              WHEN f.n_tokens > 1200 THEN 'max_tokens'
+              WHEN f.stop_ratio < 0.01 THEN 'stop_ratio'
+              WHEN r.top_bigram_ratio > 0.12 THEN 'top_bigram_ratio'
+              ELSE '' END AS reject_reason
+  FROM feat f JOIN rep r ON r.doc_id = f.doc_id
+)
+SELECT doc_id, (reject_reason = '') AS keep, reject_reason FROM verdict
 """,
         # bigram_pmi: pmi = ln(((c_xy·NU)·NU)/((NB·c_x)·c_y)) — the
         # association order is fixed and mirrored in textstats.bigram_pmi

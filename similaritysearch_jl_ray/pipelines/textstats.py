@@ -22,6 +22,7 @@ __all__ = [
     "doc_fingerprint",
     "repetition_scores",
     "bigram_pmi",
+    "corpus_filter",
 ]
 
 STOPWORDS = ("the", "a")  # fixed, shared with the SQL oracle
@@ -349,3 +350,51 @@ def bigram_pmi(sf_dir: str, min_count: int = 5, top_n: int = 20):
     out = out.head(top_n).reset_index(drop=True)
     out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))
     return out
+
+
+# corpus_filter rule thresholds (shared verbatim with the SQL oracle):
+# rules apply IN ORDER; reject_reason = first failing rule, '' = keep
+FILTER_MIN_TOKENS = 20
+FILTER_MAX_TOKENS = 1200
+FILTER_MIN_STOP_RATIO = 0.01
+FILTER_MAX_TOP_BIGRAM_RATIO = 0.12
+
+
+def corpus_filter(sf_dir: str):
+    """Composed C4/Gopher-style cleaning pipeline: every doc gets a
+    verdict — (doc_id, keep, reject_reason) with reason = the FIRST
+    failing rule of [min_tokens, max_tokens, stop_ratio,
+    top_bigram_ratio] (thresholds above, shared with the oracle).
+
+    One fused ``map_batches`` computes all features per block
+    (token counts + stop ratio via ``batch_token_counts``, bigram
+    repetition via the :func:`repetition_batch` grouping) — the
+    single-pass multi-rule filter shape a 100 TB cleaning run wants
+    (nothing shuffles; verdicts stream out one row per doc).
+    """
+
+    def verdict(batch: pa.Table) -> pa.Table:
+        nrows = batch.num_rows
+        doc_idx, terms, tfs, doclens = batch_token_counts(batch["text"])
+        stop_mask = np.isin(terms, np.asarray(STOPWORDS, dtype=object))
+        stops = np.zeros(nrows, dtype=np.int64)
+        np.add.at(stops, doc_idx[stop_mask], tfs[stop_mask])
+        safe = np.maximum(doclens, 1).astype(np.float64)
+        stop_ratio = round6(stops / safe)
+        rep = repetition_batch(batch)
+        top_bigram = rep["top_bigram_ratio"].to_numpy()
+        reason = np.full(nrows, "", dtype=object)
+        # apply rules in REVERSE so earlier rules overwrite later ones
+        reason[top_bigram > FILTER_MAX_TOP_BIGRAM_RATIO] = "top_bigram_ratio"
+        reason[stop_ratio < FILTER_MIN_STOP_RATIO] = "stop_ratio"
+        reason[doclens > FILTER_MAX_TOKENS] = "max_tokens"
+        reason[doclens < FILTER_MIN_TOKENS] = "min_tokens"
+        return pa.table(
+            {
+                "doc_id": batch["doc_id"],
+                "keep": pa.array(reason == "", type=pa.bool_()),
+                "reject_reason": pa.array(reason.tolist(), type=pa.string()),
+            }
+        )
+
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(verdict, batch_format="pyarrow")
