@@ -1316,3 +1316,24 @@ def test_funcscore_mode_matches_weighted_brute_force(index_dir):
         np.testing.assert_allclose(
             [s for _, s in got], [s for _, s in want], rtol=1e-12, atol=1e-12
         )
+
+
+def test_search_after_consistent_for_new_modes(index_dir):
+    """Cursor pagination must agree with page 1 for every round-4-late
+    mode (the r3-ADVICE bug class): drop the first c hits via the
+    cursor → the next hits equal page 1's tail, ids AND scores."""
+    for mode, kwargs in [
+        ("msm", {"msm": 2}),
+        ("synonym", {}),
+        ("collapse", {}),
+        ("funcscore", {}),
+    ]:
+        sc = Bm25Scorer(index_dir, k=K, mode=mode, **kwargs)
+        for qid, text in REFERENCE_QUERIES:
+            page1 = sc.score_query(text)[0]
+            if len(page1) < 3:
+                continue
+            c = 2
+            s0, d0 = page1[c - 1][1], page1[c - 1][0]
+            nxt = sc.score_query_after(text, (s0, d0))[0]
+            assert nxt[: len(page1) - c] == page1[c:], (mode, qid)
