@@ -1337,3 +1337,31 @@ def test_search_after_consistent_for_new_modes(index_dir):
             s0, d0 = page1[c - 1][1], page1[c - 1][0]
             nxt = sc.score_query_after(text, (s0, d0))[0]
             assert nxt[: len(page1) - c] == page1[c:], (mode, qid)
+
+
+def test_folded_docmap_resume_fallback(ray_session, tmp_path):
+    """Crash-window resume: all parts committed but the folded docmap
+    missing → the hint path falls back to the stage-A write and the
+    rebuilt docmap matches the original exactly."""
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pqm
+
+    from similaritysearch_jl_ray.pipelines.build_index import build_index
+    from similaritysearch_jl_ray.sources.pages import pages_dataset
+
+    sfd = "/root/testdata/sf0.001"
+    d = str(tmp_path / "idx")
+    n = pqm.read_metadata(f"{sfd}/documents.parquet").num_rows
+    build_index(pages_dataset(sfd), d, num_parts=4, n_docs_hint=n)
+    before = (
+        pads.dataset(f"{d}/docmap", format="parquet").to_table().sort_by("doc_id")
+    )
+    shutil.rmtree(os.path.join(d, "docmap"))
+    stats = build_index(pages_dataset(sfd), d, num_parts=4, n_docs_hint=n)
+    assert stats["n_docs"] == n
+    after = (
+        pads.dataset(f"{d}/docmap", format="parquet").to_table().sort_by("doc_id")
+    )
+    assert before.select(sorted(before.column_names)).equals(
+        after.select(sorted(before.column_names))
+    )
