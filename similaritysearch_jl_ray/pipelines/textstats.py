@@ -10,7 +10,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions.hashing import stable_u64
 from ..functions.text import batch_token_counts, flat_tokens, tokenize
 from ..functions.rounding import round6
 
@@ -138,33 +137,113 @@ def lang_id(sf_dir: str):
 
 
 def doc_fingerprint(sf_dir: str, window: int = 4):
-    """Winnowing document fingerprint (rolling min-hash over token
-    4-gram hashes): (doc_id, fingerprint). Deterministic across runs
-    and partitionings (hashing.stable_u64)."""
+    """Winnowing document fingerprint (sliding min over hashed token
+    4-grams, XOR of the distinct window minima): (doc_id,
+    fingerprint). Deterministic across runs and partitionings.
 
-    def fp(batch: pa.Table) -> pa.Table:
-        vals = []
-        for text in batch["text"].to_pylist():
-            toks = tokenize(text)
-            if not toks:
-                vals.append(0)
-                continue
-            grams = [" ".join(toks[i : i + window]) for i in range(max(1, len(toks) - window + 1))]
-            hs = np.fromiter((stable_u64(g) for g in grams), dtype=np.uint64, count=len(grams))
-            # winnow: min per sliding window of `window` hashes, xor-combined
-            if len(hs) >= window:
-                mins = np.array(
-                    [hs[i : i + window].min() for i in range(len(hs) - window + 1)], dtype=np.uint64
-                )
-            else:
-                mins = hs
-            acc = np.uint64(0)
-            for m in np.unique(mins):
-                acc ^= m
-            vals.append(int(acc.astype(np.int64)))
-        return pa.table({"doc_id": batch["doc_id"], "fingerprint": pa.array(vals, type=pa.int64())})
+    Round-4: the per-doc Python loop (string-joined grams +
+    ``stable_u64`` each) became :func:`fingerprint_batch` — the LAST
+    per-row-Python full-corpus stage; grams now ride the SAME
+    vectorized token-hash + FNV-window-fold kernels the dedup
+    signature stages use (functions/hashing.py), so fingerprint
+    VALUES changed with the gram hash family (rows-only entry; the
+    scalar twin ``fingerprint_scalar`` is the bit-identity contract).
+    """
+    return _documents(sf_dir, ["doc_id", "text"]).map_batches(
+        lambda b: fingerprint_batch(b, window), batch_format="pyarrow"
+    )
 
-    return _documents(sf_dir, ["doc_id", "text"]).map_batches(fp, batch_format="pyarrow")
+
+def fingerprint_batch(batch: pa.Table, window: int = 4) -> pa.Table:
+    """Vectorized winnowing fingerprints for a batch — no per-doc
+    Python: one flat token-hash pass, boundary-masked FNV gram folds,
+    a shifted-minimum sliding window, and per-doc XOR of distinct
+    minima via sort + ``bitwise_xor.reduceat``. Bit-identical to
+    :func:`fingerprint_scalar` per doc (pytest-pinned)."""
+    from ..functions.hashing import _FNV_OFFSET, _FNV_PRIME, _fold_windows, _mix64, hash_tokens_u64
+
+    nrows = batch.num_rows
+    _, doc_of, toks = flat_tokens(batch["text"])
+    th = hash_tokens_u64(toks)
+    total = len(th)
+    dls = np.bincount(doc_of, minlength=nrows).astype(np.int64)
+    gram_vals_l, gram_doc_l = [], []
+    if total >= window:
+        g = _fold_windows(th, window)
+        valid = doc_of[: total - window + 1] == doc_of[window - 1 :]
+        gram_vals_l.append(g[valid])
+        gram_doc_l.append(doc_of[: total - window + 1][valid])
+    # short docs (0 < dl < window): one whole-sequence gram each
+    starts = np.cumsum(dls) - dls
+    for length in range(1, window):
+        dsel = np.flatnonzero(dls == length)
+        if not len(dsel):
+            continue
+        st = starts[dsel]
+        g = np.full(len(dsel), _FNV_OFFSET, dtype=np.uint64)
+        for k in range(length):
+            g = (g * _FNV_PRIME) ^ th[st + k]
+        gram_vals_l.append(_mix64(g))
+        gram_doc_l.append(dsel.astype(np.int64))
+    out = np.zeros(nrows, dtype=np.uint64)
+    if gram_vals_l:
+        gv = np.concatenate(gram_vals_l)
+        gd = np.concatenate(gram_doc_l)
+        o = np.argsort(gd, kind="stable")  # doc-major, positional within doc
+        gv, gd = gv[o], gd[o]
+        gcnt = np.bincount(gd, minlength=nrows)
+        m = len(gv)
+        mins_l, mdoc_l = [], []
+        if m >= window:
+            span = m - window + 1
+            mn = gv[:span].copy()
+            for k in range(1, window):
+                np.minimum(mn, gv[k : k + span], out=mn)
+            validm = gd[:span] == gd[window - 1 :]
+            mins_l.append(mn[validm])
+            mdoc_l.append(gd[:span][validm])
+        short = np.flatnonzero((gcnt > 0) & (gcnt < window))
+        if len(short):
+            sel = np.isin(gd, short)  # all grams of short-gram docs
+            mins_l.append(gv[sel])
+            mdoc_l.append(gd[sel])
+        if mins_l:
+            mv = np.concatenate(mins_l)
+            md = np.concatenate(mdoc_l)
+            o = np.lexsort((mv, md))
+            mv, md = mv[o], md[o]
+            keep = np.r_[True, (md[1:] != md[:-1]) | (mv[1:] != mv[:-1])]
+            mv, md = mv[keep], md[keep]
+            bounds = np.flatnonzero(np.r_[True, md[1:] != md[:-1]])
+            out[md[bounds]] = np.bitwise_xor.reduceat(mv, bounds)
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "fingerprint": pa.array(out.view(np.int64), type=pa.int64()),
+        }
+    )
+
+
+def fingerprint_scalar(text: str, window: int = 4) -> int:
+    """Scalar twin of :func:`fingerprint_batch` (one doc)."""
+    from ..functions.hashing import _fold_windows, hash_tokens_u64
+
+    toks = tokenize(text)
+    if not toks:
+        return 0
+    th = hash_tokens_u64(toks)
+    grams = _fold_windows(th, window if len(th) >= window else len(th))
+    if len(grams) >= window:
+        mins = np.array(
+            [grams[i : i + window].min() for i in range(len(grams) - window + 1)],
+            dtype=np.uint64,
+        )
+    else:
+        mins = grams
+    acc = np.uint64(0)
+    for v in np.unique(mins):
+        acc ^= v
+    return int(acc.astype(np.int64))
 
 
 def repetition_scores(sf_dir: str):

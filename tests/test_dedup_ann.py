@@ -473,3 +473,24 @@ def test_window_rows_kernel_matches_scalar():
                 want.append((" ".join(toks[p : p + window]), d))
                 p += stride
         assert got == want, (window, stride)
+
+
+def test_fingerprint_batch_matches_scalar():
+    """Vectorized winnowing fingerprints ≡ the scalar twin per doc,
+    including empty / short / window-boundary docs."""
+    import pyarrow as pa
+
+    from similaritysearch_jl_ray.pipelines.textstats import (
+        fingerprint_batch,
+        fingerprint_scalar,
+    )
+
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    texts = t["text"].to_pylist()[:100] + [
+        "", "one", "a b", "a b c", "a b c d", "a b c d e", "a b c d e f g",
+        "x x x x x x x x", "p q r s p q r s p q r s",
+    ]
+    batch = pa.table({"doc_id": list(range(len(texts))), "text": texts})
+    got = fingerprint_batch(batch).column("fingerprint").to_pylist()
+    for i, text in enumerate(texts):
+        assert got[i] == fingerprint_scalar(text), (i, text[:40])
