@@ -22,7 +22,6 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 
-from ..functions.text import tokenize
 
 __all__ = [
     "sample_documents",
@@ -98,7 +97,14 @@ def docs_setops(sf_dir: str, lang: str = "en", token: str = "data"):
     ).select_columns(["doc_id"])
 
     def has_token(batch: pa.Table) -> pa.Table:
-        keep = [token in tokenize(t) for t in batch["text"].to_pylist()]
+        # vectorized membership: a doc contains the token iff one of
+        # its (doc, term) rows equals it (batch_token_counts rows are
+        # distinct per doc) — no per-doc Python tokenize
+        from ..functions.text import batch_token_counts
+
+        doc_idx, terms, _, _ = batch_token_counts(batch["text"])
+        keep = np.zeros(batch.num_rows, dtype=bool)
+        keep[doc_idx[terms == token]] = True
         return pa.table({"doc_id": batch["doc_id"].filter(pa.array(keep))})
 
     b = rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]).map_batches(
