@@ -57,33 +57,51 @@ def random_sample_documents(sf_dir: str, fraction: float = 0.1, seed: int = 7):
 def dataset_set_flags(a, b, key: str):
     """Tag both datasets, union, group by ``key``: one row per distinct
     key with (in_a, in_b) booleans. intersect = in_a & in_b, except =
-    in_a & ~in_b, union = all rows."""
+    in_a & ~in_b, union = all rows.
+
+    The group reduce is Ray's NATIVE Max aggregate over 0/1 membership
+    bits (vectorized partial aggregation per block before the
+    shuffle) — the old one-row-per-group ``map_groups`` callable was
+    the per-group-Python shape that stalls at millions of keys."""
 
     def tag(which: str):
         def f(batch: pa.Table) -> pa.Table:
+            n = batch.num_rows
             return pa.table(
                 {
                     key: batch[key],
-                    "src": pa.array([which] * batch.num_rows),
+                    "bit_a": pa.array(
+                        np.full(n, 1 if which == "a" else 0, dtype=np.int64)
+                    ),
+                    "bit_b": pa.array(
+                        np.full(n, 1 if which == "b" else 0, dtype=np.int64)
+                    ),
                 }
             )
 
         return f
 
-    def flags(group: pa.Table) -> pa.Table:
-        srcs = set(group["src"].to_pylist())
+    def to_bool(batch: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
         return pa.table(
             {
-                key: group[key].slice(0, 1),
-                "in_a": pa.array(["a" in srcs]),
-                "in_b": pa.array(["b" in srcs]),
+                key: batch[key],
+                "in_a": pc.greater(batch["in_a"].cast(pa.int64()), 0),
+                "in_b": pc.greater(batch["in_b"].cast(pa.int64()), 0),
             }
         )
+
+    from ray.data.aggregate import Max
 
     u = a.map_batches(tag("a"), batch_format="pyarrow").union(
         b.map_batches(tag("b"), batch_format="pyarrow")
     )
-    return u.groupby(key).map_groups(flags, batch_format="pyarrow")
+    return (
+        u.groupby(key)
+        .aggregate(Max("bit_a", alias_name="in_a"), Max("bit_b", alias_name="in_b"))
+        .map_batches(to_bool, batch_format="pyarrow")
+    )
 
 
 def docs_setops(sf_dir: str, lang: str = "en", token: str = "data"):
