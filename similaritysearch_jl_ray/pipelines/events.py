@@ -15,6 +15,8 @@ import pyarrow as pa
 import pyarrow.compute as pc
 from ..functions.rounding import round6
 
+_SESSION_PARTS = 64  # sessionize hash partitions (the dedup _PARTS shape)
+
 __all__ = [
     "windowed_event_counts",
     "sliding_event_counts",
@@ -51,6 +53,22 @@ def _group_type_window(etype_col, wstart: np.ndarray, vals: np.ndarray):
     return types, wstart[firsts], n, sv
 
 
+def _finalize_window(batch: pa.Table) -> pa.Table:
+    """Round/rename after the NATIVE Sum aggregates — the per-group
+    Python finalize callable is gone (vectorized partial aggregation
+    per block, one tiny batch map after the shuffle)."""
+    return pa.table(
+        {
+            "event_type": batch["event_type"],
+            "window_start": batch["window_start"].cast(pa.int64()),
+            "n": batch["n"].cast(pa.int64()),
+            "sum_value": pa.array(
+                round6(batch["sum_value"].to_numpy(zero_copy_only=False)), type=pa.float64()
+            ),
+        }
+    )
+
+
 def windowed_event_counts(sf_dir: str, window_s: int = 3600):
     """Tumbling window per event_type: (event_type, window_start, n,
     sum_value). Pre-aggregated per batch, then one tiny shuffle."""
@@ -70,23 +88,12 @@ def windowed_event_counts(sf_dir: str, window_s: int = 3600):
             }
         )
 
-    def finalize(group: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "event_type": pa.array([group["event_type"][0].as_py()]),
-                "window_start": pa.array([group["window_start"][0].as_py()], type=pa.int64()),
-                "n": pa.array([int(np.sum(group["n_partial"].to_numpy()))], type=pa.int64()),
-                "sum_value": pa.array(
-                    [round6(float(np.sum(group["sum_partial"].to_numpy())))], type=pa.float64()
-                ),
-            }
-        )
-
     return (
         _events(sf_dir, ["ts", "event_type", "value"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby(["event_type", "window_start"])
-        .map_groups(finalize, batch_format="pyarrow")
+        .aggregate(Sum("n_partial", alias_name="n"), Sum("sum_partial", alias_name="sum_value"))
+        .map_batches(_finalize_window, batch_format="pyarrow")
     )
 
 
@@ -97,6 +104,8 @@ def sliding_event_counts(sf_dir: str, window_s: int = 3600, slide_s: int = 900):
     windows per event. Same pre-aggregate-per-batch + tiny-shuffle
     shape as the tumbling op; fanout happens inside the batch, so the
     shuffle moves one row per (type, window, batch)."""
+    from ray.data.aggregate import Sum
+
     if window_s % slide_s:
         raise ValueError("window_s must be a multiple of slide_s")
     fanout = window_s // slide_s
@@ -121,23 +130,12 @@ def sliding_event_counts(sf_dir: str, window_s: int = 3600, slide_s: int = 900):
             }
         )
 
-    def finalize(group: pa.Table) -> pa.Table:
-        return pa.table(
-            {
-                "event_type": pa.array([group["event_type"][0].as_py()]),
-                "window_start": pa.array([group["window_start"][0].as_py()], type=pa.int64()),
-                "n": pa.array([int(np.sum(group["n_partial"].to_numpy()))], type=pa.int64()),
-                "sum_value": pa.array(
-                    [round6(float(np.sum(group["sum_partial"].to_numpy())))], type=pa.float64()
-                ),
-            }
-        )
-
     return (
         _events(sf_dir, ["ts", "event_type", "value"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby(["event_type", "window_start"])
-        .map_groups(finalize, batch_format="pyarrow")
+        .aggregate(Sum("n_partial", alias_name="n"), Sum("sum_partial", alias_name="sum_value"))
+        .map_batches(_finalize_window, batch_format="pyarrow")
     )
 
 
@@ -202,14 +200,16 @@ def late_event_stats(sf_dir: str, watermark_s: int = 7200):
             }
         )
 
-    def finalize(group: pa.Table) -> pa.Table:
-        mx = max_by_type[group["event_type"][0].as_py()]
+    def attach_max(batch: pa.Table) -> pa.Table:
+        mx = ray.get(mref)
         return pa.table(
             {
-                "event_type": pa.array([group["event_type"][0].as_py()]),
-                "n_total": pa.array([int(np.sum(group["n_partial"].to_numpy()))], type=pa.int64()),
-                "n_late": pa.array([int(np.sum(group["late_partial"].to_numpy()))], type=pa.int64()),
-                "max_ts_s": pa.array([int(mx)], type=pa.int64()),
+                "event_type": batch["event_type"],
+                "n_total": batch["n_total"].cast(pa.int64()),
+                "n_late": batch["n_late"].cast(pa.int64()),
+                "max_ts_s": pa.array(
+                    [int(mx[t]) for t in batch["event_type"].to_pylist()], type=pa.int64()
+                ),
             }
         )
 
@@ -217,7 +217,8 @@ def late_event_stats(sf_dir: str, watermark_s: int = 7200):
         _events(sf_dir, ["ts", "event_type", "value"])
         .map_batches(partial, batch_format="pyarrow")
         .groupby("event_type")
-        .map_groups(finalize, batch_format="pyarrow")
+        .aggregate(Sum("n_partial", alias_name="n_total"), Sum("late_partial", alias_name="n_late"))
+        .map_batches(attach_max, batch_format="pyarrow")
     )
 
 
@@ -226,30 +227,55 @@ def sessionize(sf_dir: str, gap_s: int = 1800):
     (user_id, session_id, n_events, start_s, end_s). session_id is
     1-based in ts order per user (ties: stable ts order)."""
 
-    def sessions(group: pa.Table) -> pa.Table:
-        uid = int(group["user_id"][0].as_py())
-        epoch = pc.cast(group["ts"], pa.int64()).to_numpy() // 1_000_000
-        order = np.argsort(epoch, kind="stable")
-        e = epoch[order]
-        new_sess = np.ones(len(e), dtype=bool)
-        new_sess[1:] = (e[1:] - e[:-1]) > gap_s
-        # e is ascending, so each session is a contiguous run: reduceat
-        # boundaries are exactly the new-session flags
-        bounds = np.flatnonzero(new_sess)
-        n_ev = np.diff(np.r_[bounds, len(e)]).astype(np.int64)
-        nsess = len(bounds)
+    def key_part(batch: pa.Table) -> pa.Table:
+        uid = batch["user_id"].to_numpy()
         return pa.table(
             {
-                "user_id": pa.array(np.full(nsess, uid, dtype=np.int64)),
-                "session_id": pa.array(np.arange(1, nsess + 1, dtype=np.int64)),
+                "part": pa.array(uid % _SESSION_PARTS, type=pa.int64()),
+                "user_id": batch["user_id"],
+                "ts": batch["ts"],
+            }
+        )
+
+    def sessions_of_partition(group: pa.Table) -> pa.Table:
+        # ONE vectorized pass over every user of the hash partition
+        # (per-user map_groups would run a Python callable per user —
+        # unbounded keys at web scale; this is the dedup _PARTS shape)
+        uid = group["user_id"].to_numpy().astype(np.int64)
+        epoch = pc.cast(group["ts"], pa.int64()).to_numpy() // 1_000_000
+        if not len(uid):
+            e = np.empty(0, np.int64)
+            return pa.table(
+                {"user_id": e, "session_id": e, "n_events": e, "start_s": e, "end_s": e}
+            )
+        order = np.lexsort((epoch, uid))  # user-major, ts-ascending
+        u_s, e_s = uid[order], epoch[order]
+        new_user = np.ones(len(u_s), dtype=bool)
+        new_user[1:] = u_s[1:] != u_s[:-1]
+        new_sess = new_user | np.r_[True, (e_s[1:] - e_s[:-1]) > gap_s]
+        bounds = np.flatnonzero(new_sess)
+        n_ev = np.diff(np.r_[bounds, len(e_s)]).astype(np.int64)
+        nsess = len(bounds)
+        sess_user = u_s[bounds]
+        # per-user 1-based session ordinals: subtract each user's first
+        # session index (sessions are user-contiguous after the sort)
+        first_of_user = np.r_[True, sess_user[1:] != sess_user[:-1]]
+        sess_ord = np.arange(nsess, dtype=np.int64)
+        offs = np.maximum.accumulate(np.where(first_of_user, sess_ord, 0))
+        return pa.table(
+            {
+                "user_id": pa.array(sess_user, type=pa.int64()),
+                "session_id": pa.array(sess_ord - offs + 1, type=pa.int64()),
                 "n_events": pa.array(n_ev, type=pa.int64()),
-                "start_s": pa.array(e[bounds], type=pa.int64()),
-                "end_s": pa.array(e[np.r_[bounds[1:], len(e)] - 1], type=pa.int64()),
+                "start_s": pa.array(e_s[bounds], type=pa.int64()),
+                "end_s": pa.array(e_s[np.r_[bounds[1:], len(e_s)] - 1], type=pa.int64()),
             }
         )
 
     return (
         _events(sf_dir, ["user_id", "ts"])
-        .groupby("user_id")
-        .map_groups(sessions, batch_format="pyarrow")
+        .map_batches(key_part, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(sessions_of_partition, batch_format="pyarrow")
+        .select_columns(["user_id", "session_id", "n_events", "start_s", "end_s"])
     )
