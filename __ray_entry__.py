@@ -55,6 +55,12 @@ def _queries_sql() -> str:
     return queries_values_sql()
 
 
+def _qids_sql() -> str:
+    from similaritysearch_jl_ray.pipelines.queryset import query_ids_values_sql
+
+    return query_ids_values_sql()
+
+
 _BM25_SUM = f"""sum( ln(1 + (s.n - df.df + 0.5) / (df.df + 0.5))
               * tf.tf * ({_K1} + 1)
               / (tf.tf + {_K1} * (1 - {_B} + {_B} * dl.dl / s.avgdl)) )"""
@@ -1600,10 +1606,15 @@ FROM tf JOIN dl ON dl.doc_id = tf.doc_id
         "bm25_topk_synonym": _synonym_sql(),
         "match_counts": f"""
 WITH {_TOK_CTES},
-q AS (SELECT * FROM {_queries_sql()})
-SELECT q.query_id, count(DISTINCT tf.doc_id)::BIGINT AS n_matches
-FROM q LEFT JOIN tf ON tf.term = q.term
-GROUP BY q.query_id
+q AS (SELECT * FROM {_queries_sql()}),
+qi AS (SELECT * FROM {_qids_sql()}),
+mc AS (
+  SELECT q.query_id, count(DISTINCT tf.doc_id)::BIGINT AS n_matches
+  FROM q LEFT JOIN tf ON tf.term = q.term
+  GROUP BY q.query_id
+)
+SELECT qi.query_id, coalesce(mc.n_matches, 0)::BIGINT AS n_matches
+FROM qi LEFT JOIN mc ON mc.query_id = qi.query_id
 """,
         "bm25_explain": f"""
 WITH {_TOK_CTES},
@@ -1696,7 +1707,7 @@ agg AS (
   SELECT query_id, count(*)::BIGINT AS n, max(fscore) AS mx, sum(fscore) AS sm
   FROM scores GROUP BY query_id
 ),
-qq AS (SELECT DISTINCT query_id FROM q)
+qq AS (SELECT * FROM {_qids_sql()})
 SELECT qq.query_id, coalesce(agg.n, 0)::BIGINT AS n_matches,
        round(coalesce(agg.mx, 0.0), {_ROUND}) AS max_score,
        round(coalesce(agg.sm, 0.0), {_ROUND}) AS sum_score

@@ -384,15 +384,24 @@ def build_index(
             if ext.num_rows == 0:
                 return pa.Table.from_pylist([], schema=RUN_SCHEMA)
             if side_docmap:
-                import uuid
-
                 import pyarrow.parquet as pqw
 
+                # Idempotent side-write: the filename derives from the
+                # batch content (first doc_id — globally unique per row,
+                # so disjoint blocks can never collide) and the write is
+                # tmp + os.replace, so a Ray task retry / lineage
+                # re-execution OVERWRITES its own slice instead of
+                # duplicating it and tripping the post-D1 row-count
+                # verification.
+                first_doc = ext.column("doc_id")[0].as_py()
+                dst = os.path.join(docmap_dir, f"part-{first_doc:012d}.parquet")
+                tmp = dst + f".tmp-{os.getpid()}"
                 pqw.write_table(
                     ext.select(["doc_id", "url", "lang"]),
-                    os.path.join(docmap_dir, f"part-{uuid.uuid4().hex}.parquet"),
+                    tmp,
                     compression="zstd",
                 )
+                os.replace(tmp, dst)
             toks = [
                 tok(ext.slice(i, tokenize_batch_size))
                 for i in range(0, ext.num_rows, tokenize_batch_size)
@@ -409,9 +418,28 @@ def build_index(
 
             n_written = pads.dataset(docmap_dir, format="parquet").count_rows()
             if n_written != int(n_docs_hint):
+                # Distinguish duplicate slices (a retry artifact — should
+                # be impossible with the content-derived filenames above)
+                # from a genuinely wrong hint.
+                import pyarrow.compute as pc2
+
+                ids = (
+                    pads.dataset(docmap_dir, format="parquet")
+                    .to_table(columns=["doc_id"])
+                    .column("doc_id")
+                )
+                n_distinct = len(pc2.unique(ids))
+                if n_distinct == int(n_docs_hint):
+                    raise IndexBuildError(
+                        f"folded docmap holds {n_written} rows but only "
+                        f"{n_distinct} distinct doc_ids — duplicate slices "
+                        "from a task retry; the hint is correct, the "
+                        "side-write deduplication failed"
+                    )
                 raise IndexBuildError(
                     f"n_docs_hint={n_docs_hint} but the folded docmap wrote "
-                    f"{n_written} rows — the hint must be the exact corpus size"
+                    f"{n_written} rows ({n_distinct} distinct doc_ids) — "
+                    "the hint must be the exact corpus size"
                 )
             _mark_done(docmap_dir)
         _lap("D1_encode_shuffle")

@@ -250,6 +250,11 @@ def build_expand_pack(terms) -> dict:
     lens = np.fromiter((len(t) for t in d), dtype=np.int64, count=len(d))
     return {
         "n_terms": len(d),
+        # endpoint terms let consumers reject a same-length but
+        # different-content dictionary (ADVICE r4: length alone would
+        # silently serve a misaligned gram index)
+        "first_term": str(d[0]) if len(d) else "",
+        "last_term": str(d[-1]) if len(d) else "",
         "lens": lens,
         "gram": build_gram_csr(d, lens),
         "dict_bytes": build_dict_bytes(d, lens),
@@ -602,9 +607,23 @@ class Bm25Scorer:
 
             exp = ray.get(ref)
             # valid only while the actor's dictionary is the pack's
-            # term set (tests swap _dict_cache to synthetic vocabs —
-            # the length check rejects those and derives locally)
-            if exp["n_terms"] == len(d) and len(d) == len(pack["terms"]):
+            # term set (tests swap _dict_cache to synthetic vocabs).
+            # Length + endpoint terms: a same-length dictionary swap
+            # must not silently serve a misaligned gram index, so the
+            # first/last sorted terms are compared too (cheap, and a
+            # different term set of the same size almost always moves
+            # an endpoint of the sorted dictionary).
+            if (
+                exp["n_terms"] == len(d)
+                and len(d) == len(pack["terms"])
+                and (
+                    len(d) == 0
+                    or (
+                        str(d[0]) == exp.get("first_term", str(d[0]))
+                        and str(d[-1]) == exp.get("last_term", str(d[-1]))
+                    )
+                )
+            ):
                 hit = exp
         self._expand_pack_cache = (d, hit)
         return hit
@@ -1314,7 +1333,19 @@ class Bm25Scorer:
             return None
         dm_ids, dm_code, _ = self._doc_langs()
         pos, valid = in_sorted(dm_ids, uniq)
-        lang_of = np.where(valid, dm_code[np.minimum(pos, len(dm_ids) - 1)], -1)
+        if not valid.all():
+            # A matched doc absent from the docmap means the serving
+            # state is inconsistent (stale pack / fingerprint miss —
+            # every live doc has a docmap row by construction). Raise
+            # loudly instead of collapsing all unknown-lang docs under
+            # one sentinel group (ADVICE r4).
+            missing = uniq[~valid][:5].tolist()
+            raise RuntimeError(
+                f"collapse: {int((~valid).sum())} matched doc(s) missing "
+                f"from the docmap (e.g. {missing}) — stale serving pack "
+                "or index fingerprint mismatch"
+            )
+        lang_of = dm_code[pos]
         order = np.lexsort((uniq, -scores))  # score desc, doc asc
         first = np.zeros(len(order), dtype=bool)
         _, fidx = np.unique(lang_of[order], return_index=True)

@@ -110,6 +110,16 @@ def queries_values_sql() -> str:
     return "(VALUES " + ", ".join(pairs) + ") AS q(query_id, term)"
 
 
+def query_ids_values_sql() -> str:
+    """``(query_id)`` VALUES list of ALL reference queries — including
+    any that tokenize to zero terms. Count/stat oracles must derive
+    their per-query row set from THIS list (not the (query_id, term)
+    pairs) so a punctuation-only query still yields an n_matches=0 row
+    on both sides (the engine actors emit one per input query)."""
+    rows = ", ".join(f"({qid})" for qid, _ in REFERENCE_QUERIES)
+    return "(VALUES " + rows + ") AS qi(query_id)"
+
+
 # Boolean (DNF) reference queries: doc matches if ANY group's terms
 # are ALL present; ranking is standard BM25 over the query's distinct
 # terms (the Lucene boolean-filter + relevance-rank pattern).
