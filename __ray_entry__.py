@@ -1368,7 +1368,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
 
     from similaritysearch_jl_ray.pipelines import ann, dedup, events, textstats
 
-    return {
+    entries = {
         # -- inverted index / BM25 (SURVEY §2.2-2.6, the flagship) -------
         "extract_text_identity": extract_text_identity,
         "doc_lengths": doc_lengths,
@@ -1538,6 +1538,40 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "late_event_stats": lambda sf: events.late_event_stats(sf, watermark_s=7200),
         "sessionize": lambda sf: events.sessionize(sf, gap_s=1800),
     }
+    # The driver's correctness run samples the FIRST 50 entries, so
+    # ordering is a verification-coverage decision, not cosmetics.
+    # Front of the window (round 5): the 39 entries the round-4 driver
+    # never sampled (positions 51-89 then — dedup/ann/textstats/events,
+    # including the never-checked searchgraph_knn / knn_search_ivfpq /
+    # pq_codes / repetition_scores / bigram_pmi / corpus_filter and the
+    # late-r4 rewrites sessionize / docs_setops / doc_fingerprint),
+    # plus the 11 flagship or round-5-touched search entries. The
+    # long-stable bm25 mode variants (green in r2/r3/r4 and re-proven
+    # every session by tests/test_oracle_parity.py) rotate to the tail.
+    front = [
+        "dedup_clusters", "decontaminate", "minhash_lsh_pairs",
+        "simhash_pairs", "embedding_neardup_pairs", "knn_search",
+        "allknn", "closestpair", "fft", "distsample", "rerank",
+        "hsp_filter", "sat_neighborhood", "distal_sat_neighborhood",
+        "kcenters_neighborhood", "permuted_knn_search",
+        "neardup_embeddings", "searchgraph_knn", "knn_search_ivf_full",
+        "knn_search_ivf", "knn_search_ivfpq", "pq_codes",
+        "random_projection", "quantize_embeddings", "docs_sample",
+        "docs_setops", "media_features", "lang_dist",
+        "token_totals_by_lang", "quality_scores", "lang_id",
+        "doc_fingerprint", "repetition_scores", "bigram_pmi",
+        "corpus_filter", "windowed_event_counts",
+        "sliding_event_counts", "late_event_stats", "sessionize",
+        # round-5-touched / flagship search entries
+        "bm25_topk", "bm25_topk_exhaustive", "bm25_topk_sharded",
+        "term_df", "corpus_stats", "index_export", "match_counts",
+        "match_stats", "bm25_topk_collapse", "significant_terms",
+        "bm25_topk_fuzzy",
+    ]
+    assert set(front) <= set(entries), sorted(set(front) - set(entries))
+    ordered = {k: entries[k] for k in front}
+    ordered.update((k, v) for k, v in entries.items() if k not in ordered)
+    return ordered
 
 
 def _fft_sql(k: int = 5) -> str:
