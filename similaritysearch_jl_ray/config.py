@@ -65,3 +65,40 @@ import os as _os
 BROADCAST_PACK_BUDGET_BYTES = int(
     _os.environ.get("GRAFT_PACK_BUDGET_BYTES", 2 << 30)
 )
+
+# Default fan-out for hash-partitioned grouped stages when the cluster
+# size can't be read (Ray not initialised) and no override is set.
+DEFAULT_GROUPED_PARTS = 64
+
+
+def grouped_parts() -> int:
+    """Fan-out for hash-partitioned grouped stages (dedup pair/verify
+    steps, sessionize, PMI ranking): each grouped step shuffles on
+    ``key_hash % parts`` and runs ONE vectorized call per partition,
+    so this bounds both the stage's parallelism and its per-partition
+    working set (~1/parts of the keyed rows). It must therefore track
+    cluster size, not stay a compile-time constant.
+
+    Priority: ``GRAFT_GROUPED_PARTS`` env override → 2× cluster CPUs
+    when Ray is initialised (floored at DEFAULT_GROUPED_PARTS so
+    bench-scale partitions keep their current shape) → the default.
+    Resolve ONCE per pipeline on the driver at construction time and
+    close over the value — never call this inside a worker function —
+    so every stage of one run agrees on the modulus. Results are
+    partition-count-invariant by construction (the partition id only
+    routes rows; every reduce is per original key) — pinned by
+    tests/test_dedup.py's parts-invariance test.
+    """
+    v = _os.environ.get("GRAFT_GROUPED_PARTS")
+    if v:
+        return max(1, int(v))
+    try:
+        import ray
+
+        if ray.is_initialized():
+            cpus = int(ray.cluster_resources().get("CPU", 0))
+            if cpus > 0:
+                return max(DEFAULT_GROUPED_PARTS, 2 * cpus)
+    except Exception:
+        pass
+    return DEFAULT_GROUPED_PARTS

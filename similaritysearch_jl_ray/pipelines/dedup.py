@@ -27,7 +27,7 @@ bounds the pair blowup of hot shingles the same way head-term salting
 bounds posting groups. NO per-document or per-pair Python anywhere:
 signature stages run the vectorized batch kernels
 (functions/hashing.py — one polars token-hash pass + numpy folds),
-and every grouped step is hash-partitioned into ``_PARTS`` buckets
+and every grouped step is hash-partitioned into ``grouped_parts()`` buckets
 processed as ONE vectorized call each (sort + reduceat), never one
 Python callable per group/pair.
 """
@@ -48,6 +48,7 @@ from ..functions.hashing import (
     popcount64,
     shingle_hashes,
 )
+from ..config import grouped_parts
 from ..functions.rounding import round6
 from ..functions.text import flat_tokens, tokenize
 
@@ -64,11 +65,11 @@ __all__ = [
 
 # hash partitions for grouped vectorized ops: each groupby below keys
 # on a partition id instead of the raw group key, so the shuffle fans
-# into _PARTS vectorized calls (sort + reduceat inside) rather than
-# one Python callable per group/pair. Sized so a partition's rows fit
-# a worker's heap at bench scale; at cluster scale it should track
-# total cores (it bounds the grouped stages' parallelism).
-_PARTS = 64
+# into P vectorized calls (sort + reduceat inside) rather than one
+# Python callable per group/pair. P = config.grouped_parts(): env
+# override → 2× cluster CPUs → 64; resolved ONCE per pipeline on the
+# driver and closed over, so every stage of a run shares the modulus.
+# Results are partition-count-invariant (pinned in tests/test_dedup).
 
 _I64 = pa.int64()
 _F64 = pa.float64()
@@ -80,18 +81,18 @@ def _documents(sf_dir: str):
     return rd.read_parquet(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
 
 
-def _u64_part(x: np.ndarray) -> np.ndarray:
-    """Partition id in [0, _PARTS) from any int64/uint64 key column."""
-    return (x.astype(np.uint64, copy=False) % np.uint64(_PARTS)).astype(np.int64)
+def _u64_part(x: np.ndarray, parts: int) -> np.ndarray:
+    """Partition id in [0, parts) from any int64/uint64 key column."""
+    return (x.astype(np.uint64, copy=False) % np.uint64(parts)).astype(np.int64)
 
 
-def _pair_part(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+def _pair_part(a: np.ndarray, b: np.ndarray, parts: int) -> np.ndarray:
     """Partition id for (doc_a, doc_b) pair keys — FNV-ish combine so
     co-ranked ids don't all land in one bucket."""
     x = (a.astype(np.uint64) * np.uint64(0x100000001B3)) ^ b.astype(np.uint64)
     x ^= x >> np.uint64(33)
     x *= np.uint64(0xFF51AFD7ED558CCD)
-    return (x % np.uint64(_PARTS)).astype(np.int64)
+    return (x % np.uint64(parts)).astype(np.int64)
 
 
 def _segment_pairs(starts: np.ndarray, counts: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
@@ -373,16 +374,17 @@ def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.5, n: int = 3, max_df: int |
     ``max_df=None`` for the EXACT mode — the DuckDB-oracle entry in
     ``__ray_entry__`` pins that, production dedup should not.
 
-    Both grouped steps are hash-partitioned (``_PARTS``) and fully
+    Both grouped steps are hash-partitioned (``grouped_parts()``) and fully
     vectorized inside each partition: pair emission is a sort +
     segment-triu expansion, the Jaccard reduce a sort + reduceat —
     never one Python callable per shingle or per pair.
     """
+    P = grouped_parts()
 
     def add_shingle_part(batch: pa.Table) -> pa.Table:
         t = _shingle_rows(batch, n)
         return t.append_column(
-            "part", pa.array(_u64_part(t["shingle"].to_numpy()), type=_I64)
+            "part", pa.array(_u64_part(t["shingle"].to_numpy(), P), type=_I64)
         )
 
     def pairs_of_partition(group: pa.Table) -> pa.Table:
@@ -430,7 +432,7 @@ def ngram_jaccard_pairs(sf_dir: str, tau: float = 0.5, n: int = 3, max_df: int |
                 "size_a": pa.array(batch["size_a"].to_numpy()[firsts], type=_I64),
                 "size_b": pa.array(batch["size_b"].to_numpy()[firsts], type=_I64),
                 "inter_partial": pa.array(np.diff(bounds), type=_I64),
-                "part2": pa.array(_pair_part(a[firsts], b[firsts]), type=_I64),
+                "part2": pa.array(_pair_part(a[firsts], b[firsts], P), type=_I64),
             }
         )
 
@@ -483,6 +485,7 @@ def minhash_lsh_pairs(sf_dir: str, tau: float = 0.5, n: int = 3, bands: int = MI
     vectorized inside the partition."""
     if MINHASH_PERMS % bands:
         raise ValueError(f"bands must divide {MINHASH_PERMS}")
+    P = grouped_parts()
 
     def sig_rows(batch: pa.Table) -> pa.Table:
         ids, counts, flat = _shingle_batch(batch, n)
@@ -496,7 +499,7 @@ def minhash_lsh_pairs(sf_dir: str, tau: float = 0.5, n: int = 3, bands: int = MI
                 "band": pa.array(band_col, type=_I64),
                 "bkey": pa.array(key_col, type=_I64),
                 "doc_id": pa.array(np.repeat(ids, bands), type=_I64),
-                "part": pa.array(_u64_part(key_col), type=_I64),
+                "part": pa.array(_u64_part(key_col, P), type=_I64),
             }
         )
 
@@ -515,7 +518,7 @@ def minhash_lsh_pairs(sf_dir: str, tau: float = 0.5, n: int = 3, bands: int = MI
             {
                 "doc_a": pa.array(a, type=_I64),
                 "doc_b": pa.array(b, type=_I64),
-                "part2": pa.array(_pair_part(a, b), type=_I64),
+                "part2": pa.array(_pair_part(a, b, P), type=_I64),
             }
         )
 
@@ -557,7 +560,7 @@ def minhash_lsh_pairs(sf_dir: str, tau: float = 0.5, n: int = 3, bands: int = MI
                 "shingle": pa.nulls(len(doc), type=_I64),
                 "doc_a": pa.array(np.concatenate([a, a]), type=_I64),
                 "doc_b": pa.array(np.concatenate([b, b]), type=_I64),
-                "dpart": pa.array(_u64_part(doc), type=_I64),
+                "dpart": pa.array(_u64_part(doc, P), type=_I64),
             }
         )
 
@@ -571,7 +574,7 @@ def minhash_lsh_pairs(sf_dir: str, tau: float = 0.5, n: int = 3, bands: int = MI
                 "shingle": t["shingle"],
                 "doc_a": pa.nulls(nrows, type=_I64),
                 "doc_b": pa.nulls(nrows, type=_I64),
-                "dpart": pa.array(_u64_part(doc), type=_I64),
+                "dpart": pa.array(_u64_part(doc, P), type=_I64),
             }
         )
 
@@ -625,7 +628,7 @@ def minhash_lsh_pairs(sf_dir: str, tau: float = 0.5, n: int = 3, bands: int = MI
                 "doc_b": pa.array(mem_b, type=_I64),
                 "doc_id": pa.array(mem_doc, type=_I64),
                 "shingles": shingles,
-                "vpart": pa.array(_pair_part(mem_a, mem_b), type=_I64),
+                "vpart": pa.array(_pair_part(mem_a, mem_b, P), type=_I64),
             }
         )
 
@@ -723,6 +726,7 @@ def dedup_clusters(
     """
     from ray.data.aggregate import Min
 
+    P = grouped_parts()
     if edges is None:
         if edge_source == "minhash":
             edges = minhash_lsh_pairs(sf_dir, tau=tau, n=n)
@@ -751,7 +755,7 @@ def dedup_clusters(
                 "node": pa.array(node, type=_I64),
                 "other": pa.array(np.concatenate([b, a]), type=_I64),
                 "label": pa.nulls(2 * len(a), type=_I64),
-                "npart": pa.array(_u64_part(node), type=_I64),
+                "npart": pa.array(_u64_part(node, P), type=_I64),
             }
         )
 
@@ -762,7 +766,7 @@ def dedup_clusters(
                 "node": batch["node"],
                 "other": pa.nulls(batch.num_rows, type=_I64),
                 "label": batch["label"],
-                "npart": pa.array(_u64_part(node), type=_I64),
+                "npart": pa.array(_u64_part(node, P), type=_I64),
             }
         )
 
@@ -838,6 +842,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
     passes."""
     nbands = max_hamming + 1
     band_bits = 64 // nbands
+    P = grouped_parts()
 
     def sig_rows(batch: pa.Table) -> pa.Table:
         n_docs, doc_of_token, tokens = flat_tokens(batch["text"])
@@ -855,7 +860,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
                 "doc_id": pa.array(np.repeat(ids, nbands), type=_I64),
                 "sim": pa.array(sims.view(np.int64).repeat(nbands), type=_I64),
                 "part": pa.array(
-                    _u64_part(bvals * np.int64(nbands) + band_col), type=_I64
+                    _u64_part(bvals * np.int64(nbands) + band_col, P), type=_I64
                 ),
             }
         )
@@ -879,7 +884,7 @@ def simhash_pairs(sf_dir: str, max_hamming: int = 3):
                 "doc_a": pa.array(a, type=_I64),
                 "doc_b": pa.array(b, type=_I64),
                 "hamming": pa.array(ham[keep], type=_I64),
-                "part2": pa.array(_pair_part(a, b), type=_I64),
+                "part2": pa.array(_pair_part(a, b, P), type=_I64),
             }
         )
 

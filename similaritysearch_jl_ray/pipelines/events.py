@@ -13,9 +13,9 @@ from __future__ import annotations
 import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
-from ..functions.rounding import round6
 
-_SESSION_PARTS = 64  # sessionize hash partitions (the dedup _PARTS shape)
+from ..config import grouped_parts
+from ..functions.rounding import round6
 
 __all__ = [
     "windowed_event_counts",
@@ -225,13 +225,16 @@ def late_event_stats(sf_dir: str, watermark_s: int = 7200):
 def sessionize(sf_dir: str, gap_s: int = 1800):
     """Per-user sessions (gap > gap_s starts a new session):
     (user_id, session_id, n_events, start_s, end_s). session_id is
-    1-based in ts order per user (ties: stable ts order)."""
+    1-based in ts order per user (ties: stable ts order). Hash
+    partitions = config.grouped_parts() (driver-resolved; the dedup
+    grouped-stage shape)."""
+    P = grouped_parts()
 
     def key_part(batch: pa.Table) -> pa.Table:
         uid = batch["user_id"].to_numpy()
         return pa.table(
             {
-                "part": pa.array(uid % _SESSION_PARTS, type=pa.int64()),
+                "part": pa.array(uid % P, type=pa.int64()),
                 "user_id": batch["user_id"],
                 "ts": batch["ts"],
             }
@@ -240,7 +243,7 @@ def sessionize(sf_dir: str, gap_s: int = 1800):
     def sessions_of_partition(group: pa.Table) -> pa.Table:
         # ONE vectorized pass over every user of the hash partition
         # (per-user map_groups would run a Python callable per user —
-        # unbounded keys at web scale; this is the dedup _PARTS shape)
+        # unbounded keys at web scale; this is the dedup grouped-parts shape)
         uid = group["user_id"].to_numpy().astype(np.int64)
         epoch = pc.cast(group["ts"], pa.int64()).to_numpy() // 1_000_000
         if not len(uid):

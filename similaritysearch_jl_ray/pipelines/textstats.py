@@ -323,14 +323,32 @@ def bigram_pmi(sf_dir: str, min_count: int = 5, top_n: int = 20):
     Distributed shape (100 TB): unigram and bigram counts pre-aggregate
     in-batch (``np.unique`` over dictionary codes) so the two groupbys
     shuffle one row per distinct key per block — vocabulary-, not
-    corpus-, sized; only the min_count-filtered collocation table and
-    the unigram counts of ITS terms (both bounded by min_count) reach
-    the driver for the final tiny rank. The corpus text itself never
-    leaves the map stage.
+    corpus-, sized. The ranking itself is DISTRIBUTED (round 5): the
+    min_count filter runs in the bigram table's own blocks, unigram
+    counts attach via two co-partitioned union joins (hash(x) then
+    hash(y) — the dedup verify-join shape; the unigram table is never
+    broadcast and never collected), PMI evaluates vectorized inside
+    each partition, and each partition emits only its LOCAL top_n by
+    the final (−pmi, bigram) key — so the driver receives ≤
+    ``grouped_parts()·top_n`` rows, never the candidate vocabulary.
+    The global top_n is contained in the union of per-partition
+    top_ns because every partition cuts on the same total order.
     """
     import pandas as pd
+    import polars as pl
     import pyarrow.compute as pc
     from ray.data.aggregate import Sum
+
+    from ..config import grouped_parts
+
+    P = grouped_parts()
+
+    def _str_part(col) -> np.ndarray:
+        """Deterministic hash partition of a string column (polars
+        xxhash kernel — same function on both join sides)."""
+        arr = col.combine_chunks() if isinstance(col, pa.ChunkedArray) else col
+        h = pl.from_arrow(arr).hash(seed=0x51A3D7)
+        return (h.to_numpy() % np.uint64(P)).astype(np.int64)
 
     def uni_partial(batch: pa.Table) -> pa.Table:
         _, _, toks = flat_tokens(batch["text"])
@@ -384,47 +402,135 @@ def bigram_pmi(sf_dir: str, min_count: int = 5, top_n: int = 20):
     # corpus totals: tiny scalar aggregates
     nu = float(uni.sum("c"))
     nb = float(bg.sum("c_xy"))
-    # min_count filter runs DISTRIBUTED; only the surviving
-    # collocation candidates ever reach the driver
-    cand_tbls = [
-        t
-        for t in bg.map_batches(
-            lambda t: t.filter(pc.greater_equal(t["c_xy"], min_count)),
-            batch_format="pyarrow",
-        ).iter_batches(batch_format="pyarrow")
-        if t.num_rows
-    ]
-    if not cand_tbls:
+    _STR = pa.string()
+    _I64 = pa.int64()
+    _I8 = pa.int8()
+
+    def cand_side(t: pa.Table) -> pa.Table:
+        """min_count filter in the bigram table's own blocks, tagged
+        for the first join (partition on hash(x))."""
+        t = t.filter(pc.greater_equal(t["c_xy"], min_count))
+        n = t.num_rows
+        return pa.table(
+            {
+                "part": pa.array(_str_part(t["x"]), type=_I64),
+                "side": pa.array(np.zeros(n, dtype=np.int8), type=_I8),
+                "x": t["x"],
+                "y": t["y"],
+                "c_xy": t["c_xy"].cast(_I64),
+                "c_x": pa.nulls(n, type=_I64),
+                "term": pa.nulls(n, type=_STR),
+                "c": pa.nulls(n, type=_I64),
+            }
+        )
+
+    def uni_side(t: pa.Table) -> pa.Table:
+        n = t.num_rows
+        return pa.table(
+            {
+                "part": pa.array(_str_part(t["term"]), type=_I64),
+                "side": pa.array(np.ones(n, dtype=np.int8), type=_I8),
+                "x": pa.nulls(n, type=_STR),
+                "y": pa.nulls(n, type=_STR),
+                "c_xy": pa.nulls(n, type=_I64),
+                "c_x": pa.nulls(n, type=_I64),
+                "term": t["term"],
+                "c": t["c"].cast(_I64),
+            }
+        )
+
+    def _lookup(terms: np.ndarray, counts: np.ndarray, keys: np.ndarray) -> np.ndarray:
+        """counts of each key among (sorted-by-us) terms; raises on a
+        miss — every bigram term IS a unigram by construction, so a
+        miss means a broken co-partition, never a soft fallback."""
+        o = np.argsort(terms)
+        ts, cs = terms[o], counts[o]
+        pos = np.searchsorted(ts, keys)
+        ok = (pos < len(ts)) & (ts[np.minimum(pos, len(ts) - 1)] == keys)
+        if not bool(ok.all()):
+            raise RuntimeError("bigram_pmi: candidate term missing from unigram partition")
+        return cs[pos]
+
+    def attach_x(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy()
+        is_u = side == 1
+        terms = np.asarray(group["term"].to_pylist(), dtype=object)[is_u]
+        ucnt = group["c"].to_numpy(zero_copy_only=False)[is_u].astype(np.int64)
+        gc = group.filter(pa.array(~is_u))
+        gu = group.filter(pa.array(is_u))
+        n = gc.num_rows
+        if n:
+            xs = np.asarray(gc["x"].to_pylist(), dtype=object)
+            c_x = _lookup(terms, ucnt, xs)
+            cand_out = pa.table(
+                {
+                    "part": pa.array(_str_part(gc["y"]), type=_I64),
+                    "side": gc["side"],
+                    "x": gc["x"],
+                    "y": gc["y"],
+                    "c_xy": gc["c_xy"],
+                    "c_x": pa.array(c_x, type=_I64),
+                    "term": gc["term"],
+                    "c": gc["c"],
+                }
+            )
+        else:
+            cand_out = None
+        # unigram rows forward unchanged: their second-join partition
+        # is hash(term) — identical to their current part value
+        uni_out = gu
+        tbls = [t for t in (cand_out, uni_out) if t is not None and t.num_rows]
+        if not tbls:
+            return cand_side(pa.table({"x": pa.array([], _STR), "y": pa.array([], _STR),
+                                       "c_xy": pa.array([], _I64)}))
+        return pa.concat_tables(tbls, promote_options="default")
+
+    def finalize(group: pa.Table) -> pa.Table:
+        side = group["side"].to_numpy()
+        is_u = side == 1
+        terms = np.asarray(group["term"].to_pylist(), dtype=object)[is_u]
+        ucnt = group["c"].to_numpy(zero_copy_only=False)[is_u].astype(np.int64)
+        gc = group.filter(pa.array(~is_u))
+        empty = pa.table(
+            {"bigram": pa.array([], _STR), "c_xy": pa.array([], _I64),
+             "pmi": pa.array([], pa.float64())}
+        )
+        if not gc.num_rows:
+            return empty
+        ys = np.asarray(gc["y"].to_pylist(), dtype=object)
+        c_y = _lookup(terms, ucnt, ys).astype(np.float64)
+        c_x = gc["c_x"].to_numpy(zero_copy_only=False).astype(np.float64)
+        c_xy = gc["c_xy"].to_numpy(zero_copy_only=False).astype(np.float64)
+        xs = np.asarray(gc["x"].to_pylist(), dtype=object)
+        pmi = round6(np.log(((c_xy * nu) * nu) / ((float(nb) * c_x) * c_y)))
+        big = np.array([f"{x} {y}" for x, y in zip(xs, ys)], dtype=object)
+        # LOCAL top_n on the exact global key: (−pmi asc ≡ pmi desc,
+        # bigram asc) — one vectorized lexsort, no per-row Python
+        order = np.lexsort((big.astype(str), -pmi))[:top_n]
+        return pa.table(
+            {
+                "bigram": pa.array(big[order].tolist(), type=_STR),
+                "c_xy": pa.array(c_xy[order].astype(np.int64), type=_I64),
+                "pmi": pa.array(pmi[order], type=pa.float64()),
+            }
+        )
+
+    ranked = (
+        bg.map_batches(cand_side, batch_format="pyarrow")
+        .union(uni.map_batches(uni_side, batch_format="pyarrow"))
+        .groupby("part")
+        .map_groups(attach_x, batch_format="pyarrow")
+        .groupby("part")
+        .map_groups(finalize, batch_format="pyarrow")
+    )
+    # ≤ P·top_n rows reach the driver; merge = one more cut on the
+    # same key
+    out = ranked.to_pandas()
+    if not len(out):
         return pd.DataFrame(
             {"rank": pd.Series([], dtype="int64"), "bigram": pd.Series([], dtype=object),
              "c_xy": pd.Series([], dtype="int64"), "pmi": pd.Series([], dtype="float64")}
         )
-    cand = pa.concat_tables(cand_tbls)
-    need = sorted(set(cand["x"].to_pylist()) | set(cand["y"].to_pylist()))
-    need_arr = pa.array(need, type=pa.string())
-    # unigram lookups for the candidates' terms: filter distributed
-    # (the small candidate-term set ships with the task), gather the
-    # small matched slice
-    uc: dict[str, float] = {}
-    for t in uni.map_batches(
-        lambda t: t.filter(pc.is_in(t["term"], value_set=need_arr)),
-        batch_format="pyarrow",
-    ).iter_batches(batch_format="pyarrow"):
-        for term, c in zip(t["term"].to_pylist(), t["c"].to_numpy()):
-            uc[term] = float(c)
-    xs = cand["x"].to_pylist()
-    ys = cand["y"].to_pylist()
-    c_xy = cand["c_xy"].to_numpy().astype(np.float64)
-    c_x = np.array([uc[t] for t in xs])
-    c_y = np.array([uc[t] for t in ys])
-    pmi = round6(np.log(((c_xy * nu) * nu) / ((float(nb) * c_x) * c_y)))
-    out = pd.DataFrame(
-        {
-            "bigram": [f"{x} {y}" for x, y in zip(xs, ys)],
-            "c_xy": c_xy.astype(np.int64),
-            "pmi": pmi,
-        }
-    )
     out = out.sort_values(["pmi", "bigram"], ascending=[False, True], kind="stable")
     out = out.head(top_n).reset_index(drop=True)
     out.insert(0, "rank", np.arange(1, len(out) + 1, dtype=np.int64))

@@ -494,3 +494,36 @@ def test_fingerprint_batch_matches_scalar():
     got = fingerprint_batch(batch).column("fingerprint").to_pylist()
     for i, text in enumerate(texts):
         assert got[i] == fingerprint_scalar(text), (i, text[:40])
+
+
+def test_grouped_parts_invariance(ray_session, monkeypatch):
+    """Grouped-stage results are partition-count-invariant: the hash
+    partition id only ROUTES rows (every reduce is per original key),
+    so running the same pipeline at GRAFT_GROUPED_PARTS=8 and 64 must
+    give identical tables — the config.grouped_parts() contract."""
+    from similaritysearch_jl_ray.pipelines.dedup import ngram_jaccard_pairs
+    from similaritysearch_jl_ray.pipelines.events import sessionize
+    from similaritysearch_jl_ray.pipelines.textstats import bigram_pmi
+
+    def snap(parts: str):
+        monkeypatch.setenv("GRAFT_GROUPED_PARTS", parts)
+        out = {}
+        for name, fn in [
+            ("ngram", lambda: ngram_jaccard_pairs(SF_DIR, tau=0.5, max_df=None).to_pandas()),
+            ("sessions", lambda: sessionize(SF_DIR).to_pandas()),
+            ("pmi", lambda: bigram_pmi(SF_DIR)),
+        ]:
+            df = fn()
+            cols = sorted(df.columns)
+            out[name] = df[cols].sort_values(cols).reset_index(drop=True)
+        return out
+
+    a, b = snap("8"), snap("64")
+    for name in a:
+        assert a[name].shape == b[name].shape, name
+        for c in a[name].columns:
+            assert (
+                np.array_equal(a[name][c].to_numpy(), b[name][c].to_numpy())
+                if a[name][c].dtype.kind in "fiu"
+                else (a[name][c].astype(str) == b[name][c].astype(str)).all()
+            ), (name, c)
