@@ -462,7 +462,51 @@ def build_index(
             os.makedirs(part_out, exist_ok=True)
             schema = RUN_SCHEMA.remove(RUN_SCHEMA.get_field_index("skey"))
             out_tbl = pa.Table.from_pylist([], schema=schema)
-            if os.path.isdir(part_in):
+            files = (
+                sorted(
+                    os.path.join(part_in, f)
+                    for f in os.listdir(part_in)
+                    if f.endswith(".parquet")
+                )
+                if os.path.isdir(part_in)
+                else []
+            )
+            if len(files) == 1 and os.environ.get("GRAFT_D2_FASTPATH", "1") != "0":
+                # SINGLE-FILE FAST PATH: when one D1 write task produced
+                # this whole part AND no (term, salt) repeats inside it
+                # (one run per group — nothing to merge), the D1 file is
+                # already a valid segment: every consumer reads columns
+                # BY NAME (the extra ``skey`` column is ignored; ``part``
+                # lives in the directory name, and the reader re-sorts
+                # by (term, salt) at load), so the file hardlinks into
+                # place untouched — no decode, no re-encode, no parquet
+                # rewrite. Meta comes from one projected column read.
+                skey_col = pqw.read_table(files[0], columns=["skey"]).column("skey")
+                n_runs = len(skey_col)
+                if n_runs and pc.count_distinct(skey_col).as_py() == n_runs:
+                    dst = os.path.join(part_out, "segment.parquet")
+                    if os.path.exists(dst):
+                        os.remove(dst)
+                    try:
+                        os.link(files[0], dst)
+                    except OSError:
+                        shutil.copy2(files[0], dst)
+                    m_tbl = pqw.read_table(
+                        files[0], columns=["term", "df", "cf", "payload", "block_last"]
+                    )
+                    flat_last = pc.list_flatten(m_tbl.column("block_last"))
+                    return {
+                        "part": part,
+                        "terms": pc.count_distinct(m_tbl.column("term")).as_py(),
+                        "runs": n_runs,
+                        "postings": int(pc.sum(m_tbl.column("df")).as_py() or 0),
+                        "tokens": int(pc.sum(m_tbl.column("cf")).as_py() or 0),
+                        "payload_bytes": int(
+                            pc.sum(pc.binary_length(m_tbl.column("payload"))).as_py() or 0
+                        ),
+                        "max_doc": int(pc.max(flat_last).as_py()) if len(flat_last) else -1,
+                    }
+            if files:
                 tbl = pads.dataset(part_in, format="parquet").to_table().combine_chunks()
             else:
                 tbl = None

@@ -1365,3 +1365,60 @@ def test_folded_docmap_resume_fallback(ray_session, tmp_path):
     assert before.select(sorted(before.column_names)).equals(
         after.select(sorted(before.column_names))
     )
+
+
+def test_d2_single_file_fast_path_rank_identical(ray_session, tmp_path):
+    """A part whose runs_tmp holds ONE file (one D1 write task, no
+    repeated (term, salt)) hardlinks the D1 file into place untouched —
+    the extra skey column survives as fast-path evidence — and must
+    serve df/stats/scores identical to the same corpus built through
+    the multi-file merge path."""
+    import glob
+    import json
+    import os
+
+    import ray.data as rd
+
+    from similaritysearch_jl_ray.pipelines.query import Bm25Scorer
+    from similaritysearch_jl_ray.sources.pages import pages_from_documents
+
+    docs = pq.read_table(f"{SF_DIR}/documents.parquet")
+
+    def build(nblocks: int, name: str):
+        ds = rd.from_arrow(docs)
+        if nblocks > 1:
+            ds = ds.repartition(nblocks)
+        pages = ds.map_batches(
+            lambda b: pages_from_documents(b), batch_format="pyarrow", batch_size=None
+        )
+        d = str(tmp_path / name)
+        build_index(pages, d, num_parts=2, salt_factor=2)
+        return d
+
+    fast_dir = build(1, "fastidx")
+    slow_dir = build(4, "slowidx")
+
+    # the fast path actually fired: D1 layout (skey column) in place
+    fast_schema = pq.read_schema(
+        glob.glob(f"{fast_dir}/postings/part=0/segment.parquet")[0]
+    )
+    assert "skey" in fast_schema.names
+    slow_schema = pq.read_schema(
+        glob.glob(f"{slow_dir}/postings/part=0/segment.parquet")[0]
+    )
+    assert "skey" not in slow_schema.names
+
+    # identical logical content: per-part terms/postings/tokens meta
+    for p in (0, 1):
+        with open(os.path.join(fast_dir, "meta", f"part={p}.json")) as f:
+            mf = json.load(f)
+        with open(os.path.join(slow_dir, "meta", f"part={p}.json")) as f:
+            ms = json.load(f)
+        for k in ("terms", "postings", "tokens", "max_doc"):
+            assert mf[k] == ms[k], (p, k)
+
+    # rank AND score identity across both serving modes
+    for mode in ("exhaustive", "wand"):
+        a = _rows_from_scorer(Bm25Scorer(fast_dir, k=10, mode=mode))
+        b = _rows_from_scorer(Bm25Scorer(slow_dir, k=10, mode=mode))
+        assert a == b, mode
