@@ -271,3 +271,43 @@ def test_optimize_searchgraph_stochastic(ray_session):
     import math
 
     assert math.isfinite(res2["best"]["objective"])
+
+
+def test_media_batch_kernels_match_scalar_twins(ray_session):
+    """Batched synthesis is BYTE-identical to the per-row _fake_media
+    twin, and the batched decode's rounded features equal the scalar
+    _decode_fake per blob — the kernel/scalar lockstep contract."""
+    import pyarrow.parquet as pqt
+
+    from similaritysearch_jl_ray.pipelines.media import (
+        MediaDecoder,
+        _fake_media,
+        media_dataset,
+    )
+
+    t = pqt.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    blobs = {}
+    for b in media_dataset(SF_DIR).iter_batches(batch_format="pyarrow"):
+        for d, m in zip(b["doc_id"].to_pylist(), b["media"].to_pylist()):
+            blobs[d] = m
+    assert len(blobs) == t.num_rows
+    for d, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        assert blobs[d] == _fake_media(int(d), txt), d
+
+    dec = MediaDecoder()
+    feats = dec(
+        __import__("pyarrow").table(
+            {
+                "doc_id": list(blobs.keys()),
+                "media": __import__("pyarrow").array(
+                    list(blobs.values()), type=__import__("pyarrow").binary()
+                ),
+            }
+        )
+    )
+    for i, d in enumerate(feats["doc_id"].to_pylist()):
+        w, h, px = MediaDecoder._decode_fake(blobs[d])
+        assert feats["width"][i].as_py() == w
+        assert feats["height"][i].as_py() == h
+        assert feats["mean_byte"][i].as_py() == round(float(px.mean()), 6), d
+        assert feats["std_byte"][i].as_py() == round(float(px.std()), 6), d
