@@ -57,9 +57,182 @@ __all__ = [
     "append_searchgraph",
     "searchgraph_knn",
     "GraphSearcher",
+    "register_hint_policy",
+    "HINT_POLICIES",
 ]
 
 _GRAPH_REFS: dict[tuple, object] = {}
+
+# ---------------------------------------------------------------------------
+# Hint-selection policy family (the reference's hint callbacks,
+# /root/reference/src/searchgraph/hints.jl:42-264: Random/Disjoint/
+# KDisjoint/Epsilon/KCenters — there they re-fire on the exponential
+# build callback cadence; here the build is one batch-parallel pass,
+# so each policy runs ONCE at freeze time over the frozen CSR + vector
+# matrix). A policy is ``fn(ids, mat, indptr, indices, n_entry, rng)
+# -> entry POSITIONS (into ids/mat)``; register a custom one with
+# :func:`register_hint_policy` (the §2.9 extension-hook shape, like
+# neighborhood.register_neighborhood_filter). All builtin policies are
+# deterministic (fixed-seed Generator) so graph caching and tests stay
+# reproducible.
+
+
+def _hints_fft(ids, mat, indptr, indices, n_entry, rng):
+    """Farthest-first centers over the WHOLE corpus, seed = position 0
+    (the engine's original single policy; KCentersHints' fft core)."""
+    entries = [0]
+    dmin = np.linalg.norm(mat - mat[0][None, :], axis=1)
+    for _ in range(min(n_entry, len(ids)) - 1):
+        nxt = int(np.argmax(dmin))
+        entries.append(nxt)
+        dmin = np.minimum(dmin, np.linalg.norm(mat - mat[nxt][None, :], axis=1))
+    return np.asarray(entries, dtype=np.int64)
+
+
+def _hints_random(ids, mat, indptr, indices, n_entry, rng):
+    """RandomHints (hints.jl:38-75): random nodes with >2 neighbors,
+    skipping anything already covered by a picked hint's 2-hop
+    neighborhood."""
+    n = len(ids)
+    picked: list[int] = []
+    visited: set[int] = set()
+    for u in rng.permutation(n):
+        u = int(u)
+        if u in visited:
+            continue
+        nbrs = indices[indptr[u] : indptr[u + 1]]
+        if len(nbrs) <= 2:
+            continue
+        visited.add(u)
+        visited.update(int(v) for v in nbrs)
+        for c in nbrs:
+            visited.update(int(v) for v in indices[indptr[c] : indptr[c + 1]])
+        picked.append(u)
+        if len(picked) >= n_entry:
+            break
+    return np.asarray(picked or [0], dtype=np.int64)
+
+
+def _hints_disjoint(ids, mat, indptr, indices, n_entry, rng):
+    """DisjointHints (hints.jl:100-126): prefer nodes whose degree is
+    closest to the mean degree, greedily keeping only nodes outside
+    every previously-picked hint's neighborhood."""
+    deg = np.diff(indptr)
+    order = np.argsort(np.abs(deg - deg.mean()), kind="stable")
+    picked: list[int] = []
+    visited: set[int] = set()
+    for u in order:
+        u = int(u)
+        if u in visited:
+            continue
+        picked.append(u)
+        visited.add(u)
+        visited.update(int(v) for v in indices[indptr[u] : indptr[u + 1]])
+        if len(picked) >= n_entry:
+            break
+    return np.asarray(picked or [0], dtype=np.int64)
+
+
+def _hints_kdisjoint(ids, mat, indptr, indices, n_entry, rng, expansion: int = 4):
+    """KDisjointHints (hints.jl:128-174): random sample of
+    ``expansion·n_entry`` nodes, highest-degree first, each pick
+    BFS-expands its visited set to depth ``expansion``."""
+    n = len(ids)
+    sample = np.unique(rng.integers(0, n, size=max(1, expansion * n_entry)))
+    deg = np.diff(indptr)
+    sample = sample[np.argsort(-deg[sample], kind="stable")]
+    picked: list[int] = []
+    visited: set[int] = set()
+    for u in sample:
+        u = int(u)
+        if u in visited:
+            continue
+        picked.append(u)
+        visited.add(u)
+        frontier = [(u, 0)]
+        while frontier:
+            parent, e = frontier.pop()
+            for c in indices[indptr[parent] : indptr[parent + 1]]:
+                c = int(c)
+                if c not in visited:
+                    visited.add(c)
+                    if e + 1 <= expansion:
+                        frontier.append((c, e + 1))
+        if len(picked) >= n_entry:
+            break
+    return np.asarray(picked or [0], dtype=np.int64)
+
+
+def _hints_epsilon(ids, mat, indptr, indices, n_entry, rng, quantile: float = 0.01):
+    """EpsilonHints (hints.jl:176-220): ε = a low quantile of sampled
+    pairwise distances; hints = a greedy ε-cover (the neardup contract)
+    of a √n sample, capped at n_entry."""
+    n = len(ids)
+    m = min(n, max(2, int(np.ceil(np.sqrt(n)))))
+    s = np.unique(rng.integers(0, n, size=m))
+    sub = mat[s]
+    a = rng.integers(0, len(s), size=len(s))
+    b = rng.integers(0, len(s), size=len(s))
+    d = np.linalg.norm(sub[a] - sub[b], axis=1)
+    d = d[d > 0]
+    eps = max(1e-5, float(np.quantile(d, quantile))) if len(d) else 1e-5
+    kept: list[int] = []
+    for i in range(len(s)):
+        v = sub[i]
+        if kept and float(np.min(np.linalg.norm(sub[kept] - v[None, :], axis=1))) <= eps:
+            continue
+        kept.append(i)
+    kept = kept[:n_entry] if len(kept) > n_entry else kept
+    return np.asarray([int(s[i]) for i in kept] or [0], dtype=np.int64)
+
+
+def _hints_kcenters(
+    ids, mat, indptr, indices, n_entry, rng, powsample: float = 1.5, qdiscard: float = 0.1
+):
+    """KCentersHints (hints.jl:222-264): fft over a degree-filtered
+    random sample (degrees within the [0.25, 0.95] quantiles), then
+    drop centers whose assigned population falls below the ``qdiscard``
+    quantile."""
+    n = len(ids)
+    k = min(max(1, n // 2), n_entry)
+    m = min(n, max(k + 1, int(np.ceil(k**powsample)) * 4))
+    s = np.unique(rng.integers(0, n, size=m))
+    deg = np.diff(indptr)[s]
+    lo, hi = np.quantile(deg, [0.25, 0.95])
+    s = s[(deg >= lo) & (deg <= hi)]
+    if len(s) == 0:
+        return np.asarray([0], dtype=np.int64)
+    sub = mat[s]
+    centers = [0]
+    dmin = np.linalg.norm(sub - sub[0][None, :], axis=1)
+    nn = np.zeros(len(s), dtype=np.int64)
+    while len(centers) < min(k, len(s)):
+        nxt = int(np.argmax(dmin))
+        centers.append(nxt)
+        d_new = np.linalg.norm(sub - sub[nxt][None, :], axis=1)
+        closer = d_new < dmin
+        nn[closer] = len(centers) - 1
+        dmin = np.minimum(dmin, d_new)
+    counts = np.bincount(nn, minlength=len(centers))
+    cut = np.quantile(counts, qdiscard)
+    kept = [c for c, cnt in zip(centers, counts) if cnt >= cut]
+    return np.asarray([int(s[c]) for c in (kept or centers[:1])], dtype=np.int64)
+
+
+HINT_POLICIES: dict[str, object] = {
+    "fft": _hints_fft,
+    "random": _hints_random,
+    "disjoint": _hints_disjoint,
+    "kdisjoint": _hints_kdisjoint,
+    "epsilon": _hints_epsilon,
+    "kcenters": _hints_kcenters,
+}
+
+
+def register_hint_policy(name: str, fn) -> None:
+    """Plug a custom entry-point policy into :func:`build_searchgraph`
+    (``fn(ids, mat, indptr, indices, n_entry, rng) -> positions``)."""
+    HINT_POLICIES[name] = fn
 
 
 def _sat_prune(
@@ -99,23 +272,28 @@ def build_searchgraph(
     metric: str = "l2",
     n_entry: int = 4,
     max_vec_id: int | None = None,
+    hints: str = "fft",
 ):
     """Build the graph; returns an ObjectRef of
     ``(ids, mat, indptr, indices, entries)`` (CSR over POSITIONS into
     ``ids``/``mat``, which are vec_id-ascending). Cached per
     (file state, knobs) like ann._corpus_ref. ``max_vec_id`` builds
     over the id-prefix subset (pushdown read) — the base graph for
-    :func:`append_searchgraph` tests/workflows."""
+    :func:`append_searchgraph` tests/workflows. ``hints`` picks the
+    entry-point policy from :data:`HINT_POLICIES` (reference hint
+    family, hints.jl:42-264); the resolved FUNCTION ships with the
+    freeze task, so registered custom policies work too."""
     import os
 
     import ray
 
     from .ann import _corpus_ref, _dists, _read_matrix
 
+    hint_fn = HINT_POLICIES[hints]
     st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
     key = (
         sf_dir, int(st.st_mtime_ns), int(st.st_size),
-        build_k, max_degree, metric, n_entry, max_vec_id,
+        build_k, max_degree, metric, n_entry, max_vec_id, hints,
     )
     ref = _GRAPH_REFS.get(key)
     if ref is not None:
@@ -174,7 +352,7 @@ def build_searchgraph(
     )
 
     @ray.remote
-    def freeze(edges_src, edges_dst, edges_dist, corpus, max_degree, n_entry):
+    def freeze(edges_src, edges_dst, edges_dist, corpus, max_degree, n_entry, hint_fn):
         """Symmetrize + degree-cap + CSR freeze + entry points — one
         task, result lives in the object store. (``corpus`` arrives
         already dereferenced — Ray resolves top-level ObjectRef args.)"""
@@ -207,16 +385,18 @@ def build_searchgraph(
         indices = np.empty(len(dst_pos), dtype=np.int64)
         order = np.argsort(src_pos, kind="stable")
         indices[:] = dst_pos[order]
-        # entry points: farthest-first centers (fft seed = position 0)
-        entries = [0]
-        dmin = np.linalg.norm(all_mat - all_mat[0][None, :], axis=1)
-        for _ in range(n_entry - 1):
-            nxt = int(np.argmax(dmin))
-            entries.append(nxt)
-            dmin = np.minimum(
-                dmin, np.linalg.norm(all_mat - all_mat[nxt][None, :], axis=1)
+        # entry points: the selected hint policy over the frozen CSR
+        # (deterministic rng so the graph cache and tests reproduce)
+        rng = np.random.default_rng(0x5EED5)
+        entries = np.unique(
+            np.asarray(
+                hint_fn(all_ids, all_mat, indptr, indices, n_entry, rng),
+                dtype=np.int64,
             )
-        return all_ids, all_mat, indptr, indices, np.asarray(entries, dtype=np.int64)
+        )
+        if len(entries) == 0:
+            entries = np.asarray([0], dtype=np.int64)
+        return all_ids, all_mat, indptr, indices, entries
 
     ref = freeze.remote(
         edges["src"].to_numpy(),
@@ -225,6 +405,7 @@ def build_searchgraph(
         corpus,
         max_degree,
         n_entry,
+        hint_fn,
     )
     _GRAPH_REFS[key] = ref
     return ref
@@ -485,6 +666,7 @@ def searchgraph_knn(
     max_degree: int = 16,
     metric: str = "l2",
     concurrency: int = 2,
+    hints: str = "fft",
 ):
     """``SearchGraph(dist, db)`` + ``searchbatch`` analog: approximate
     top-k for the fixed query set via beam search over the navigable
@@ -498,7 +680,7 @@ def searchgraph_knn(
     from .ann import _read_matrix
 
     graph = build_searchgraph(
-        sf_dir, build_k=build_k, max_degree=max_degree, metric=metric
+        sf_dir, build_k=build_k, max_degree=max_degree, metric=metric, hints=hints
     )
     qids, qmat = _read_matrix(sf_dir, max_vec_id=n_queries)
     qds = rd.from_items(

@@ -527,3 +527,38 @@ def test_grouped_parts_invariance(ray_session, monkeypatch):
                 if a[name][c].dtype.kind in "fiu"
                 else (a[name][c].astype(str) == b[name][c].astype(str)).all()
             ), (name, c)
+
+
+def test_searchgraph_hint_policy_family(ray_session):
+    """The reference's hint-policy family (hints.jl:42-264) as
+    freeze-time options: every policy yields a servable graph that
+    clears the reference CI recall bar (macrorecall >= 0.8 at default
+    beam width, testsearchgraph.jl:22-26), and the policies genuinely
+    differ (not all aliases of fft)."""
+    import ray
+
+    from similaritysearch_jl_ray.functions.perf import macrorecall
+    from similaritysearch_jl_ray.pipelines.ann import knn_search
+    from similaritysearch_jl_ray.pipelines.searchgraph import (
+        HINT_POLICIES,
+        build_searchgraph,
+        searchgraph_knn,
+    )
+
+    k, nq = 8, 12
+    gold = knn_search(SF_DIR, k=k, n_queries=nq).to_pandas()
+    gl = {
+        int(q): g.sort_values("rank")["vec_id"].astype(int).tolist()
+        for q, g in gold.groupby("query_id")
+    }
+    entry_sets = {}
+    for policy in HINT_POLICIES:
+        got = searchgraph_knn(SF_DIR, k=k, n_queries=nq, hints=policy).to_pandas()
+        sl = {
+            int(q): g.sort_values("rank")["vec_id"].astype(int).tolist()
+            for q, g in got.groupby("query_id")
+        }
+        assert macrorecall(gl, sl) >= 0.8, policy
+        graph = ray.get(build_searchgraph(SF_DIR, hints=policy))
+        entry_sets[policy] = tuple(graph[4].tolist())
+    assert len(set(entry_sets.values())) > 1, entry_sets
