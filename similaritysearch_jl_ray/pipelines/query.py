@@ -63,6 +63,35 @@ RESULT_SCHEMA = pa.schema(
 )
 
 
+# polars hash-membership beats numpy's per-element binary search once
+# both sides are large enough to amortize the hash-table build (the
+# compiled merge crosses over around a few tens of thousands of rows;
+# measured 10.1 → 6.8 ms at 300k×300k on the dense phrase fixture,
+# BASELINE §F.3). Below the gate the searchsorted chain is cheaper.
+_MEMBER_HASH_MIN = 1 << 16
+
+
+def _member_mask(keys_sorted: np.ndarray, probe: np.ndarray) -> np.ndarray:
+    """Boolean mask: which ``probe`` values occur in sorted unique
+    ``keys_sorted``. Exact set membership, order-preserving — the
+    polars path is an elementwise hash probe, so it is equivalent to
+    the searchsorted chain by construction."""
+    if len(probe) >= _MEMBER_HASH_MIN and len(keys_sorted) >= _MEMBER_HASH_MIN:
+        try:
+            import polars as pl
+
+            return (
+                pl.Series(probe)
+                .is_in(pl.Series(keys_sorted).implode())
+                .to_numpy()
+            )
+        except Exception:
+            pass  # polars missing/unexpected dtype → numpy fallback
+    lo = np.searchsorted(keys_sorted, probe)
+    loc = np.minimum(lo, len(keys_sorted) - 1)
+    return (lo < len(keys_sorted)) & (keys_sorted[loc] == probe)
+
+
 def _accumulate(ids_list, partial_list):
     """Sum per-doc partials; deterministic order (term-major input).
 
@@ -529,6 +558,17 @@ class Bm25Scorer:
         # receives per-term dense gathers in _rescore_approx
         self._mark: np.ndarray | None = None
         self._buf: np.ndarray | None = None
+        # _and_docs counting scratch (u8 counts + bool eq buffer over
+        # the doc span) — round-5: the chained searchsorted AND was the
+        # dominant dense-phrase cost (16 of 30 ms at the bench config).
+        # _and_eq_for = the exact result array the eq buffer currently
+        # describes (identity-checked in _occ_keys_for)
+        self._and_scratch: np.ndarray | None = None
+        self._and_eq: np.ndarray | None = None
+        self._and_eq_for: np.ndarray | None = None
+        # reusable u64 doc-half scratch for _occ_keys_for's key-level
+        # mask (sized to the largest occurrence array served so far)
+        self._keybuf: np.ndarray | None = None
         self._pmax_cache: dict[str, float] = {}
         self._n_served = 0
 
@@ -1532,12 +1572,30 @@ class Bm25Scorer:
         self._pos_cache.put(term, hit)
         return hit
 
+    # _and_docs counting-scratch span cap: bytes == doc span, allocated
+    # ONCE per actor (hot-path no-fresh-multi-MB-alloc rule, §C.4).
+    # Above the cap — or when the smallest posting list is tiny enough
+    # that df_min·log probing beats a span scan — the searchsorted
+    # chain serves instead. 8M docs/actor is far above the doc-sharded
+    # serving envelope; an unsharded >8M-doc actor falls back cleanly.
+    _AND_SCRATCH_SPAN_CAP = 8 << 20
+
     def _and_docs(self, terms: list[str]) -> np.ndarray:
         """Sorted doc_ids containing EVERY term — the cheap doc-level
         pre-intersection both positional modes run before touching any
         position bytes (the scoring arrays are decoded/cached anyway).
         Inherits doc_range slicing + visibility masks from
-        :meth:`_term_arrays`."""
+        :meth:`_term_arrays`.
+
+        Dense case (round 5): k sorted posting lists intersect via ONE
+        counting pass over an actor-resident u8 span scratch
+        (``scratch[ids-lo] += 1`` per term — ids are unique per term —
+        then one vectorized ``== k`` scan; touched slots re-scatter to
+        zero, never a span memset). Sequential scatters into an
+        L2-resident span replace df_min·(k−1) random binary-search
+        probes — measured 16 → ~2 ms on the bench dense fixture.
+        Identical output to the chain by construction (exact
+        intersection, ascending ids)."""
         arrs = []
         for t in terms:
             ids = self._term_arrays(t)[0]
@@ -1545,11 +1603,41 @@ class Bm25Scorer:
                 return np.empty(0, np.int64)
             arrs.append(ids)
         arrs.sort(key=len)
+        lo, hi = self._span
+        span = int(hi - lo)
+        if (
+            1 < len(arrs) < 255
+            and span <= self._AND_SCRATCH_SPAN_CAP
+            and len(arrs[0]) >= 2048
+        ):
+            scratch = self._and_scratch
+            if scratch is None or len(scratch) < span:
+                scratch = self._and_scratch = np.zeros(span, dtype=np.uint8)
+                self._and_eq = np.zeros(span, dtype=bool)
+            sv = scratch[:span]
+            off = np.int64(lo)
+            for a in arrs:
+                sv[a - off] += 1
+            eq = self._and_eq[:span]
+            np.equal(sv, np.uint8(len(arrs)), out=eq)
+            hits = np.flatnonzero(eq)
+            for a in arrs:
+                sv[a - off] = 0
+            res = hits.astype(np.int64) + off if lo else hits.astype(np.int64)
+            # eq still encodes membership of exactly `res` (np.equal
+            # rewrites the whole span each call) — let _occ_keys_for
+            # test membership with one O(|ids|) gather instead of a
+            # searchsorted when it receives THIS array back (identity
+            # check, so a caller-mutated or different doc set never
+            # hits the shortcut)
+            self._and_eq_for = res
+            return res
         out = arrs[0]
         for a in arrs[1:]:
             out = out[in_sorted(a, out)[1]]
             if not len(out):
                 break
+        self._and_eq_for = None
         return out
 
     def _term_positions_for(
@@ -1681,6 +1769,23 @@ class Bm25Scorer:
         ids, off, keys = self._term_occ(term)
         if not len(docs) or not len(ids):
             return keys[:0]
+        if docs is self._and_eq_for and self._and_eq is not None:
+            # key-level mask: each key's doc id lives in its high bits,
+            # so membership is ONE sequential gather off the AND eq
+            # buffer over the full key array + a boolean compress — no
+            # per-doc segment expansion (repeat/arange/cumsum) at all.
+            # The doc-half scratch is actor-resident (hot-path
+            # no-fresh-multi-MB-alloc rule, §C.4).
+            n = len(keys)
+            buf = self._keybuf
+            if buf is None or len(buf) < n:
+                buf = self._keybuf = np.empty(n, dtype=np.uint64)
+            d = buf[:n]
+            np.right_shift(keys, self._OCC_SHIFT, out=d)
+            lo = self._span[0]
+            if lo:
+                d -= np.uint64(lo)
+            return keys[self._and_eq[d]]
         pos_c, valid = in_sorted(ids, docs)
         pos_c = pos_c[valid]
         starts = off[pos_c]
@@ -1751,6 +1856,9 @@ class Bm25Scorer:
         r = int(np.argmin(dfs))
         anchors = self._occ_keys_for(toks[r], and_docs)
         npost = len(anchors)
+        # per-query restricted-keys memo: repeated tokens (and the
+        # anchor term itself) gather their AND-restricted keys once
+        restricted: dict[str, np.ndarray] = {toks[r]: anchors}
         if r > 0 and len(anchors):
             # phrase start P = pos_r − r must be ≥ 0
             anchors = anchors[(anchors & self._OCC_POS_MASK) >= np.uint64(r)]
@@ -1768,10 +1876,21 @@ class Bm25Scorer:
             if not len(keys_i):
                 anchors = anchors[:0]
                 break
+            if len(anchors) * 4 >= len(keys_i):
+                # dense probe: restrict the slot's keys to the AND set
+                # first (one cheap eq-buffer gather — anchor docs are
+                # always a subset of and_docs, so membership in the
+                # restricted array equals membership in the full one);
+                # the probe target then fits higher in the cache
+                kr = restricted.get(toks[i])
+                if kr is None:
+                    kr = restricted[toks[i]] = self._occ_keys_for(toks[i], and_docs)
+                keys_i = kr
+                if not len(keys_i):
+                    anchors = anchors[:0]
+                    break
             probe = anchors + np.uint64(i)
-            lo = np.searchsorted(keys_i, probe)
-            loc = np.minimum(lo, len(keys_i) - 1)
-            anchors = anchors[(lo < len(keys_i)) & (keys_i[loc] == probe)]
+            anchors = anchors[_member_mask(keys_i, probe)]
         cand = (
             np.unique((anchors >> self._OCC_SHIFT)).astype(np.int64)
             if len(anchors)
