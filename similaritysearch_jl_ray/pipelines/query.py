@@ -1579,6 +1579,9 @@ class Bm25Scorer:
     # chain serves instead. 8M docs/actor is far above the doc-sharded
     # serving envelope; an unsharded >8M-doc actor falls back cleanly.
     _AND_SCRATCH_SPAN_CAP = 8 << 20
+    # min smallest-list length for the span scan to beat probing
+    # (class attrs so tests can force either path on tiny fixtures)
+    _AND_SCRATCH_DF_MIN = 2048
 
     def _and_docs(self, terms: list[str]) -> np.ndarray:
         """Sorted doc_ids containing EVERY term — the cheap doc-level
@@ -1608,7 +1611,7 @@ class Bm25Scorer:
         if (
             1 < len(arrs) < 255
             and span <= self._AND_SCRATCH_SPAN_CAP
-            and len(arrs[0]) >= 2048
+            and len(arrs[0]) >= self._AND_SCRATCH_DF_MIN
         ):
             scratch = self._and_scratch
             if scratch is None or len(scratch) < span:
