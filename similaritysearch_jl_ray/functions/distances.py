@@ -18,6 +18,9 @@ __all__ = [
     "DISTANCES",
     "register_distance",
     "pairwise",
+    "negative_distance",
+    "similarity_from_distance",
+    "distance_with_identifiers",
     "set_distance",
     "string_distance",
     "levenshtein_dists",
@@ -96,6 +99,58 @@ def register_distance(name: str, kernel) -> None:
 
 def pairwise(a: np.ndarray, q: np.ndarray, metric: str) -> np.ndarray:
     return DISTANCES[metric](np.asarray(a, np.float64), np.asarray(q, np.float64))
+
+
+# -- distance-hack wrappers (src/dist/hacks.jl:5-50) -------------------------
+# The reference exposes these as SemiMetric wrappers; here each is a
+# kernel COMBINATOR returning a batch kernel that plugs into
+# :func:`register_distance`, so every pipeline taking ``metric=`` can
+# serve them (the farthest-element use cases route through the same
+# sign conventions the top-k heap already handles, functions/topk.py).
+# ``DistanceF32`` stays n/a: the engine is float64-native end to end.
+def _as_kernel(metric):
+    return DISTANCES[metric] if isinstance(metric, str) else metric
+
+
+def negative_distance(metric):
+    """``NegativeDistanceHack`` (hacks.jl:5-17): evaluates as the
+    negative of the wrapped distance — a similarity for
+    farthest-point / farthest-pair searches."""
+    base = _as_kernel(metric)
+
+    def kernel(a, q):
+        return -base(a, q)
+
+    return kernel
+
+
+def similarity_from_distance(metric):
+    """``SimilarityFromDistance`` (hacks.jl:19-31): ``1/(1 + d)`` —
+    a bounded similarity for farthest-element searches."""
+    base = _as_kernel(metric)
+
+    def kernel(a, q):
+        return 1.0 / (1.0 + base(a, q))
+
+    return kernel
+
+
+def distance_with_identifiers(metric, db: np.ndarray):
+    """``DistanceWithIdentifiers`` (hacks.jl:33-43): id-indirected
+    evaluation — the returned kernel takes integer id batches and
+    evaluates the wrapped distance over ``db`` rows (0-based ids; the
+    reference is 1-based Julia). At scale ``db`` is the broadcast
+    side: ``ray.put`` the matrix once and build the kernel inside
+    each actor's ``__init__``, never per batch."""
+    base = _as_kernel(metric)
+    db = np.asarray(db, np.float64)
+
+    def kernel(ia, iq):
+        ia = np.asarray(ia, np.int64).ravel()
+        iq = np.asarray(iq, np.int64).ravel()
+        return base(db[ia], db[iq])
+
+    return kernel
 
 
 # -- set distances over sorted int arrays (src/dist/sets.jl:11-168) ---------

@@ -35,6 +35,44 @@ def test_distance_kernels_basic():
         assert np.abs(np.diag(d)).max() < 1e-7, m
 
 
+def test_distance_hack_wrappers():
+    """src/dist/hacks.jl:5-50 surface: NegativeDistanceHack,
+    SimilarityFromDistance and DistanceWithIdentifiers as kernel
+    combinators, usable through the registry like any metric."""
+    from similaritysearch_jl_ray.functions.distances import (
+        DISTANCES,
+        distance_with_identifiers,
+        negative_distance,
+        register_distance,
+        similarity_from_distance,
+    )
+
+    rng = np.random.default_rng(3)
+    a, q = rng.standard_normal((6, 4)), rng.standard_normal((3, 4))
+    d = pairwise(a, q, "l2")
+    assert np.array_equal(negative_distance("l2")(a, q), -d)
+    assert np.allclose(similarity_from_distance("l2")(a, q), 1.0 / (1.0 + d))
+    # similarity inverts the ordering: argmin distance == argmax similarity
+    sim = similarity_from_distance("l2")(a, q)
+    assert np.array_equal(np.argmin(d, axis=0), np.argmax(sim, axis=0))
+
+    db = rng.standard_normal((10, 4))
+    k = distance_with_identifiers("l2", db)
+    ia, iq = np.array([0, 3, 9]), np.array([2, 5])
+    assert np.allclose(k(ia, iq), pairwise(db[ia], db[iq], "l2"))
+    # registry round-trip: pairwise() casts ids to float64; the kernel
+    # must recover exact integer ids from that
+    register_distance("idl2_test", k)
+    try:
+        assert np.allclose(pairwise(ia, iq, "idl2_test"), pairwise(db[ia], db[iq], "l2"))
+    finally:
+        DISTANCES.pop("idl2_test", None)
+    # wrappers compose: negating the similarity restores the distance
+    # ordering (argmin of −sim == argmin of d == the nearest element)
+    near = negative_distance(similarity_from_distance("l2"))
+    assert np.array_equal(np.argmin(near(a, q), axis=0), np.argmin(d, axis=0))
+
+
 def test_set_distances():
     a = np.array([1, 2, 3, 4])
     b = np.array([3, 4, 5, 6])
