@@ -358,6 +358,80 @@ def _bm25_query(sf_dir: str, mode: str, lang: str | None = None):
     return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
 
 
+def _hybrid_rrf(sf_dir: str):
+    from similaritysearch_jl_ray.functions.rounding import round6
+    from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index
+    from similaritysearch_jl_ray.pipelines.query import hybrid_search
+    from similaritysearch_jl_ray.pipelines.queryset import queries_dataset
+
+    index_dir = ensure_index(sf_dir)
+    res = hybrid_search(queries_dataset(), index_dir, k=K, concurrency=2).to_pandas()
+    res = res[["query_id", "rank", "doc_id", "score"]].astype(
+        {"query_id": "int64", "rank": "int64", "doc_id": "int64", "score": "float64"}
+    )
+    res["score"] = round6(res["score"].to_numpy())
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _hybrid_rrf_sql(base_n: int = 50, rrf_k: int = 60) -> str:
+    """SQL twin of :func:`hybrid_search` (reciprocal-rank fusion of the
+    BM25 and TF-cosine top-``base_n`` windows). Shared determinism
+    contract (query.HybridRrfScorer docstring): integer dots / Σ tf²,
+    one multiply + one divide per similarity, a single two-term add per
+    fused score, full-f64 (score desc, doc_id asc) ranking."""
+    return f"""
+WITH {_TOK_CTES},
+q AS (SELECT * FROM {_queries_sql()}),
+qn AS (SELECT query_id, count(*)::DOUBLE AS nq FROM q GROUP BY query_id),
+dn AS (SELECT doc_id, sqrt(sum(tf * tf)::DOUBLE) AS norm FROM tf GROUP BY doc_id),
+scores AS (
+  SELECT q.query_id, tf.doc_id, {_BM25_SUM} AS fscore
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+brank AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY fscore DESC, doc_id) AS r
+  FROM scores
+),
+cosim AS (
+  SELECT q.query_id, tf.doc_id,
+         sum(tf.tf)::DOUBLE / (sqrt(qn.nq) * dn.norm) AS csim
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN dn ON dn.doc_id = tf.doc_id
+  JOIN qn ON qn.query_id = q.query_id
+  GROUP BY q.query_id, tf.doc_id, qn.nq, dn.norm
+),
+crank AS (
+  SELECT query_id, doc_id,
+         row_number() OVER (PARTITION BY query_id ORDER BY csim DESC, doc_id) AS r
+  FROM cosim
+),
+fused AS (
+  SELECT coalesce(b.query_id, c.query_id) AS query_id,
+         coalesce(b.doc_id, c.doc_id) AS doc_id,
+         coalesce(1.0 / ({rrf_k} + b.r), 0.0)
+           + coalesce(1.0 / ({rrf_k} + c.r), 0.0) AS fscore
+  FROM (SELECT * FROM brank WHERE r <= {base_n}) b
+  FULL OUTER JOIN (SELECT * FROM crank WHERE r <= {base_n}) c
+    ON c.query_id = b.query_id AND c.doc_id = b.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, fscore,
+         row_number() OVER (PARTITION BY query_id ORDER BY fscore DESC, doc_id) AS rank
+  FROM fused
+)
+SELECT query_id, rank, doc_id, round(fscore, {_ROUND}) AS score
+FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
 def _bm25_explain(sf_dir: str):
     from similaritysearch_jl_ray.functions.rounding import round6
     from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index
@@ -1397,6 +1471,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # Lucene/ES field collapse: best-scoring doc per docmap-lang
         # group, then the global top-k — result diversification
         "bm25_topk_collapse": lambda sf: _bm25_query(sf, "collapse"),
+        # sparse+dense fusion: BM25 ∪ TF-cosine windows, reciprocal-
+        # rank fusion (Cormack et al. RRF) — the hybrid-retrieval shape
+        "hybrid_rrf": _hybrid_rrf,
         # Lucene Explain: per-term score breakdown of every top-k hit
         "bm25_explain": _bm25_explain,
         # ES function_score: BM25 × weight(lang) doc-values factor
@@ -1566,7 +1643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk", "bm25_topk_exhaustive", "bm25_topk_sharded",
         "term_df", "corpus_stats", "index_export", "match_counts",
         "match_stats", "bm25_topk_collapse", "significant_terms",
-        "bm25_topk_fuzzy",
+        "hybrid_rrf",  # new this round — needs its first driver row
     ]
     assert set(front) <= set(entries), sorted(set(front) - set(entries))
     ordered = {k: entries[k] for k in front}
@@ -1650,6 +1727,7 @@ mc AS (
 SELECT qi.query_id, coalesce(mc.n_matches, 0)::BIGINT AS n_matches
 FROM qi LEFT JOIN mc ON mc.query_id = qi.query_id
 """,
+        "hybrid_rrf": _hybrid_rrf_sql(),
         "bm25_explain": f"""
 WITH {_TOK_CTES},
 q AS (SELECT * FROM {_queries_sql()}),

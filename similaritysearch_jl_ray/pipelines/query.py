@@ -3033,6 +3033,171 @@ def match_counts(
     )
 
 
+class HybridRrfScorer:
+    """Hybrid lexical retrieval: BM25 and TF-cosine rankings fused with
+    reciprocal-rank fusion (Cormack et al., SIGIR'09: rrf(d) =
+    Σ_r 1/(rrf_k + rank_r(d)) over each ranker's top-``base_n``) — the
+    sparse+dense fusion shape every modern retrieval stack serves; the
+    reference's analog is the rerank/filter composition over
+    ExhaustiveSearch results (src/allknn.jl:48-73 second-pass shape).
+
+    Both rankers serve from the SAME per-term posting gathers: BM25 via
+    the shared exhaustive accumulate, cosine as an integer dot of the
+    query's (deduped, binary) term vector against raw tfs, normalized
+    by sqrt(n_query_terms)·||d||₂. ||d||₂ comes from one lazy pass over
+    the actor's posting lists (Σ tf² per doc — the forward-CSR build
+    shape of :class:`SignificantTerms`); at 100 TB the norm is a pure
+    per-doc reduce over the token table and would fold into the fused
+    D1 build pass as a docmap column instead.
+
+    Determinism contract (oracle twin `_hybrid_rrf_sql`): dots and
+    Σ tf² are exact int64; each similarity is one multiply + one divide
+    of bit-identical f64 inputs; the two RRF contributions are a single
+    two-term IEEE add (commutative), ranked at full f64 by
+    (score desc, doc_id asc).
+    """
+
+    def __init__(
+        self,
+        index_dir: str,
+        k: int = 10,
+        base_n: int = 50,
+        rrf_k: int = 60,
+    ):
+        self.sc = Bm25Scorer(index_dir, k=base_n, mode="exhaustive")
+        self.k = k
+        self.base_n = base_n
+        self.rrf_k = float(rrf_k)
+        self._norms: np.ndarray | None = None  # ||d||₂ dense over span
+        self._dot: np.ndarray | None = None    # per-query int64 scratch
+
+    def _term_raw(self, term: str) -> tuple[np.ndarray, np.ndarray]:
+        """(doc_ids, raw tfs) under exactly the `_term_arrays` masks
+        (doc-range slice, lang allow-list, tombstones) — reader path
+        only (the broadcast pack stores BM25 partials, not tfs)."""
+        sc = self.sc
+        ids, tfs, _ = sc.reader.postings_cached(term)
+        if sc.doc_range is not None:
+            lo, hi = sc.doc_range
+            a = np.searchsorted(ids, lo, side="left")
+            b = np.searchsorted(ids, hi, side="left")
+            ids, tfs = ids[a:b], tfs[a:b]
+        if sc._allowed is not None and len(ids):
+            _, keep = in_sorted(sc._allowed, ids)
+            ids, tfs = ids[keep], tfs[keep]
+        if sc._deleted is not None and len(ids):
+            _, drop = in_sorted(sc._deleted, ids)
+            if drop.any():
+                ids, tfs = ids[~drop], tfs[~drop]
+        return ids, tfs
+
+    def _doc_norms(self) -> np.ndarray:
+        if self._norms is not None:
+            return self._norms
+        base, hi = self.sc._span
+        acc = np.zeros(hi - base, dtype=np.int64)  # Σ tf² is exact
+        for t in self.sc._dictionary():
+            ids, tfs = self._term_raw(str(t))
+            if len(ids):
+                tf64 = tfs.astype(np.int64)
+                acc[ids - base if base else ids] += tf64 * tf64
+        self._norms = np.sqrt(acc.astype(np.float64))
+        return self._norms
+
+    def _rank_window(
+        self, docs: np.ndarray, scores: np.ndarray
+    ) -> tuple[np.ndarray, np.ndarray]:
+        """Top-``base_n`` (docs, 1-based ranks) under the §2.4 tie rule."""
+        sel = topk_indices(scores, docs, self.base_n)
+        return docs[sel], np.arange(1, len(sel) + 1, dtype=np.int64)
+
+    def score_query(self, text: str) -> list[tuple[int, float]]:
+        sc = self.sc
+        toks = tokenize(text)
+        if not toks:
+            return []
+        qn = float(np.sqrt(float(len(set(toks)))))  # ALL distinct tokens
+        terms = sorted({t for t in toks if sc._has_term(t)})
+        if not terms:
+            return []
+        # -- BM25 ranking (shared exhaustive accumulate) ---------------
+        uniq, scores, _, _ = sc._accumulate_query(terms)
+        if not len(uniq):
+            return []
+        b_docs, b_ranks = self._rank_window(uniq, scores)
+        # -- TF-cosine ranking over the SAME postings ------------------
+        base, hi = sc._span
+        if self._dot is None or len(self._dot) < hi - base:
+            self._dot = np.zeros(hi - base, dtype=np.int64)
+        dot = self._dot
+        for t in terms:
+            ids, tfs = self._term_raw(t)
+            dot[ids - base if base else ids] += tfs.astype(np.int64)
+        idx = uniq - base if base else uniq  # same support: tf ≥ 1
+        norms = self._doc_norms()
+        sims = dot[idx].astype(np.float64) / (qn * norms[idx])
+        dot[idx] = 0  # reset only touched slots
+        c_docs, c_ranks = self._rank_window(uniq, sims)
+        # -- RRF fusion (two-term IEEE add; order immaterial) ----------
+        all_docs = np.concatenate([b_docs, c_docs])
+        contrib = 1.0 / (
+            self.rrf_k + np.concatenate([b_ranks, c_ranks]).astype(np.float64)
+        )
+        fdocs, inv = np.unique(all_docs, return_inverse=True)
+        fscores = np.zeros(len(fdocs), dtype=np.float64)
+        np.add.at(fscores, inv, contrib)
+        sel = topk_indices(fscores, fdocs, self.k)
+        return [(int(fdocs[i]), float(fscores[i])) for i in sel]
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        qids_o, ranks_o, docs_o, scores_o = [], [], [], []
+        for qid, text in zip(
+            batch["query_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            hits = self.score_query(str(text))
+            for r, (d, s) in enumerate(hits, 1):
+                qids_o.append(qid)
+                ranks_o.append(r)
+                docs_o.append(d)
+                scores_o.append(s)
+        return pa.table(
+            {
+                "query_id": pa.array(qids_o, type=pa.int64()),
+                "rank": pa.array(ranks_o, type=pa.int64()),
+                "doc_id": pa.array(docs_o, type=pa.int64()),
+                "score": pa.array(scores_o, type=pa.float64()),
+            }
+        )
+
+
+def hybrid_search(
+    queries_ds,
+    index_dir: str,
+    *,
+    k: int = 10,
+    base_n: int = 50,
+    rrf_k: int = 60,
+    concurrency: int | tuple = 2,
+    batch_size: int = 256,
+):
+    """queries → (query_id, rank, doc_id, score): BM25 ∪ TF-cosine
+    top-``base_n`` windows fused by reciprocal-rank fusion. Streams in
+    the :func:`search` actor-pool shape; per-query cost is two rankings
+    over ONE set of posting gathers plus a ≤2·base_n fuse."""
+    return queries_ds.map_batches(
+        HybridRrfScorer,
+        fn_constructor_kwargs={
+            "index_dir": index_dir,
+            "k": k,
+            "base_n": base_n,
+            "rrf_k": rrf_k,
+        },
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def _combined_max_doc(index_dir: str) -> int:
     """max_doc across the base segment and any delta segments — from
     the tiny stats.json files only (no index decode on the driver)."""

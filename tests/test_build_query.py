@@ -1422,3 +1422,60 @@ def test_d2_single_file_fast_path_rank_identical(ray_session, tmp_path):
         a = _rows_from_scorer(Bm25Scorer(fast_dir, k=10, mode=mode))
         b = _rows_from_scorer(Bm25Scorer(slow_dir, k=10, mode=mode))
         assert a == b, mode
+
+
+def test_hybrid_rrf_matches_independent_fusion(index_dir):
+    """HybridRrfScorer (index-served BM25 + TF-cosine windows, RRF
+    fuse) vs a from-raw-text recomputation that shares NO engine state:
+    brute_force_topk for the BM25 window, a dict-based cosine, and a
+    Python RRF — scores must be exactly equal (the determinism contract
+    in the scorer docstring: ranks → two-term IEEE adds)."""
+    import math
+    from collections import Counter
+
+    from similaritysearch_jl_ray.pipelines.query import HybridRrfScorer
+
+    BASE_N, RRF_K, k = 50, 60, K
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+    # independent BM25 window ranks (index-free gold path)
+    brows = brute_force_topk(texts, REFERENCE_QUERIES, BASE_N)
+    b_ranks: dict[int, dict[int, int]] = {}
+    for qid, rank, doc_id, _ in brows:
+        b_ranks.setdefault(qid, {})[doc_id] = rank
+
+    # independent doc tf vectors + L2 norms
+    tf_by_doc = {d: Counter(tokenize(x)) for d, x in texts.items()}
+    norm = {d: math.sqrt(float(sum(v * v for v in c.values()))) for d, c in tf_by_doc.items()}
+
+    expected: dict[int, list[tuple[int, float]]] = {}
+    for qid, qtext in REFERENCE_QUERIES:
+        toks = set(tokenize(qtext))
+        if not toks:
+            continue
+        qn = math.sqrt(float(len(toks)))
+        sims = []
+        for d, c in tf_by_doc.items():
+            dot = sum(c[tk] for tk in toks if tk in c)
+            if dot:
+                sims.append((-(float(dot) / (qn * norm[d])), d))
+        sims.sort()
+        c_ranks = {d: r for r, (_, d) in enumerate(sims[:BASE_N], 1)}
+        bq = b_ranks.get(qid, {})
+        fused = [
+            (
+                (1.0 / (RRF_K + bq[d]) if d in bq else 0.0)
+                + (1.0 / (RRF_K + c_ranks[d]) if d in c_ranks else 0.0),
+                d,
+            )
+            for d in set(bq) | set(c_ranks)
+        ]
+        fused.sort(key=lambda p: (-p[0], p[1]))
+        if fused:
+            expected[qid] = [(d, s) for s, d in fused[:k]]
+
+    sc = HybridRrfScorer(index_dir, k=k, base_n=BASE_N, rrf_k=RRF_K)
+    for qid, qtext in REFERENCE_QUERIES:
+        got = sc.score_query(qtext)
+        assert got == expected.get(qid, []), qid
