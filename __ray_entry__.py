@@ -432,6 +432,49 @@ ORDER BY query_id, rank
 """
 
 
+def _top_hits(sf_dir: str):
+    from similaritysearch_jl_ray.functions.rounding import round6
+    from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index
+    from similaritysearch_jl_ray.pipelines.query import top_hits_search
+    from similaritysearch_jl_ray.pipelines.queryset import queries_dataset
+
+    index_dir = ensure_index(sf_dir)
+    res = top_hits_search(
+        queries_dataset(), index_dir, per_group=3, concurrency=2
+    ).to_pandas()
+    res["score"] = round6(res["score"].to_numpy())
+    return res.sort_values(["query_id", "lang", "rank"]).reset_index(drop=True)
+
+
+def _top_hits_sql(per_group: int = 3) -> str:
+    """SQL twin of :func:`top_hits_search` — the ES terms-bucket +
+    top_hits composition: per (query, lang) group the top hits by the
+    shared (score desc, doc_id asc) rule."""
+    return f"""
+WITH {_TOK_CTES},
+q AS (SELECT * FROM {_queries_sql()}),
+scores AS (
+  SELECT q.query_id, tf.doc_id, {_BM25_SUM} AS fscore
+  FROM q
+  JOIN tf ON tf.term = q.term
+  JOIN df ON df.term = q.term
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats s
+  GROUP BY q.query_id, tf.doc_id
+),
+ranked AS (
+  SELECT s.query_id, d.lang, s.doc_id, s.fscore,
+         row_number() OVER (
+           PARTITION BY s.query_id, d.lang ORDER BY s.fscore DESC, s.doc_id
+         ) AS rank
+  FROM scores s JOIN documents d ON d.doc_id = s.doc_id
+)
+SELECT query_id, lang, rank, doc_id, round(fscore, {_ROUND}) AS score
+FROM ranked WHERE rank <= {per_group}
+ORDER BY query_id, lang, rank
+"""
+
+
 def _bm25_explain(sf_dir: str):
     from similaritysearch_jl_ray.functions.rounding import round6
     from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index
@@ -1474,6 +1517,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # sparse+dense fusion: BM25 ∪ TF-cosine windows, reciprocal-
         # rank fusion (Cormack et al. RRF) — the hybrid-retrieval shape
         "hybrid_rrf": _hybrid_rrf,
+        # ES terms-bucket + top_hits: k best hits per (query, lang)
+        "top_hits_lang": _top_hits,
         # Lucene Explain: per-term score breakdown of every top-k hit
         "bm25_explain": _bm25_explain,
         # ES function_score: BM25 × weight(lang) doc-values factor
@@ -1641,9 +1686,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_event_counts", "late_event_stats", "sessionize",
         # round-5-touched / flagship search entries
         "bm25_topk", "bm25_topk_exhaustive", "bm25_topk_sharded",
-        "term_df", "corpus_stats", "index_export", "match_counts",
+        "term_df", "corpus_stats", "match_counts",
         "match_stats", "bm25_topk_collapse", "significant_terms",
-        "hybrid_rrf",  # new this round — needs its first driver row
+        # new this round — each needs its first driver row
+        "hybrid_rrf", "top_hits_lang",
     ]
     assert set(front) <= set(entries), sorted(set(front) - set(entries))
     ordered = {k: entries[k] for k in front}
@@ -1728,6 +1774,7 @@ SELECT qi.query_id, coalesce(mc.n_matches, 0)::BIGINT AS n_matches
 FROM qi LEFT JOIN mc ON mc.query_id = qi.query_id
 """,
         "hybrid_rrf": _hybrid_rrf_sql(),
+        "top_hits_lang": _top_hits_sql(),
         "bm25_explain": f"""
 WITH {_TOK_CTES},
 q AS (SELECT * FROM {_queries_sql()}),

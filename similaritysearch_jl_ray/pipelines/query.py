@@ -3170,6 +3170,99 @@ class HybridRrfScorer:
         )
 
 
+class TopHitsScorer:
+    """ES `top_hits` sub-aggregation under a terms bucket: for each
+    query, group the FULL match set by the docmap ``lang`` doc-values
+    field and emit the top-``per_group`` hits of every group under the
+    shared (score desc, doc_id asc) tie rule — collapse's sibling that
+    keeps a mini result list per bucket instead of one survivor
+    (reference analog: the grouped-best reduction of closestpair,
+    src/closestpair.jl:28-44, widened to k per group).
+
+    Per-group ranking is one lexsort over the match set (group code,
+    -score, doc_id) + boundary-offset subtraction — no Python per
+    group. Never auto-shards (same reason as collapse: cross-shard
+    buckets would need a group-aware merge)."""
+
+    def __init__(self, index_dir: str, k: int = 3, per_group: int | None = None):
+        self.sc = Bm25Scorer(index_dir, k=k, mode="exhaustive")
+        self.per_group = per_group if per_group is not None else k
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sc = self.sc
+        dm_ids, dm_code, vocab = sc._doc_langs()
+        qids_o, langs_o, ranks_o, docs_o, scores_o = [], [], [], [], []
+        for qid, text in zip(
+            batch["query_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            terms = sc._query_terms(str(text))
+            if not terms:
+                continue
+            uniq, scores, _, _ = sc._accumulate_query(terms)
+            if not len(uniq):
+                continue
+            pos, valid = in_sorted(dm_ids, uniq)
+            if not valid.all():
+                raise RuntimeError(
+                    "top_hits: match-set docs missing from the docmap "
+                    "(stale pack/fingerprint serving hazard)"
+                )
+            code = dm_code[pos]
+            # one (group, -score, doc) lexsort; ranks restart per group
+            o = np.lexsort((uniq, -scores, code))
+            code_s, docs_s, scores_s = code[o], uniq[o], scores[o]
+            boundary = np.flatnonzero(np.diff(code_s)) + 1
+            starts = np.concatenate(([0], boundary))
+            counts = np.diff(np.concatenate((starts, [len(code_s)])))
+            ranks = np.arange(len(code_s)) - np.repeat(starts, counts) + 1
+            keep = ranks <= self.per_group
+            n = int(keep.sum())
+            qids_o.append(np.full(n, qid, dtype=np.int64))
+            langs_o.extend(str(vocab[c]) for c in code_s[keep])
+            ranks_o.append(ranks[keep].astype(np.int64))
+            docs_o.append(docs_s[keep])
+            scores_o.append(scores_s[keep])
+        empty = np.empty(0, dtype=np.int64)
+        return pa.table(
+            {
+                "query_id": pa.array(
+                    np.concatenate(qids_o) if qids_o else empty, type=pa.int64()
+                ),
+                "lang": pa.array(langs_o, type=pa.string()),
+                "rank": pa.array(
+                    np.concatenate(ranks_o) if ranks_o else empty, type=pa.int64()
+                ),
+                "doc_id": pa.array(
+                    np.concatenate(docs_o) if docs_o else empty, type=pa.int64()
+                ),
+                "score": pa.array(
+                    np.concatenate(scores_o) if scores_o else empty.astype(np.float64),
+                    type=pa.float64(),
+                ),
+            }
+        )
+
+
+def top_hits_search(
+    queries_ds,
+    index_dir: str,
+    *,
+    per_group: int = 3,
+    concurrency: int | tuple = 2,
+    batch_size: int = 256,
+):
+    """queries → (query_id, lang, rank, doc_id, score): the ES
+    terms-bucket + top_hits composition over each query's full match
+    set. Streams in the :func:`search` actor-pool shape."""
+    return queries_ds.map_batches(
+        TopHitsScorer,
+        fn_constructor_kwargs={"index_dir": index_dir, "per_group": per_group},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def hybrid_search(
     queries_ds,
     index_dir: str,

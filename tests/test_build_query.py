@@ -1479,3 +1479,32 @@ def test_hybrid_rrf_matches_independent_fusion(index_dir):
     for qid, qtext in REFERENCE_QUERIES:
         got = sc.score_query(qtext)
         assert got == expected.get(qid, []), qid
+
+
+def test_top_hits_rank1_equals_collapse_survivors(index_dir):
+    """Cross-pin: the rank-1 row of every (query, lang) top_hits group
+    must be exactly the doc field-collapse keeps for that group (same
+    docmap field, same tie rule) — collapse is top_hits with
+    per_group=1 before its global cut."""
+    from similaritysearch_jl_ray.pipelines.query import TopHitsScorer
+
+    th = TopHitsScorer(index_dir, per_group=3)
+    col = Bm25Scorer(index_dir, k=10, mode="collapse")
+    for qid, text in REFERENCE_QUERIES:
+        tbl = th(
+            __import__("pyarrow").table(
+                {"query_id": [qid], "text": [text]}
+            )
+        ).to_pandas()
+        acc = col._collapse_accumulate(text)
+        if acc is None:
+            assert tbl.empty, qid
+            continue
+        kept_docs, kept_scores = acc[0], acc[1]
+        r1 = tbl[tbl["rank"] == 1].sort_values("doc_id")
+        want = sorted(zip(kept_docs.tolist(), kept_scores.tolist()))
+        got = list(zip(r1["doc_id"].tolist(), r1["score"].tolist()))
+        assert got == want, qid
+        # every group is bounded by per_group and ranks are 1..n
+        for _, grp in tbl.groupby("lang"):
+            assert list(grp["rank"]) == list(range(1, len(grp) + 1))
