@@ -207,15 +207,35 @@ def build_serving_pack(
     }
 
 
+def _stratify_gram_csr(offsets, terms_u, lens):
+    """Reorder each gram's posting slice by (term length, term idx) and
+    return ``(terms_u, post_lens)`` — the length stratification that
+    lets the fuzzy candidate scan cut every slice to the
+    ``|len − len(tok)| ≤ e`` band with two searchsorteds BEFORE the
+    scatter (ROADMAP round-4: the scatter was count-bound on terms the
+    final length prune discarded anyway)."""
+    if not len(terms_u):
+        return terms_u, np.empty(0, np.int64)
+    counts = np.diff(offsets)
+    gid = np.repeat(np.arange(len(counts), dtype=np.int64), counts)
+    pl = lens[terms_u]
+    order = np.lexsort((terms_u, pl, gid))
+    return terms_u[order], pl[order]
+
+
 def build_gram_csr(d: np.ndarray, lens: np.ndarray):
     """Character-trigram → dictionary-index postings as ONE sorted CSR
-    structure ``(kind, gram_keys, offsets, term_idx)`` over the sorted
-    dictionary ``d`` — the sublinear fuzzy-candidate generator (a term
-    within ``e`` edits of a token shares ≥ ``|G(tok)| − 3e`` of its
-    distinct trigrams). ASCII vocabularies build fully vectorized (all
-    windows of the flat byte array pack into u32 keys; (gram, term)
-    pairs dedupe via one ``np.unique``); non-ASCII keeps a Python
-    build behind the same CSR interface (object keys)."""
+    structure ``(kind, gram_keys, offsets, term_idx, post_lens)`` over
+    the sorted dictionary ``d`` — the sublinear fuzzy-candidate
+    generator (a term within ``e`` edits of a token shares ≥
+    ``|G(tok)| − 3e`` of its distinct trigrams). Each gram's slice is
+    LENGTH-STRATIFIED: ordered by (term length, term idx) with the
+    parallel ``post_lens`` array, so consumers band-cut slices to
+    ``|len − len(tok)| ≤ e`` before touching them. ASCII vocabularies
+    build fully vectorized (all windows of the flat byte array pack
+    into u32 keys; (gram, term) pairs dedupe via one ``np.unique``);
+    non-ASCII keeps a Python build behind the same CSR interface
+    (object keys)."""
     from ..state.segment import _ranges
 
     n = len(d)
@@ -227,17 +247,33 @@ def build_gram_csr(d: np.ndarray, lens: np.ndarray):
         tot = int(nwin.sum())
         if tot == 0:
             return ("ascii", np.empty(0, np.uint32), np.zeros(1, np.int64),
-                    np.empty(0, np.int64))
+                    np.empty(0, np.int64), np.empty(0, np.int64))
         offs = np.zeros(n, dtype=np.int64)
         np.cumsum(lens[:-1], out=offs[1:])
         w0 = np.repeat(offs, nwin) + _ranges(nwin)
         keys = (flat[w0] << np.uint32(16)) | (flat[w0 + 1] << np.uint32(8)) | flat[w0 + 2]
         term_of = np.repeat(np.arange(n, dtype=np.uint64), nwin)
+        if n < (1 << 32) and int(lens.max(initial=0)) < (1 << 8):
+            # fused stratification: 24-bit gram | 8-bit len | 32-bit idx
+            # — ONE np.unique yields deduped pairs already in
+            # (gram, len, idx) order; no second sort
+            len_of = np.repeat(lens.astype(np.uint64), nwin)
+            pairs = np.unique(
+                (keys.astype(np.uint64) << np.uint64(40))
+                | (len_of << np.uint64(32))
+                | term_of
+            )
+            gk = (pairs >> np.uint64(40)).astype(np.uint32)
+            terms_u = (pairs & np.uint64(0xFFFFFFFF)).astype(np.int64)
+            pl = ((pairs >> np.uint64(32)) & np.uint64(0xFF)).astype(np.int64)
+            b = np.flatnonzero(np.r_[True, gk[1:] != gk[:-1], True])
+            return ("ascii", gk[b[:-1]], b, terms_u, pl)
         pairs = np.unique((keys.astype(np.uint64) << np.uint64(32)) | term_of)
         gk = (pairs >> np.uint64(32)).astype(np.uint32)
         terms_u = (pairs & np.uint64(0xFFFFFFFF)).astype(np.int64)
         b = np.flatnonzero(np.r_[True, gk[1:] != gk[:-1], True])
-        return ("ascii", gk[b[:-1]], b, terms_u)
+        terms_u, pl = _stratify_gram_csr(b, terms_u, lens)
+        return ("ascii", gk[b[:-1]], b, terms_u, pl)
     except UnicodeEncodeError:
         grams: dict[str, list[int]] = {}
         for i, t in enumerate(d):
@@ -250,8 +286,9 @@ def build_gram_csr(d: np.ndarray, lens: np.ndarray):
         for j, g in enumerate(gk):
             parts.append(np.asarray(grams[str(g)], dtype=np.int64))
             offsets[j + 1] = offsets[j] + len(parts[-1])
-        return ("obj", gk, offsets,
-                np.concatenate(parts) if parts else np.empty(0, np.int64))
+        terms_u = np.concatenate(parts) if parts else np.empty(0, np.int64)
+        terms_u, pl = _stratify_gram_csr(offsets, terms_u, lens)
+        return ("obj", gk, offsets, terms_u, pl)
 
 
 def build_dict_bytes(d: np.ndarray, lens: np.ndarray):
@@ -709,7 +746,8 @@ class Bm25Scorer:
         tok_grams = {tok[j : j + 3] for j in range(len(tok) - 2)}
         thresh = len(tok_grams) - 3 * max_edits
         if thresh >= 1:
-            kind, gk, offsets, terms_u = self._gram_index()
+            kind, gk, offsets, terms_u, plens = self._gram_index()
+            lo_len, hi_len = len(tok) - max_edits, len(tok) + max_edits
             posts = []
             for g in tok_grams:
                 if kind == "ascii":
@@ -722,9 +760,17 @@ class Bm25Scorer:
                     key = g
                 j = int(np.searchsorted(gk, key))
                 if j < len(gk) and gk[j] == key:
-                    posts.append(terms_u[offsets[j] : offsets[j + 1]])
+                    # stratified slice: cut to the |len−len(tok)| ≤ e
+                    # band BEFORE the scatter — banding can only drop
+                    # terms the final length prune discarded, so the
+                    # candidate set is unchanged (pytest-pinned)
+                    s, e = int(offsets[j]), int(offsets[j + 1])
+                    s2 = s + int(np.searchsorted(plens[s:e], lo_len, side="left"))
+                    e2 = s + int(np.searchsorted(plens[s:e], hi_len, side="right"))
+                    posts.append((terms_u[s2:e2], plens[s2:e2]))
                 else:
-                    posts.append(terms_u[:0])  # absent gram still counts toward g
+                    # absent gram still counts toward g
+                    posts.append((terms_u[:0], plens[:0]))
             if not posts:
                 return np.empty(0, np.int64)
             # CPMerge split (Okazaki & Tsujii): any term with ≥ thresh
@@ -734,14 +780,14 @@ class Bm25Scorer:
             # merged; the stopword-sized gram lists are probed by
             # binary search over the merged candidates instead of
             # being scanned.
-            posts.sort(key=len)
+            posts.sort(key=lambda p: len(p[0]))
             m = len(posts) - thresh + 1
             if m <= 0:
                 # more than 3e+1 grams unrepresentable in an ASCII
                 # vocabulary ⟹ > e non-ASCII chars ⟹ no ASCII term
                 # can be within e edits
                 return np.empty(0, np.int64)
-            small = [p for p in posts[:m] if len(p)]
+            small = [p for p, _ in posts[:m] if len(p)]
             if not small:
                 return np.empty(0, np.int64)
             # merge the small lists by scatter-count into an
@@ -756,11 +802,18 @@ class Bm25Scorer:
             counts = cnt[cand].astype(np.int64)
             for p in small:
                 cnt[p] = 0
-            for big in posts[m:]:
-                if len(big):
-                    counts += in_sorted(big, cand)[1]
-            cand = cand[counts >= thresh]
-            return cand[np.abs(lens[cand] - len(tok)) <= max_edits]
+            for big, bl in posts[m:]:
+                if not len(big):
+                    continue
+                # a banded slice is (length, idx)-ordered: probe each
+                # exact-length run separately (each run IS idx-sorted)
+                for L in range(lo_len, hi_len + 1):
+                    a = int(np.searchsorted(bl, L, side="left"))
+                    b = int(np.searchsorted(bl, L, side="right"))
+                    if b > a:
+                        counts += in_sorted(big[a:b], cand)[1]
+            # the band cut already applied the length prune
+            return cand[counts >= thresh]
         return np.flatnonzero(np.abs(lens - len(tok)) <= max_edits)
 
     def _expand_fuzzy(self, tok: str, max_edits: int) -> list[str]:

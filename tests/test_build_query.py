@@ -1508,3 +1508,46 @@ def test_top_hits_rank1_equals_collapse_survivors(index_dir):
         # every group is bounded by per_group and ranks are 1..n
         for _, grp in tbl.groupby("lang"):
             assert list(grp["rank"]) == list(range(1, len(grp) + 1))
+
+
+def test_gram_csr_stratified_and_complete():
+    """The length-stratified gram CSR must (a) order every gram slice
+    by (term length, term idx) with a faithful parallel post_lens, and
+    (b) hold exactly the naive (gram → distinct terms) map — both for
+    the fused ASCII composite-key path and the generic lexsort path
+    (forced via a >255-char term)."""
+    from similaritysearch_jl_ray.pipelines.query import build_gram_csr
+
+    def naive(vocab):
+        g2t = {}
+        for i, t in enumerate(vocab):
+            for g in {t[j : j + 3] for j in range(len(t) - 2)}:
+                g2t.setdefault(g, set()).add(i)
+        return g2t
+
+    def check(vocab):
+        d = np.sort(np.asarray(vocab, dtype=object))
+        lens = np.fromiter((len(t) for t in d), dtype=np.int64, count=len(d))
+        kind, gk, offsets, terms_u, pl = build_gram_csr(d, lens)
+        np.testing.assert_array_equal(pl, lens[terms_u])
+        got = {}
+        for j in range(len(gk)):
+            s, e = int(offsets[j]), int(offsets[j + 1])
+            sl, st = pl[s:e], terms_u[s:e]
+            # (len, idx) ordering within the slice
+            assert np.all(np.diff(sl) >= 0), gk[j]
+            for L in np.unique(sl):
+                seg = st[sl == L]
+                assert np.all(np.diff(seg) > 0), (gk[j], L)
+            if kind == "ascii":
+                key = bytes(
+                    [(int(gk[j]) >> 16) & 255, (int(gk[j]) >> 8) & 255, int(gk[j]) & 255]
+                ).decode()
+            else:
+                key = str(gk[j])
+            got[key] = set(st.tolist())
+        assert got == naive([str(t) for t in d])
+
+    base = ["banana", "bandana", "cabana", "ban", "anas", "panama", "aaaa", "naan"]
+    check(base)                      # fused composite path
+    check(base + ["a" * 300])        # len ≥ 256 → generic lexsort path
