@@ -1551,3 +1551,62 @@ def test_gram_csr_stratified_and_complete():
     base = ["banana", "bandana", "cabana", "ban", "anas", "panama", "aaaa", "naan"]
     check(base)                      # fused composite path
     check(base + ["a" * 300])        # len ≥ 256 → generic lexsort path
+
+
+def test_hybrid_rrf_respects_tombstones(index_dir, tmp_path):
+    """Hybrid fusion under deletes: tombstoned docs must vanish from
+    BOTH ranker windows (ranks recompute over the live set, shifting
+    RRF contributions for survivors) — checked against the same
+    engine-state-free recomputation restricted to live docs."""
+    import math
+    import shutil
+    from collections import Counter
+
+    from similaritysearch_jl_ray.pipelines.lifecycle import delete_docs
+    from similaritysearch_jl_ray.pipelines.query import HybridRrfScorer
+
+    d = str(tmp_path / "hybrid_del")
+    shutil.copytree(index_dir, d)
+    # delete a doc that surfaces in the undeleted hybrid top-k
+    base = HybridRrfScorer(index_dir, k=K)
+    qid, qtext = REFERENCE_QUERIES[0]
+    victims = [doc for doc, _ in base.score_query(qtext)[:2]]
+    delete_docs(d, sorted(victims))
+
+    BASE_N, RRF_K = 50, 60
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    texts = {
+        doc: txt
+        for doc, txt in zip(t["doc_id"].to_pylist(), t["text"].to_pylist())
+        if doc not in set(victims)
+    }
+    brows = brute_force_topk(texts, [(qid, qtext)], BASE_N)
+    b_ranks = {doc: r for _, r, doc, _ in brows}
+    tf_by_doc = {doc: Counter(tokenize(x)) for doc, x in texts.items()}
+    toks = set(tokenize(qtext))
+    qn = math.sqrt(float(len(toks)))
+    sims = sorted(
+        (
+            -(float(sum(c[tk] for tk in toks if tk in c))
+              / (qn * math.sqrt(float(sum(v * v for v in c.values()))))),
+            doc,
+        )
+        for doc, c in tf_by_doc.items()
+        if any(tk in c for tk in toks)
+    )
+    c_ranks = {doc: r for r, (_, doc) in enumerate(sims[:BASE_N], 1)}
+    fused = sorted(
+        (
+            -(
+                (1.0 / (RRF_K + b_ranks[doc]) if doc in b_ranks else 0.0)
+                + (1.0 / (RRF_K + c_ranks[doc]) if doc in c_ranks else 0.0)
+            ),
+            doc,
+        )
+        for doc in set(b_ranks) | set(c_ranks)
+    )
+    want = [(doc, -s) for s, doc in fused[:K]]
+
+    got = HybridRrfScorer(d, k=K).score_query(qtext)
+    assert got == want
+    assert not set(victims) & {doc for doc, _ in got}
