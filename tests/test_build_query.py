@@ -1424,33 +1424,22 @@ def test_d2_single_file_fast_path_rank_identical(ray_session, tmp_path):
         assert a == b, mode
 
 
-def test_hybrid_rrf_matches_independent_fusion(index_dir):
-    """HybridRrfScorer (index-served BM25 + TF-cosine windows, RRF
-    fuse) vs a from-raw-text recomputation that shares NO engine state:
-    brute_force_topk for the BM25 window, a dict-based cosine, and a
-    Python RRF — scores must be exactly equal (the determinism contract
-    in the scorer docstring: ranks → two-term IEEE adds)."""
+def _independent_hybrid(texts, queries, base_n, rrf_k, k):
+    """Engine-state-free hybrid RRF: brute_force_topk for the BM25
+    window, a dict-based cosine, and a Python fuse."""
     import math
     from collections import Counter
 
-    from similaritysearch_jl_ray.pipelines.query import HybridRrfScorer
-
-    BASE_N, RRF_K, k = 50, 60, K
-    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
-    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
-
-    # independent BM25 window ranks (index-free gold path)
-    brows = brute_force_topk(texts, REFERENCE_QUERIES, BASE_N)
+    brows = brute_force_topk(texts, queries, base_n)
     b_ranks: dict[int, dict[int, int]] = {}
     for qid, rank, doc_id, _ in brows:
         b_ranks.setdefault(qid, {})[doc_id] = rank
 
-    # independent doc tf vectors + L2 norms
     tf_by_doc = {d: Counter(tokenize(x)) for d, x in texts.items()}
     norm = {d: math.sqrt(float(sum(v * v for v in c.values()))) for d, c in tf_by_doc.items()}
 
     expected: dict[int, list[tuple[int, float]]] = {}
-    for qid, qtext in REFERENCE_QUERIES:
+    for qid, qtext in queries:
         toks = set(tokenize(qtext))
         if not toks:
             continue
@@ -1461,12 +1450,12 @@ def test_hybrid_rrf_matches_independent_fusion(index_dir):
             if dot:
                 sims.append((-(float(dot) / (qn * norm[d])), d))
         sims.sort()
-        c_ranks = {d: r for r, (_, d) in enumerate(sims[:BASE_N], 1)}
+        c_ranks = {d: r for r, (_, d) in enumerate(sims[:base_n], 1)}
         bq = b_ranks.get(qid, {})
         fused = [
             (
-                (1.0 / (RRF_K + bq[d]) if d in bq else 0.0)
-                + (1.0 / (RRF_K + c_ranks[d]) if d in c_ranks else 0.0),
+                (1.0 / (rrf_k + bq[d]) if d in bq else 0.0)
+                + (1.0 / (rrf_k + c_ranks[d]) if d in c_ranks else 0.0),
                 d,
             )
             for d in set(bq) | set(c_ranks)
@@ -1474,11 +1463,41 @@ def test_hybrid_rrf_matches_independent_fusion(index_dir):
         fused.sort(key=lambda p: (-p[0], p[1]))
         if fused:
             expected[qid] = [(d, s) for s, d in fused[:k]]
+    return expected
 
-    sc = HybridRrfScorer(index_dir, k=k, base_n=BASE_N, rrf_k=RRF_K)
-    for qid, qtext in REFERENCE_QUERIES:
-        got = sc.score_query(qtext)
-        assert got == expected.get(qid, []), qid
+
+def test_hybrid_rrf_matches_independent_fusion(index_dir):
+    """HybridRrfScorer (index-served BM25 + TF-cosine windows, RRF
+    fuse) vs a from-raw-text recomputation that shares NO engine state
+    — scores must be exactly equal (the determinism contract in the
+    scorer docstring: ranks → two-term IEEE adds). Runs the reference
+    query set plus 30 seeded random word-soup queries (with repeated
+    and unknown tokens — repeats exercise the deduped-query-vector
+    contract, unknowns the all-absent early-out)."""
+    from similaritysearch_jl_ray.pipelines.query import HybridRrfScorer
+
+    BASE_N, RRF_K, k = 50, 60, K
+    t = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    texts = dict(zip(t["doc_id"].to_pylist(), t["text"].to_pylist()))
+
+    vocab = sorted({tk for x in texts.values() for tk in tokenize(x)})
+    rng = np.random.default_rng(20260818)
+    rand_queries = []
+    for i in range(30):
+        n_toks = int(rng.integers(1, 6))
+        toks = [vocab[int(j)] for j in rng.integers(0, len(vocab), n_toks)]
+        if i % 5 == 0:
+            toks.append(toks[0])  # repeated token
+        if i % 7 == 0:
+            toks.append("zzzunknownzzz")
+        rand_queries.append((1000 + i, " ".join(toks)))
+
+    for queries in (REFERENCE_QUERIES, rand_queries):
+        expected = _independent_hybrid(texts, queries, BASE_N, RRF_K, k)
+        sc = HybridRrfScorer(index_dir, k=k, base_n=BASE_N, rrf_k=RRF_K)
+        for qid, qtext in queries:
+            got = sc.score_query(qtext)
+            assert got == expected.get(qid, []), (qid, qtext)
 
 
 def test_top_hits_rank1_equals_collapse_survivors(index_dir):
