@@ -432,6 +432,87 @@ ORDER BY query_id, rank
 """
 
 
+def _bm25_spannear(sf_dir: str):
+    """Ordered proximity top-k (``t1 t2 ~W``: the token sequence at
+    strictly increasing positions, last − first ≤ W — Lucene
+    SpanNearQuery in_order=true) — index-only, BM25-ranked per the
+    shared contract."""
+    from similaritysearch_jl_ray.functions.rounding import round6
+    from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index
+    from similaritysearch_jl_ray.pipelines.query import spannear_search
+
+    index_dir = ensure_index(sf_dir)
+    res = spannear_search(index_dir, k=K).to_pandas()
+    res = res[["query_id", "rank", "doc_id", "score"]].astype(
+        {"query_id": "int64", "rank": "int64", "doc_id": "int64", "score": "float64"}
+    )
+    res["score"] = round6(res["score"].to_numpy())
+    return res.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+
+def _spannear_sql() -> str:
+    """Oracle for ORDERED proximity: the positional self-join chained
+    with ``p{i-1}.pos < p{i}.pos`` plus ``p_last − p0 ≤ W`` — the ∃
+    semantics the engine's greedy leftmost chain decides (a chain
+    exists iff the greedy chain from some anchor fits the window)."""
+    from similaritysearch_jl_ray.pipelines.queryset import (
+        SPANNEAR_QUERIES,
+        parse_ordered_near_query,
+    )
+
+    branches = []
+    score_rows = []
+    for qid, text in SPANNEAR_QUERIES:
+        toks, w = parse_ordered_near_query(text)
+        if not toks:
+            continue
+        for t in sorted(set(toks)):
+            score_rows.append(f"({qid}, '{t}')")
+        joins = "".join(
+            f" JOIN posn p{i} ON p{i}.doc_id = p0.doc_id AND p{i}.term = '{t}'"
+            f" AND p{i}.pos > p{i - 1}.pos"
+            for i, t in enumerate(toks[1:], start=1)
+        )
+        span = (
+            f"p{len(toks) - 1}.pos - p0.pos <= {w}" if len(toks) > 1 else "true"
+        )
+        branches.append(
+            f"SELECT {qid} AS query_id, p0.doc_id FROM posn p0{joins}"
+            f" WHERE p0.term = '{toks[0]}' AND {span}"
+        )
+    m = "\nUNION\n".join(branches)
+    qn = "(VALUES " + ", ".join(score_rows) + ") AS qn(query_id, term)"
+    return f"""
+WITH {_TOK_CTES},
+posn AS (
+  SELECT doc_id,
+         unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS term,
+         generate_subscripts(regexp_extract_all(lower(text), '[a-z0-9]+'), 1) AS pos
+  FROM documents
+),
+m AS ({m}),
+qq AS (SELECT * FROM {qn}),
+scores AS (
+  SELECT m.query_id, m.doc_id, {_BM25_SUM} AS fscore
+  FROM m
+  JOIN qq ON qq.query_id = m.query_id
+  JOIN tf ON tf.term = qq.term AND tf.doc_id = m.doc_id
+  JOIN df ON df.term = qq.term
+  JOIN dl ON dl.doc_id = m.doc_id
+  CROSS JOIN stats s
+  GROUP BY m.query_id, m.doc_id
+),
+ranked AS (
+  SELECT query_id, doc_id, fscore,
+         row_number() OVER (PARTITION BY query_id ORDER BY fscore DESC, doc_id) AS rank
+  FROM scores
+)
+SELECT query_id, rank, doc_id, round(fscore, {_ROUND}) AS score
+FROM ranked WHERE rank <= {K}
+ORDER BY query_id, rank
+"""
+
+
 def _top_hits(sf_dir: str):
     from similaritysearch_jl_ray.functions.rounding import round6
     from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index
@@ -1551,6 +1632,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "bm25_topk_wildcard": lambda sf: _bm25_expanded(sf, "wildcard"),
         "bm25_topk_regexp": lambda sf: _bm25_expanded(sf, "regexp"),
         "bm25_topk_near": _bm25_near,
+        # ordered proximity (SpanNearQuery in_order=true, greedy chain)
+        "bm25_topk_spannear": _bm25_spannear,
         "more_like_this": _bm25_mlt,
         "bm25_topk_paged": _bm25_paged,
         "facet_lang": _facet_lang,
@@ -1686,10 +1769,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sliding_event_counts", "late_event_stats", "sessionize",
         # round-5-touched / flagship search entries
         "bm25_topk", "bm25_topk_exhaustive", "bm25_topk_sharded",
-        "term_df", "corpus_stats", "match_counts",
+        "corpus_stats", "match_counts",
         "match_stats", "bm25_topk_collapse", "significant_terms",
         # new this round — each needs its first driver row
-        "hybrid_rrf", "top_hits_lang",
+        "hybrid_rrf", "top_hits_lang", "bm25_topk_spannear",
     ]
     assert set(front) <= set(entries), sorted(set(front) - set(entries))
     ordered = {k: entries[k] for k in front}
@@ -1946,6 +2029,7 @@ ORDER BY query_id, rank
         "bm25_topk_wildcard": _expanded_sql("wildcard"),
         "bm25_topk_regexp": _expanded_sql("regexp"),
         "bm25_topk_near": _near_sql(),
+        "bm25_topk_spannear": _spannear_sql(),
         "more_like_this": _mlt_sql(),
         "bm25_topk_paged": _bm25_sql(k=2 * K),
         "facet_lang": f"""

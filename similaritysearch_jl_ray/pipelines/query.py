@@ -996,6 +996,13 @@ class Bm25Scorer:
             if not terms or any(not self._has_term(t) for t in terms):
                 return [], 0, 0  # conjunctive: an unindexed term matches nothing
             return self._score_near(terms, w)
+        if self.mode == "spannear":
+            from .queryset import parse_ordered_near_query
+
+            toks, w = parse_ordered_near_query(text)
+            if not toks or any(not self._has_term(t) for t in toks):
+                return [], 0, 0  # conjunctive: an unindexed term matches nothing
+            return self._score_spannear(toks, w)
         if self.mode == "dismax":
             terms = self._query_terms(text)
             if not terms:
@@ -1154,6 +1161,17 @@ class Bm25Scorer:
             cand, npost = self._near_candidates(terms, w)
             if not len(cand):
                 return None
+            return cand, self._rescore_exact(terms, cand), int(npost), 1
+        if mode == "spannear":
+            from .queryset import parse_ordered_near_query
+
+            toks, w = parse_ordered_near_query(text)
+            if not toks or any(not self._has_term(t) for t in toks):
+                return None
+            cand, npost = self._ordered_near_candidates(toks, w)
+            if not len(cand):
+                return None
+            terms = sorted(set(toks))
             return cand, self._rescore_exact(terms, cand), int(npost), 1
         if mode == "dismax":
             terms = self._query_terms(text)
@@ -2079,6 +2097,96 @@ class Bm25Scorer:
             npost,
         )
 
+    def _ordered_near_candidates(
+        self, toks: list[str], w: int
+    ) -> tuple[np.ndarray, int]:
+        """Sorted doc_ids containing the token SEQUENCE at strictly
+        increasing positions with ``last − first ≤ w`` — Lucene
+        SpanNearQuery ``in_order=true`` (the unordered window is
+        :meth:`_near_candidates`).
+
+        Greedy leftmost chain, fully vectorized: from every occurrence
+        key of the FIRST token, chase each next token's smallest
+        strictly-greater occurrence key (one ``searchsorted
+        side="right"`` per step). Minimizing every step minimizes the
+        chain's end for that anchor (exchange argument), so an anchor
+        matches iff its greedy chain lands within ``anchor + w`` — and
+        the per-doc key envelope (doc·M + pos with M past maxpos + w)
+        makes the window check also the same-doc check. Cost
+        O(occurrences · T · log), no per-doc Python."""
+        and_docs = self._and_docs(sorted(set(toks)))
+        if not len(and_docs):
+            return np.empty(0, np.int64), 0
+        if len(toks) == 1:
+            return and_docs, int(len(and_docs))
+
+        def chain(anchors, streams, W):
+            cur = anchors
+            ok = np.ones(len(anchors), dtype=bool)
+            for kt in streams:
+                j = np.searchsorted(kt, cur, side="right")
+                ok &= j < len(kt)
+                if not ok.any():
+                    return None
+                cur = kt[np.minimum(j, len(kt) - 1)]
+            ok &= cur <= anchors + W
+            return anchors[ok]
+
+        if self._occ_eligible() and w < (1 << 31):
+            try:
+                anchors = self._occ_keys_for(toks[0], and_docs)
+                npost = len(anchors)
+                streams = []
+                for t in toks[1:]:
+                    kt = self._term_occ(t)[2]
+                    npost += len(kt)
+                    streams.append(kt)
+                hit = chain(anchors, streams, np.uint64(w))
+                if hit is None:
+                    return np.empty(0, np.int64), npost
+                return (
+                    np.unique(hit >> self._OCC_SHIFT).astype(np.int64),
+                    npost,
+                )
+            except ValueError:
+                pass  # position envelope exceeded → dynamic fallback
+        keys = {}
+        npost = 0
+        maxpos = 0
+        for t in sorted(set(toks)):
+            ids, tfs, pos = self._term_positions_for(t, and_docs)
+            if len(ids) == 0:
+                return np.empty(0, np.int64), npost
+            npost += len(ids)
+            keys[t] = (ids, tfs, pos)
+            maxpos = max(maxpos, int(pos.max()) if len(pos) else 0)
+        shift = int(maxpos + w + 2).bit_length()
+        M = np.uint64(1) << np.uint64(shift)
+        occ = {
+            t: np.repeat(ids, tfs).astype(np.uint64) * M + pos.astype(np.uint64)
+            for t, (ids, tfs, pos) in keys.items()
+        }
+        hit = chain(occ[toks[0]], [occ[t] for t in toks[1:]], np.uint64(w))
+        if hit is None:
+            return np.empty(0, np.int64), npost
+        return np.unique((hit // M).astype(np.int64)), npost
+
+    def _score_spannear(self, toks: list[str], w: int):
+        """Ordered proximity match + BM25 ranking over the distinct
+        terms — same rescore contract as :meth:`_score_near`."""
+        cand, npost = self._ordered_near_candidates(toks, w)
+        if len(cand) == 0:
+            return [], int(npost), 1
+        terms = sorted(set(toks))
+        approx, err = self._rescore_approx(terms, cand)
+        cand, exact = self._refine(terms, cand, approx, err)
+        idx = topk_indices(exact, cand, self.k)
+        return (
+            [(int(cand[j]), float(exact[j])) for j in idx],
+            int(npost),
+            1,
+        )
+
     def _score_near(self, terms: list[str], w: int):
         """Proximity match + BM25 ranking, index-only — the unordered
         SpanNear analog of :meth:`_score_phrase`; same approx-then-
@@ -2612,7 +2720,7 @@ def search(
     broadcast."""
     # collapse never auto-shards (lang groups span shards); the
     # positional + synonym modes never broadcast (reader state)
-    if broadcast is None and mode not in ("phrase", "near", "synonym", "collapse"):
+    if broadcast is None and mode not in ("phrase", "near", "spannear", "synonym", "collapse"):
         from ..config import BROADCAST_PACK_BUDGET_BYTES
 
         est = estimated_pack_bytes(index_dir)
@@ -2631,10 +2739,10 @@ def search(
                 msm=msm,
             )
         broadcast = True
-    if mode in ("phrase", "near", "synonym"):
+    if mode in ("phrase", "near", "spannear", "synonym"):
         # positional modes decode the positions sidecar per actor;
         # synonym merging needs raw tf (packs ship saturated partials)
-        # — all three force the reader path
+        # — all four force the reader path
         broadcast = False
     # index_dir always rides along (even with a broadcast pack): the
     # actor reads sidecar state — docmap lang filters, tombstones —
@@ -3640,6 +3748,36 @@ def near_search(
         index_dir,
         k=k,
         mode="near",
+        concurrency=concurrency,
+        batch_size=batch_size,
+    ).select_columns(["query_id", "rank", "doc_id", "score"])
+
+
+def spannear_search(
+    index_dir: str,
+    k: int = 10,
+    queries=None,
+    *,
+    concurrency: int | tuple = 2,
+    batch_size: int = 64,
+):
+    """ORDERED proximity top-k BM25 (Lucene SpanNearQuery
+    ``in_order=true``): ``"t1 t2 ~W"`` matches docs where the token
+    sequence appears at strictly increasing positions with
+    ``last − first ≤ W``; ranking is the shared BM25 contract over the
+    distinct terms. Index-only; cost ∝ occurrence counts
+    (``Bm25Scorer._ordered_near_candidates`` greedy chain)."""
+    import ray.data as rd
+
+    from .queryset import SPANNEAR_QUERIES
+
+    queries = queries if queries is not None else SPANNEAR_QUERIES
+    qds = rd.from_items([{"query_id": qid, "text": t} for qid, t in queries])
+    return search(
+        qds,
+        index_dir,
+        k=k,
+        mode="spannear",
         concurrency=concurrency,
         batch_size=batch_size,
     ).select_columns(["query_id", "rank", "doc_id", "score"])

@@ -299,6 +299,41 @@ def parse_near_query(text: str) -> tuple[list[str], int]:
     return sorted(set(tokenize(m.group(1)))), int(m.group(2))
 
 
+# ORDERED proximity (Lucene SpanNearQuery in_order=true): the query's
+# token SEQUENCE must appear at strictly increasing positions with
+# last − first ≤ W. Query 1 reverses NEAR query 1's order and query 3
+# reorders "fast scan" — on this corpus the ordered result sets differ
+# from the unordered ones (pinned in tests), which is the point.
+SPANNEAR_QUERIES: list[tuple[int, str]] = [
+    (0, "merge join ~3"),
+    (1, "data big ~1"),            # reversed order vs NEAR query 1
+    (2, "sort order key ~6"),      # three terms, in order
+    (3, "scan fast ~4"),           # reversed "fast scan"
+    (4, "data zzzunknown ~5"),     # unknown term → empty
+    (5, "line ~2"),                # single term: trivially matches
+    (6, "group filter slow ~40"),  # wide window ≈ ordered AND
+]
+
+
+def parse_ordered_near_query(text: str) -> tuple[list[str], int]:
+    """``(tokens_in_query_order, window)`` from ``"t1 t2 ~W"`` —
+    duplicates KEPT and order preserved (the chain is positional)."""
+    import re
+
+    m = re.fullmatch(r"(.*?)\s*~(\d+)", text.strip())
+    if not m:
+        raise ValueError(f"ordered-near query needs a '~W' suffix: {text!r}")
+    return tokenize(m.group(1)), int(m.group(2))
+
+
+def spannear_queries_dataset():
+    import ray.data as rd
+
+    return rd.from_items(
+        [{"query_id": qid, "text": t} for qid, t in SPANNEAR_QUERIES]
+    )
+
+
 def near_queries_dataset():
     import ray.data as rd
 

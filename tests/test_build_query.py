@@ -1629,3 +1629,129 @@ def test_hybrid_rrf_respects_tombstones(index_dir, tmp_path):
     got = HybridRrfScorer(d, k=K).score_query(qtext)
     assert got == want
     assert not set(victims) & {doc for doc, _ in got}
+
+
+# ---------------------------------------------------------------------------
+# ORDERED proximity (spannear / SpanNearQuery in_order=true)
+# ---------------------------------------------------------------------------
+
+
+def _brute_spannear(sf_dir: str, toks: list[str], w: int) -> list[int]:
+    """Corpus-scan reference: doc matches iff SOME strictly increasing
+    choice of one position per token (in query order) spans ≤ w —
+    exhaustive over position combinations, no greedy shortcut (so it
+    independently validates the engine's greedy-chain argument)."""
+    import itertools
+
+    t = pq.read_table(f"{sf_dir}/documents.parquet", columns=["doc_id", "text"])
+    out = []
+    for doc_id, text in zip(t["doc_id"].to_pylist(), t["text"].to_pylist()):
+        tl = tokenize(text)
+        posmap = {tm: [i for i, x in enumerate(tl) if x == tm] for tm in set(toks)}
+        if any(not posmap[tm] for tm in toks):
+            continue
+        for combo in itertools.product(*(posmap[tm] for tm in toks)):
+            if all(b > a for a, b in zip(combo, combo[1:])) and combo[-1] - combo[0] <= w:
+                out.append(doc_id)
+                break
+    return sorted(out)
+
+
+def test_spannear_candidates_match_corpus_scan(index_dir):
+    from similaritysearch_jl_ray.pipelines.queryset import (
+        SPANNEAR_QUERIES,
+        parse_ordered_near_query,
+    )
+
+    scorer = Bm25Scorer(index_dir, k=K, mode="spannear")
+    saw_nonempty = 0
+    order_differs = 0
+    for _, text in SPANNEAR_QUERIES:
+        toks, w = parse_ordered_near_query(text)
+        if not toks or any(not scorer._has_term(t) for t in toks):
+            assert scorer.score_query(text)[0] == []
+            continue
+        got, _ = scorer._ordered_near_candidates(toks, w)
+        want = _brute_spannear(SF_DIR, toks, w)
+        assert list(got) == want, (text, len(got), len(want))
+        saw_nonempty += 1 if len(got) else 0
+        if len(toks) > 1:
+            unordered = _brute_near(SF_DIR, sorted(set(toks)), w)
+            order_differs += int(want != unordered)
+    assert saw_nonempty >= 3
+    # the fixture is chosen so ordering actually distinguishes
+    assert order_differs >= 2
+
+
+def test_spannear_scores_and_cursor(index_dir):
+    """Matched docs score as the exhaustive restriction (shared
+    contract) and search_after agrees with page 1 (the _full_hits
+    branch contract every mode must satisfy)."""
+    from similaritysearch_jl_ray.pipelines.queryset import (
+        SPANNEAR_QUERIES,
+        parse_ordered_near_query,
+    )
+
+    sn = Bm25Scorer(index_dir, k=1000, mode="spannear")
+    ex = Bm25Scorer(index_dir, k=1000, mode="exhaustive")
+    for _, text in SPANNEAR_QUERIES:
+        toks, w = parse_ordered_near_query(text)
+        if not toks or any(not sn._has_term(t) for t in toks):
+            continue
+        got = sn.score_query(text)[0]
+        cand = set(d for d, _ in got)
+        want = [
+            (d, s)
+            for d, s in ex._score_exhaustive(sorted(set(toks)))[0]
+            if d in cand
+        ]
+        assert got == want, text
+        if len(got) >= 3:
+            c = 2
+            s0, d0 = got[c - 1][1], got[c - 1][0]
+            nxt = sn.score_query_after(text, (s0, d0))[0]
+            assert nxt[: len(got) - c] == got[c:], text
+
+
+def test_spannear_edge_semantics(index_dir):
+    scorer = Bm25Scorer(index_dir, k=K, mode="spannear")
+    # strictness: "data data ~0" needs two positions of 'data' with
+    # p2 > p1 and p2 − p1 ≤ 0 — impossible
+    assert scorer.score_query("data data ~0")[0] == []
+    # but "data data ~N" (N ≥ 1) requires a genuine repeat within N
+    got, _ = scorer._ordered_near_candidates(["data", "data"], 3)
+    want = _brute_spannear(SF_DIR, ["data", "data"], 3)
+    assert list(got) == want
+    # single token: trivially matches every posting doc
+    got1, _ = scorer._ordered_near_candidates(["line"], 2)
+    ids, _, _ = scorer._term_positions("line")
+    assert list(got1) == list(ids)
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        scorer.score_query("fast merge")
+
+
+def test_spannear_fast_and_dynamic_paths_identical(index_dir, monkeypatch):
+    """The occ-cache greedy chain and the dynamic per-query key build
+    must produce identical candidates (the phrase-kernels path-parity
+    convention): force the dynamic path by making _occ_eligible False."""
+    from similaritysearch_jl_ray.pipelines.queryset import (
+        SPANNEAR_QUERIES,
+        parse_ordered_near_query,
+    )
+
+    fast = Bm25Scorer(index_dir, k=K, mode="spannear")
+    slow = Bm25Scorer(index_dir, k=K, mode="spannear")
+    monkeypatch.setattr(slow, "_occ_eligible", lambda: False, raising=True)
+    assert fast._occ_eligible() and not slow._occ_eligible()
+    for _, text in SPANNEAR_QUERIES + [(99, "data data ~3")]:
+        toks, w = parse_ordered_near_query(text)
+        if not toks or any(not fast._has_term(t) for t in toks):
+            continue
+        a, _ = fast._ordered_near_candidates(toks, w)
+        b, _ = slow._ordered_near_candidates(toks, w)
+        assert list(a) == list(b), text
+        # hits (ids AND scores) identical; the postings-touched counter
+        # legitimately differs (full cached occ arrays vs AND-restricted)
+        assert fast.score_query(text)[0] == slow.score_query(text)[0], text
