@@ -145,3 +145,40 @@ def test_counting_scratch_respects_doc_range_offset(pk_index):
                 assert np.array_equal(km, ke), t
                 checked += 1
     assert checked > 0
+
+
+def test_spannear_respects_doc_range_sharding(pk_index):
+    """Ordered proximity under doc-range sharding: a shard-pinned
+    scorer's candidates must equal the unsharded candidates filtered
+    to its range, and the served hits (ids AND scores) must equal the
+    unsharded hits restricted to the range — spannear composes with
+    the doc-sharded serving story like phrase/near."""
+    import json
+    import os
+
+    from similaritysearch_jl_ray.pipelines.queryset import (
+        SPANNEAR_QUERIES,
+        parse_ordered_near_query,
+    )
+
+    full = Bm25Scorer(pk_index, k=1000, mode="spannear")
+    n_docs = json.load(open(os.path.join(pk_index, "stats.json")))["n_docs"]
+    lo, hi = n_docs // 3, 2 * n_docs // 3
+    shard = Bm25Scorer(pk_index, k=1000, mode="spannear", doc_range=(lo, hi))
+    assert shard._span[0] == lo > 0
+    checked = 0
+    for _, text in SPANNEAR_QUERIES:
+        toks, w = parse_ordered_near_query(text)
+        if not toks or any(not full._has_term(t) for t in toks):
+            continue
+        want_all, _ = full._ordered_near_candidates(toks, w)
+        want = want_all[(want_all >= lo) & (want_all < hi)]
+        got, _ = shard._ordered_near_candidates(toks, w)
+        assert np.array_equal(got, want), text
+        full_hits = [
+            (d, s) for d, s in full.score_query(text)[0] if lo <= d < hi
+        ]
+        shard_hits = shard.score_query(text)[0][: len(full_hits)]
+        assert shard_hits == full_hits, text
+        checked += 1 if len(got) else 0
+    assert checked >= 2
