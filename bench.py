@@ -141,6 +141,27 @@ def run_bench() -> dict:
     timings["steady_n_phrase"] = max(1, len(warm))
     n_phrase = len(phrase_items)
 
+    # hybrid RRF lap (round 5): wall-clock only, reduced rep count,
+    # EXCLUDED from the headline total (cross-round comparability) and
+    # guarded — a failure here must never break the driver's bench line
+    hybrid_sec = hybrid_n = 0
+    try:
+        from similaritysearch_jl_ray.pipelines.query import hybrid_search
+
+        # few actors: each pays a one-time doc-norm pass, so a wide
+        # pool on a small rep count measures warm-up, not serving
+        hybrid_cc = min(8, concurrency)
+        hybrid_items = items[: max(len(items) // 4, len(REFERENCE_QUERIES))]
+        qds = rd.from_items(hybrid_items).repartition(hybrid_cc)
+        t0 = time.perf_counter()
+        hybrid_search(
+            qds, index_dir, k=10, concurrency=hybrid_cc, batch_size=64
+        ).to_pandas()
+        hybrid_sec = time.perf_counter() - t0
+        hybrid_n = len(hybrid_items)
+    except Exception:
+        pass
+
     total = build_sec + timings["query_wand"] + timings["query_exhaustive"]
     out = {
         "metric": "bm25_index_build_plus_query",
@@ -164,6 +185,7 @@ def run_bench() -> dict:
         "query_qps_phrase_steady": round(
             timings["steady_n_phrase"] / timings["steady_phrase"], 1
         ),
+        "query_qps_hybrid_wall": round(hybrid_n / hybrid_sec, 1) if hybrid_sec else 0.0,
         "total_postings": stats["total_tokens"],
         "build_stage_sec": stats.get("build_timings", {}),
     }
