@@ -513,6 +513,40 @@ ORDER BY query_id, rank
 """
 
 
+def _lang_cardinality(sf_dir: str):
+    from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index
+    from similaritysearch_jl_ray.pipelines.query import lang_cardinality
+    from similaritysearch_jl_ray.pipelines.queryset import queries_dataset
+
+    index_dir = ensure_index(sf_dir)
+    res = lang_cardinality(queries_dataset(), index_dir, concurrency=2).to_pandas()
+    return res.sort_values("query_id").reset_index(drop=True)
+
+
+def _lang_cardinality_sql() -> str:
+    """SQL twin of :func:`lang_cardinality` — exact COUNT(DISTINCT
+    lang) over each query's match set; zero rows for every query with
+    no matches (query list derived from query ids, the match_counts
+    convention)."""
+    return f"""
+WITH {_TOK_CTES},
+q AS (SELECT * FROM {_queries_sql()}),
+qi AS (SELECT * FROM {_qids_sql()}),
+m AS (
+  SELECT DISTINCT q.query_id, tf.doc_id
+  FROM q JOIN tf ON tf.term = q.term
+),
+card AS (
+  SELECT m.query_id, count(DISTINCT d.lang)::BIGINT AS n_langs
+  FROM m JOIN documents d ON d.doc_id = m.doc_id
+  GROUP BY m.query_id
+)
+SELECT qi.query_id, coalesce(card.n_langs, 0)::BIGINT AS n_langs
+FROM qi LEFT JOIN card ON card.query_id = qi.query_id
+ORDER BY qi.query_id
+"""
+
+
 def _top_hits(sf_dir: str):
     from similaritysearch_jl_ray.functions.rounding import round6
     from similaritysearch_jl_ray.pipelines.entry_helpers import ensure_index
@@ -1600,6 +1634,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rrf": _hybrid_rrf,
         # ES terms-bucket + top_hits: k best hits per (query, lang)
         "top_hits_lang": _top_hits,
+        # ES cardinality agg: exact distinct-lang count per match set
+        "lang_cardinality": _lang_cardinality,
         # Lucene Explain: per-term score breakdown of every top-k hit
         "bm25_explain": _bm25_explain,
         # ES function_score: BM25 × weight(lang) doc-values factor
@@ -1858,6 +1894,7 @@ FROM qi LEFT JOIN mc ON mc.query_id = qi.query_id
 """,
         "hybrid_rrf": _hybrid_rrf_sql(),
         "top_hits_lang": _top_hits_sql(),
+        "lang_cardinality": _lang_cardinality_sql(),
         "bm25_explain": f"""
 WITH {_TOK_CTES},
 q AS (SELECT * FROM {_queries_sql()}),

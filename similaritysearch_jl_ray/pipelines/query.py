@@ -3409,6 +3409,65 @@ class TopHitsScorer:
         )
 
 
+class LangCardinality:
+    """ES `cardinality` aggregation over a terms bucket: per query,
+    the number of DISTINCT docmap ``lang`` values in the FULL match
+    set (exact — at web scale the probabilistic HLL variant would
+    replace the exact unique; the bucket vocabulary here is bounded so
+    exact IS the scale path). Emits a row for EVERY query (0 for
+    no-match queries) — the match_counts convention, so the oracle
+    derives its query list from query ids."""
+
+    def __init__(self, index_dir: str):
+        self.sc = Bm25Scorer(index_dir, k=1, mode="exhaustive")
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        sc = self.sc
+        dm_ids, dm_code, _ = sc._doc_langs()
+        qids_o, counts_o = [], []
+        for qid, text in zip(
+            batch["query_id"].to_pylist(), batch["text"].to_pylist()
+        ):
+            terms = sc._query_terms(str(text))
+            n = 0
+            if terms:
+                uniq = sc._accumulate_query(terms)[0]
+                if len(uniq):
+                    pos, valid = in_sorted(dm_ids, uniq)
+                    if not valid.all():
+                        raise RuntimeError(
+                            "cardinality: match-set docs missing from the "
+                            "docmap (stale pack/fingerprint serving hazard)"
+                        )
+                    n = int(len(np.unique(dm_code[pos])))
+            qids_o.append(qid)
+            counts_o.append(n)
+        return pa.table(
+            {
+                "query_id": pa.array(qids_o, type=pa.int64()),
+                "n_langs": pa.array(counts_o, type=pa.int64()),
+            }
+        )
+
+
+def lang_cardinality(
+    queries_ds,
+    index_dir: str,
+    *,
+    concurrency: int | tuple = 2,
+    batch_size: int = 256,
+):
+    """queries → (query_id, n_langs): exact distinct-bucket count per
+    match set, streaming in the :func:`search` actor-pool shape."""
+    return queries_ds.map_batches(
+        LangCardinality,
+        fn_constructor_kwargs={"index_dir": index_dir},
+        batch_format="pyarrow",
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def top_hits_search(
     queries_ds,
     index_dir: str,
