@@ -1811,6 +1811,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "hybrid_rrf", "top_hits_lang", "bm25_topk_spannear",
     ]
     assert set(front) <= set(entries), sorted(set(front) - set(entries))
+    # the driver samples EXACTLY the first 50 — a shorter front wastes
+    # window slots on whatever dict order follows; a longer one silently
+    # pushes a chosen entry out of the hard signal
+    assert len(front) == 50, len(front)
     ordered = {k: entries[k] for k in front}
     ordered.update((k, v) for k, v in entries.items() if k not in ordered)
     return ordered
